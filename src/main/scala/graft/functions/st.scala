@@ -1,0 +1,168 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.types._
+
+import graft.geom.GeomKernel
+import graft.index.IndexKernel
+import graft.text.TextKernel
+
+/**
+ * `org.apache.spark.sql.functions`-style DSL for the spatial + text engine.
+ *
+ * Every function compiles to a `StaticInvoke` of a kernel method: inside
+ * whole-stage codegen this is a direct static Java call (no UDF serialization,
+ * no Row boxing), which keeps the geometry ops on the codegen hot path — the
+ * Spark-native replacement for the reference's per-Series Rust kernels
+ * (/root/reference/geopolars/geopolars-geo/src/geoseries.rs).
+ */
+object st {
+
+  private def expr(c: Column): Expression = Bridge.expression(c)
+  private def col(e: Expression): Column = Bridge.column(e)
+
+  private def invoke(target: Class[_], name: String, dt: DataType,
+                     returnNullable: Boolean, args: (Column, DataType)*): Column = {
+    val cast = args.map { case (c, t) => expr(c.cast(t)) }
+    val types = args.map(_._2)
+    col(StaticInvoke(target, dt, name, cast, types,
+      propagateNull = true, returnNullable = returnNullable))
+  }
+
+  private val G = GeomKernel.getClass
+  private val I = IndexKernel.getClass
+  private val T = TextKernel.getClass
+
+  private def geom1(name: String, dt: DataType, wkb: Column, nullable: Boolean = false) =
+    invoke(G, name, dt, nullable, wkb -> BinaryType)
+
+  // ---------- constructors ----------
+  def st_point(x: Column, y: Column): Column =
+    invoke(G, "stPoint", BinaryType, false, x -> DoubleType, y -> DoubleType)
+  def st_makeBox(minx: Column, miny: Column, maxx: Column, maxy: Column): Column =
+    invoke(G, "stMakeBox", BinaryType, false,
+      minx -> DoubleType, miny -> DoubleType, maxx -> DoubleType, maxy -> DoubleType)
+  def st_makeLine(x1: Column, y1: Column, x2: Column, y2: Column): Column =
+    invoke(G, "stMakeLine", BinaryType, false,
+      x1 -> DoubleType, y1 -> DoubleType, x2 -> DoubleType, y2 -> DoubleType)
+  def st_geomFromText(wkt: Column): Column =
+    invoke(G, "stGeomFromText", BinaryType, false, wkt -> StringType)
+  def st_asText(wkb: Column): Column = geom1("stAsText", StringType, wkb)
+
+  // ---------- accessors / measures ----------
+  def st_area(wkb: Column): Column = geom1("stArea", DoubleType, wkb)
+  def st_centroid(wkb: Column): Column = geom1("stCentroid", BinaryType, wkb)
+  def st_convexHull(wkb: Column): Column = geom1("stConvexHull", BinaryType, wkb)
+  def st_envelope(wkb: Column): Column = geom1("stEnvelope", BinaryType, wkb)
+  val boundsSchema: StructType = StructType(Seq(
+    StructField("minx", DoubleType, nullable = false),
+    StructField("miny", DoubleType, nullable = false),
+    StructField("maxx", DoubleType, nullable = false),
+    StructField("maxy", DoubleType, nullable = false)))
+  def st_bounds(wkb: Column): Column = geom1("stBounds", boundsSchema, wkb)
+  def st_length(wkb: Column): Column = geom1("stLength", DoubleType, wkb)
+  def st_geodesicLength(wkb: Column, method: String): Column =
+    invoke(G, "stGeodesicLength", DoubleType, false,
+      wkb -> BinaryType, lit(method) -> StringType)
+  def st_exterior(wkb: Column): Column = geom1("stExterior", BinaryType, wkb, nullable = true)
+  def st_geomType(wkb: Column): Column = geom1("stGeomType", IntegerType, wkb)
+  def st_isEmpty(wkb: Column): Column = geom1("stIsEmpty", BooleanType, wkb)
+  def st_isRing(wkb: Column): Column = geom1("stIsRing", BooleanType, wkb)
+  def st_x(wkb: Column): Column = geom1("stX", DoubleType, wkb, nullable = true)
+  def st_y(wkb: Column): Column = geom1("stY", DoubleType, wkb, nullable = true)
+
+  // ---------- binary ----------
+  def st_distance(a: Column, b: Column): Column =
+    invoke(G, "stDistance", DoubleType, false, a -> BinaryType, b -> BinaryType)
+  def st_contains(a: Column, b: Column): Column =
+    invoke(G, "stContains", BooleanType, false, a -> BinaryType, b -> BinaryType)
+  def st_intersects(a: Column, b: Column): Column =
+    invoke(G, "stIntersects", BooleanType, false, a -> BinaryType, b -> BinaryType)
+  def st_within(a: Column, b: Column): Column =
+    invoke(G, "stWithin", BooleanType, false, a -> BinaryType, b -> BinaryType)
+  def st_bboxIntersects(a: Column, b: Column): Column =
+    invoke(G, "bboxIntersects", BooleanType, false, a -> BinaryType, b -> BinaryType)
+  /** The reference's exact join-refinement truth table (spatial_index.rs:89-137). */
+  def st_joinRefine(a: Column, b: Column, predicate: Column): Column =
+    invoke(G, "joinRefine", BooleanType, false,
+      a -> BinaryType, b -> BinaryType, predicate -> IntegerType)
+  def haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
+    invoke(G, "haversineDist", DoubleType, false,
+      lat1 -> DoubleType, lon1 -> DoubleType, lat2 -> DoubleType, lon2 -> DoubleType)
+
+  // ---------- affine ----------
+  def st_affine(wkb: Column, a: Column, b: Column, d: Column, e: Column,
+                xoff: Column, yoff: Column): Column =
+    invoke(G, "stAffine", BinaryType, false, wkb -> BinaryType,
+      a -> DoubleType, b -> DoubleType, d -> DoubleType, e -> DoubleType,
+      xoff -> DoubleType, yoff -> DoubleType)
+  def st_translate(wkb: Column, dx: Column, dy: Column): Column =
+    invoke(G, "stTranslate", BinaryType, false,
+      wkb -> BinaryType, dx -> DoubleType, dy -> DoubleType)
+  def st_rotate(wkb: Column, angleDeg: Column, originMode: Column,
+                ox: Column, oy: Column): Column =
+    invoke(G, "stRotate", BinaryType, false, wkb -> BinaryType, angleDeg -> DoubleType,
+      originMode -> IntegerType, ox -> DoubleType, oy -> DoubleType)
+  def st_scale(wkb: Column, xf: Column, yf: Column, originMode: Column,
+               ox: Column, oy: Column): Column =
+    invoke(G, "stScale", BinaryType, false, wkb -> BinaryType, xf -> DoubleType,
+      yf -> DoubleType, originMode -> IntegerType, ox -> DoubleType, oy -> DoubleType)
+  def st_skew(wkb: Column, xs: Column, ys: Column, originMode: Column,
+              ox: Column, oy: Column): Column =
+    invoke(G, "stSkew", BinaryType, false, wkb -> BinaryType, xs -> DoubleType,
+      ys -> DoubleType, originMode -> IntegerType, ox -> DoubleType, oy -> DoubleType)
+
+  // ---------- reshaping / CRS ----------
+  def st_dump(wkb: Column): Column =
+    invoke(G, "stDump", ArrayType(BinaryType, containsNull = false), false, wkb -> BinaryType)
+  def st_simplify(wkb: Column, tolerance: Column): Column =
+    invoke(G, "stSimplify", BinaryType, false, wkb -> BinaryType, tolerance -> DoubleType)
+  def st_transform(wkb: Column, fromSrid: Column, toSrid: Column): Column =
+    invoke(G, "stTransform", BinaryType, false,
+      wkb -> BinaryType, fromSrid -> IntegerType, toSrid -> IntegerType)
+
+  // ---------- spatial index ----------
+  def s2_cell(lat: Column, lon: Column, level: Column): Column =
+    invoke(I, "s2Cell", LongType, false,
+      lat -> DoubleType, lon -> DoubleType, level -> IntegerType)
+  def s2_parent(cell: Column, level: Column): Column =
+    invoke(I, "s2Parent", LongType, false, cell -> LongType, level -> IntegerType)
+  def tile_id(lat: Column, lon: Column, z: Column): Column =
+    invoke(I, "tileId", LongType, false,
+      lat -> DoubleType, lon -> DoubleType, z -> IntegerType)
+  def tile_x(lon: Column, z: Column): Column =
+    invoke(I, "tileX", LongType, false, lon -> DoubleType, z -> IntegerType)
+  def tile_y(lat: Column, z: Column): Column =
+    invoke(I, "tileY", LongType, false, lat -> DoubleType, z -> IntegerType)
+
+  // ---------- text / dedup / embeddings ----------
+  def extract_text(html: Column): Column =
+    invoke(T, "extractText", StringType, false, html -> BinaryType)
+  def lang_id(text: Column): Column =
+    invoke(T, "langId", StringType, false, text -> StringType)
+  def fingerprint64(text: Column): Column =
+    invoke(T, "fnv64", LongType, false, text -> StringType)
+  def minhash_band(text: Column, k: Column, numHashes: Column, band: Column,
+                   rowsPerBand: Column): Column =
+    invoke(T, "minhashBand", LongType, false, text -> StringType, k -> IntegerType,
+      numHashes -> IntegerType, band -> IntegerType, rowsPerBand -> IntegerType)
+  def simhash64(text: Column, k: Column): Column =
+    invoke(T, "simhash", LongType, false, text -> StringType, k -> IntegerType)
+  def hamming64(a: Column, b: Column): Column =
+    invoke(T, "hamming64", IntegerType, false, a -> LongType, b -> LongType)
+  def jaccard_shingles(a: Column, b: Column, k: Column): Column =
+    invoke(T, "jaccardShingles", DoubleType, false,
+      a -> StringType, b -> StringType, k -> IntegerType)
+  def cosine_sim(a: Column, b: Column): Column =
+    invoke(T, "cosineSim", DoubleType, false,
+      a -> ArrayType(FloatType), b -> ArrayType(FloatType))
+  def l2_norm(a: Column): Column =
+    invoke(T, "l2Norm", DoubleType, false, a -> ArrayType(FloatType))
+  def cosine_lsh_bucket(a: Column, nBits: Column): Column =
+    invoke(T, "cosineLshBucket", LongType, false,
+      a -> ArrayType(FloatType), nBits -> IntegerType)
+}

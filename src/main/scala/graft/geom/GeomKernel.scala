@@ -1,0 +1,347 @@
+package graft.geom
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+import org.locationtech.jts.geom._
+import org.locationtech.jts.geom.util.AffineTransformation
+import org.locationtech.jts.simplify.DouglasPeuckerSimplifier
+
+/**
+ * Scalar geometry kernel. Every public method is designed to be invoked from
+ * Catalyst via `StaticInvoke` (codegen emits a direct static call through the
+ * Scala static forwarders), so signatures use Catalyst-internal types:
+ * `Array[Byte]` for BinaryType, `UTF8String` for StringType, `ArrayData` for
+ * arrays, boxed returns where NULL is a legal result.
+ *
+ * Semantics follow the reference operator contracts documented in
+ * /root/reference/geopolars/geopolars-geo/src/geoseries.rs:10-181 and
+ * py-geopolars/python/geopolars/internals/georust/geoseries.py (the reference
+ * bodies are `todo!()`; semantics come from their doc-comments). Geometry-type
+ * ids follow py-geopolars/python/geopolars/enums.py:4-15.
+ */
+object GeomKernel {
+
+  // ---- geometry type ids (pygeos/GEOS-compatible; enums.py:4-15) ----
+  final val MISSING = -1
+  final val POINT = 0
+  final val LINESTRING = 1
+  final val LINEARRING = 2
+  final val POLYGON = 3
+  final val MULTIPOINT = 4
+  final val MULTILINESTRING = 5
+  final val MULTIPOLYGON = 6
+  final val GEOMETRYCOLLECTION = 7
+
+  @inline private def g(wkb: Array[Byte]): Geometry = Wkb.read(wkb)
+  @inline private def out(geom: Geometry): Array[Byte] = Wkb.write(geom)
+
+  // ================= constructors =================
+
+  def stPoint(x: Double, y: Double): Array[Byte] =
+    out(Wkb.factory.createPoint(new Coordinate(x, y)))
+
+  /** Axis-aligned rectangle polygon; shell CCW, closed. */
+  def stMakeBox(minx: Double, miny: Double, maxx: Double, maxy: Double): Array[Byte] = {
+    val shell = Array(
+      new Coordinate(minx, miny), new Coordinate(maxx, miny),
+      new Coordinate(maxx, maxy), new Coordinate(minx, maxy),
+      new Coordinate(minx, miny))
+    out(Wkb.factory.createPolygon(shell))
+  }
+
+  def stMakeLine(x1: Double, y1: Double, x2: Double, y2: Double): Array[Byte] =
+    out(Wkb.factory.createLineString(Array(new Coordinate(x1, y1), new Coordinate(x2, y2))))
+
+  def stGeomFromText(wkt: UTF8String): Array[Byte] = out(Wkb.readWkt(wkt.toString))
+
+  def stAsText(wkb: Array[Byte]): UTF8String = UTF8String.fromString(Wkb.writeWkt(g(wkb)))
+
+  // ================= accessors / measures =================
+
+  /** Planar area in CRS units (geoseries.rs:14-16). */
+  def stArea(wkb: Array[Byte]): Double = g(wkb).getArea
+
+  /** Point centroid; need not lie within the geometry (geoseries.rs:18-21). */
+  def stCentroid(wkb: Array[Byte]): Array[Byte] = out(g(wkb).getCentroid)
+
+  /** Smallest convex polygon containing all points (geoseries.rs:23-26). */
+  def stConvexHull(wkb: Array[Byte]): Array[Byte] = out(g(wkb).convexHull())
+
+  /** Axis-aligned bounding geometry (geoseries.rs:28-33). */
+  def stEnvelope(wkb: Array[Byte]): Array[Byte] = out(g(wkb).getEnvelope)
+
+  /** (minx, miny, maxx, maxy) struct — same bbox the reference's R-tree nodes
+   *  carry (spatial_index.rs:206-276). */
+  def stBounds(wkb: Array[Byte]): InternalRow = {
+    val e = g(wkb).getEnvelopeInternal
+    new GenericInternalRow(Array[Any](e.getMinX, e.getMinY, e.getMaxX, e.getMaxY))
+  }
+
+  /** Planar length; Point/MultiPoint -> 0; Polygon -> exterior-ring length only
+   *  (geoseries.rs:35-41: "For a Polygon it returns the length of the exterior
+   *  ring"). */
+  def stLength(wkb: Array[Byte]): Double = lengthOf(g(wkb))
+
+  private def lengthOf(geom: Geometry): Double = geom match {
+    case _: Point | _: MultiPoint => 0.0
+    case p: Polygon => p.getExteriorRing.getLength
+    case mp: MultiPolygon =>
+      var s = 0.0
+      var i = 0
+      while (i < mp.getNumGeometries) {
+        s += mp.getGeometryN(i).asInstanceOf[Polygon].getExteriorRing.getLength; i += 1
+      }
+      s
+    case gc: GeometryCollection =>
+      var s = 0.0
+      var i = 0
+      while (i < gc.getNumGeometries) { s += lengthOf(gc.getGeometryN(i)); i += 1 }
+      s
+    case other => other.getLength
+  }
+
+  /** Geodesic length in meters on WGS84; method in {"geodesic","haversine",
+   *  "vincenty"} (geoseries.rs:52-58; py-geopolars/src/geo.rs:64-72). */
+  def stGeodesicLength(wkb: Array[Byte], method: UTF8String): Double = {
+    val m = method.toString.toLowerCase
+    geodesicLengthOf(g(wkb), m)
+  }
+
+  private def segDist(m: String, y1: Double, x1: Double, y2: Double, x2: Double): Double = m match {
+    case "haversine" => Geodesic.haversine(y1, x1, y2, x2)
+    case "vincenty" => Geodesic.vincenty(y1, x1, y2, x2)
+    case _ => Geodesic.geodesic(y1, x1, y2, x2)
+  }
+
+  private def geodesicLengthOf(geom: Geometry, m: String): Double = geom match {
+    case _: Point | _: MultiPoint => 0.0
+    case l: LineString =>
+      val cs = l.getCoordinates
+      var s = 0.0
+      var i = 1
+      while (i < cs.length) { s += segDist(m, cs(i - 1).y, cs(i - 1).x, cs(i).y, cs(i).x); i += 1 }
+      s
+    case p: Polygon => geodesicLengthOf(p.getExteriorRing, m)
+    case coll: GeometryCollection =>
+      var s = 0.0
+      var i = 0
+      while (i < coll.getNumGeometries) { s += geodesicLengthOf(coll.getGeometryN(i), m); i += 1 }
+      s
+    case _ => 0.0
+  }
+
+  /** Haversine point distance in meters (scalar form used by kNN queries). */
+  def haversineDist(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double =
+    Geodesic.haversine(lat1, lon1, lat2, lon2)
+
+  /** Exterior ring of a Polygon, NULL otherwise (geoseries.rs:43-47). */
+  def stExterior(wkb: Array[Byte]): Array[Byte] = g(wkb) match {
+    case p: Polygon => out(Wkb.factory.createLineString(p.getExteriorRing.getCoordinates))
+    case _ => null
+  }
+
+  /** pygeos-compatible type id (enums.py:4-15; geoseries.rs:60-73). */
+  def stGeomType(wkb: Array[Byte]): Int = g(wkb) match {
+    case _: Point => POINT
+    case _: LinearRing => LINEARRING
+    case _: LineString => LINESTRING
+    case _: Polygon => POLYGON
+    case _: MultiPoint => MULTIPOINT
+    case _: MultiLineString => MULTILINESTRING
+    case _: MultiPolygon => MULTIPOLYGON
+    case _: GeometryCollection => GEOMETRYCOLLECTION
+    case _ => MISSING
+  }
+
+  def stIsEmpty(wkb: Array[Byte]): Boolean = g(wkb).isEmpty
+
+  /** True for closed features (geoseries.rs:78-83). */
+  def stIsRing(wkb: Array[Byte]): Boolean = g(wkb) match {
+    case l: LineString => l.isClosed // includes LinearRing
+    case _: Point => true
+    case _ => false
+  }
+
+  /** x of Point geometries; NULL for other types (geoseries.rs:176-177). */
+  def stX(wkb: Array[Byte]): java.lang.Double = g(wkb) match {
+    case p: Point if !p.isEmpty => Double.box(p.getX)
+    case _ => null
+  }
+
+  def stY(wkb: Array[Byte]): java.lang.Double = g(wkb) match {
+    case p: Point if !p.isEmpty => Double.box(p.getY)
+    case _ => null
+  }
+
+  // ================= binary predicates / measures =================
+
+  /** Row-wise cartesian distance in CRS units (geoseries.rs:141-146). */
+  def stDistance(a: Array[Byte], b: Array[Byte]): Double = g(a).distance(g(b))
+
+  /** Boundary-exclusive containment — georust `Contains` semantics, which the
+   *  reference join tests pin down (boundary points NOT contained:
+   *  spatial_index.rs:434-480 expects inner shape (2,4)). JTS `contains`
+   *  matches; `covers` would not. */
+  def stContains(a: Array[Byte], b: Array[Byte]): Boolean = g(a).contains(g(b))
+
+  def stIntersects(a: Array[Byte], b: Array[Byte]): Boolean = g(a).intersects(g(b))
+
+  def stWithin(a: Array[Byte], b: Array[Byte]): Boolean = g(a).within(g(b))
+
+  /** Fast bbox-overlap prefilter — the role the reference's R-tree candidate
+   *  pass plays (spatial_index.rs:73-76). */
+  def bboxIntersects(a: Array[Byte], b: Array[Byte]): Boolean =
+    g(a).getEnvelopeInternal.intersects(g(b).getEnvelopeInternal)
+
+  // ---- the reference's exact join predicate truth table ----
+  final val PRED_INTERSECTS = 0
+  final val PRED_CONTAINS = 1
+
+  /**
+   * Exact replica of the reference's candidate-refinement dispatch
+   * (spatial_index.rs:89-137), including its quirks:
+   *   - Point vs (Multi)Polygon (either order) ignores the requested predicate
+   *     and always tests polygon-contains-point;
+   *   - Polygon/Polygon and MultiPolygon/Polygon honor Contains vs Intersects;
+   *   - Polygon vs MultiPolygon supports only Intersects;
+   *   - (Multi)LineString vs Point (either order) tests line-contains-point;
+   *   - every other type pairing is `false` (fall-through arm).
+   * georust has no `Line` scalar type distinct from LineString in our model, so
+   * the Line arms collapse into the LineString arms.
+   */
+  def joinRefine(lhs: Array[Byte], rhs: Array[Byte], predicate: Int): Boolean = {
+    val lg = g(lhs); val rg = g(rhs)
+    (lg, rg) match {
+      case (p: Point, poly: Polygon) => poly.contains(p)
+      case (poly: Polygon, p: Point) => poly.contains(p)
+      case (p: Point, poly: MultiPolygon) => poly.contains(p)
+      case (poly: MultiPolygon, p: Point) => poly.contains(p)
+      case (a: Polygon, b: Polygon) =>
+        if (predicate == PRED_CONTAINS) a.contains(b) else a.intersects(b)
+      case (a: MultiPolygon, b: Polygon) =>
+        if (predicate == PRED_CONTAINS) a.contains(b) else a.intersects(b)
+      case (a: Polygon, b: MultiPolygon) =>
+        if (predicate == PRED_CONTAINS) false else a.intersects(b)
+      case (l: LineString, p: Point) => l.contains(p)
+      case (p: Point, l: LineString) => l.contains(p)
+      case (l: MultiLineString, p: Point) => l.contains(p)
+      case (p: Point, l: MultiLineString) => l.contains(p)
+      case _ => false
+    }
+  }
+
+  // ================= affine family =================
+  // Shapely/georust 6-parameter matrix [a, b, d, e, xoff, yoff]:
+  //   x' = a*x + b*y + xoff ; y' = d*x + e*y + yoff
+  // (matrix order documented at georust/geoseries.py:33). JTS
+  // AffineTransformation takes (m00,m01,m02,m10,m11,m12) = (a,b,xoff,d,e,yoff).
+
+  final val ORIGIN_CENTER = 0 // bbox center
+  final val ORIGIN_CENTROID = 1
+  final val ORIGIN_POINT = 2
+
+  private def applyAffine(geom: Geometry, a: Double, b: Double, d: Double, e: Double,
+                          xoff: Double, yoff: Double): Geometry = {
+    val t = new AffineTransformation(a, b, xoff, d, e, yoff)
+    val res = geom.copy()
+    res.apply(t)
+    res.geometryChanged()
+    res
+  }
+
+  private def origin(geom: Geometry, mode: Int, ox: Double, oy: Double): (Double, Double) =
+    mode match {
+      case ORIGIN_CENTER =>
+        val env = geom.getEnvelopeInternal
+        ((env.getMinX + env.getMaxX) / 2, (env.getMinY + env.getMaxY) / 2)
+      case ORIGIN_CENTROID =>
+        val c = geom.getCentroid; (c.getX, c.getY)
+      case _ => (ox, oy)
+    }
+
+  def stAffine(wkb: Array[Byte], a: Double, b: Double, d: Double, e: Double,
+               xoff: Double, yoff: Double): Array[Byte] =
+    out(applyAffine(g(wkb), a, b, d, e, xoff, yoff))
+
+  /** Constant offset (geoseries.rs:163-174). */
+  def stTranslate(wkb: Array[Byte], dx: Double, dy: Double): Array[Byte] =
+    out(applyAffine(g(wkb), 1, 0, 0, 1, dx, dy))
+
+  /** Rotate by degrees CCW around origin (geoseries.rs:85-93). */
+  def stRotate(wkb: Array[Byte], angleDeg: Double, originMode: Int,
+               ox: Double, oy: Double): Array[Byte] = {
+    val geom = g(wkb)
+    val (x0, y0) = origin(geom, originMode, ox, oy)
+    val r = math.toRadians(angleDeg)
+    val cos = math.cos(r); val sin = math.sin(r)
+    // rotate about (x0,y0): translate(-o) . rotate . translate(+o)
+    out(applyAffine(geom, cos, -sin, sin, cos,
+      x0 - x0 * cos + y0 * sin, y0 - x0 * sin - y0 * cos))
+  }
+
+  /** Scale per-axis around origin; negative factors mirror (geoseries.rs:95-107). */
+  def stScale(wkb: Array[Byte], xf: Double, yf: Double, originMode: Int,
+              ox: Double, oy: Double): Array[Byte] = {
+    val geom = g(wkb)
+    val (x0, y0) = origin(geom, originMode, ox, oy)
+    out(applyAffine(geom, xf, 0, 0, yf, x0 - x0 * xf, y0 - y0 * yf))
+  }
+
+  /** Shear by x/y angles in degrees. Matrix per the reference doc
+   *  (geoseries.rs:129-138): [[1, tan(xs), xoff], [tan(ys), 1, yoff]] with
+   *  xoff = -origin.y * tan(xs), yoff = -origin.x * tan(ys). */
+  def stSkew(wkb: Array[Byte], xsDeg: Double, ysDeg: Double, originMode: Int,
+             ox: Double, oy: Double): Array[Byte] = {
+    val geom = g(wkb)
+    val (x0, y0) = origin(geom, originMode, ox, oy)
+    val tx = math.tan(math.toRadians(xsDeg))
+    val ty = math.tan(math.toRadians(ysDeg))
+    out(applyAffine(geom, 1, tx, ty, 1, -y0 * tx, -x0 * ty))
+  }
+
+  // ================= reshaping =================
+
+  /** Multi-part -> array of single-part WKBs (geoseries.rs:49-50); pair with
+   *  Spark `explode`/`posexplode` — mirrors benches/explode.rs:21-24. */
+  def stDump(wkb: Array[Byte]): ArrayData = {
+    val geom = g(wkb)
+    val n = geom.getNumGeometries
+    val parts = new Array[Any](n)
+    var i = 0
+    while (i < n) { parts(i) = out(geom.getGeometryN(i)); i += 1 }
+    new GenericArrayData(parts)
+  }
+
+  /** Douglas-Peucker simplification (geoseries.rs:109-116). */
+  def stSimplify(wkb: Array[Byte], tolerance: Double): Array[Byte] =
+    out(DouglasPeuckerSimplifier.simplify(g(wkb), tolerance))
+
+  // ================= CRS =================
+  // The reference reprojects vertex-wise via PROJ (ops/proj.rs:33-70). PROJ is
+  // unavailable offline; we implement the pair the web-map workload needs:
+  // EPSG:4326 (WGS84 lon/lat) <-> EPSG:3857 (web mercator), vertex-wise like
+  // the reference.
+
+  private val R3857 = 6378137.0
+
+  def stTransform(wkb: Array[Byte], fromSrid: Int, toSrid: Int): Array[Byte] = {
+    if (fromSrid == toSrid) return wkb
+    val geom = g(wkb).copy()
+    val filter: CoordinateFilter =
+      if (fromSrid == 4326 && toSrid == 3857) { (c: Coordinate) =>
+        c.x = math.toRadians(c.x) * R3857
+        c.y = math.log(math.tan(math.Pi / 4 + math.toRadians(c.y) / 2)) * R3857
+      } else if (fromSrid == 3857 && toSrid == 4326) { (c: Coordinate) =>
+        c.x = math.toDegrees(c.x / R3857)
+        c.y = math.toDegrees(2 * math.atan(math.exp(c.y / R3857)) - math.Pi / 2)
+      } else {
+        throw new IllegalArgumentException(
+          s"st_transform: unsupported CRS pair $fromSrid -> $toSrid (supported: 4326<->3857)")
+      }
+    geom.apply(filter)
+    geom.geometryChanged()
+    out(geom)
+  }
+}

@@ -1,0 +1,13 @@
+package graft.index
+
+/** StaticInvoke-facing wrappers over S2/Tile for Catalyst codegen. */
+object IndexKernel {
+  def s2Cell(lat: Double, lon: Double, level: Int): Long = S2.cellId(lat, lon, level)
+  def s2Parent(cell: Long, level: Int): Long = S2.parent(cell, level)
+  def s2Level(cell: Long): Int = S2.level(cell)
+  def tileId(lat: Double, lon: Double, z: Int): Long = Tile.tileId(lat, lon, z)
+  def tileX(lon: Double, z: Int): Long = Tile.tileX(lon, z)
+  def tileY(lat: Double, z: Int): Long = Tile.tileY(lat, z)
+  def tileZoom(id: Long): Int = Tile.zoom(id)
+  def tileParent(id: Long, z: Int): Long = Tile.parent(id, z)
+}

@@ -1,0 +1,207 @@
+package graft.text
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Text-pipeline kernel: HTML text extraction, language id, fingerprints and
+ * near-duplicate signatures over the `documents`/pages tables. All methods are
+ * StaticInvoke targets (Catalyst-internal types, deterministic, no state).
+ *
+ * The per-row invariant from BASELINE.json input_hint — byte-identical
+ * extracted `text` per `url` — is carried by `extractText` being a pure
+ * function of the html bytes.
+ */
+object TextKernel {
+
+  // ---------- html -> text (pure, deterministic) ----------
+
+  /** Strip tags, decode the few entities our synthetic corpus uses, collapse
+   *  whitespace runs to single spaces, trim. Pure function of the bytes. */
+  def extractText(html: Array[Byte]): UTF8String = {
+    val s = new String(html, java.nio.charset.StandardCharsets.UTF_8)
+    val noScript = s.replaceAll("(?s)<(script|style)[^>]*>.*?</\\1>", " ")
+    val noTags = noScript.replaceAll("<[^>]*>", " ")
+    val decoded = noTags
+      .replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&#39;", "'").replace("&nbsp;", " ")
+    UTF8String.fromString(decoded.replaceAll("\\s+", " ").trim)
+  }
+
+  // ---------- language id (n-gram/stopword heuristic) ----------
+
+  private val stopwords: Map[String, Array[String]] = Map(
+    "en" -> Array(" the ", " and ", " of ", " to ", " in ", " is ", " that "),
+    "de" -> Array(" der ", " die ", " und ", " das ", " ist ", " nicht ", " ein "),
+    "fr" -> Array(" le ", " la ", " et ", " les ", " des ", " est ", " une "),
+    "es" -> Array(" el ", " la ", " los ", " que ", " de ", " es ", " una "),
+    "it" -> Array(" il ", " la ", " che ", " di ", " e ", " per ", " una "))
+
+  /** Heuristic language id: highest stopword-hit count wins; ties broken by
+   *  language code order; "und" (undetermined) when nothing matches. */
+  def langId(text: UTF8String): UTF8String = {
+    val t = " " + text.toString.toLowerCase + " "
+    var best = "und"; var bestScore = 0
+    stopwords.toSeq.sortBy(_._1).foreach { case (lang, words) =>
+      var score = 0
+      var i = 0
+      while (i < words.length) {
+        var idx = t.indexOf(words(i))
+        while (idx >= 0) { score += 1; idx = t.indexOf(words(i), idx + 1) }
+        i += 1
+      }
+      if (score > bestScore) { best = lang; bestScore = score }
+    }
+    UTF8String.fromString(best)
+  }
+
+  // ---------- fingerprints ----------
+
+  /** 64-bit FNV-1a — stable document fingerprint (rolling basis for shingles). */
+  def fnv64(s: UTF8String): Long = fnv64Bytes(s.getBytes)
+
+  def fnv64Bytes(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  private def mix64(z0: Long): Long = { // splitmix64 finalizer
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private def tokenize(text: String): Array[String] =
+    text.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+
+  /** Hashes of word k-shingles. */
+  def shingleHashes(text: UTF8String, k: Int): Array[Long] = {
+    val toks = tokenize(text.toString)
+    if (toks.length < k) {
+      if (toks.isEmpty) Array.empty
+      else Array(fnv64Bytes(toks.mkString(" ").getBytes("UTF-8")))
+    } else {
+      val res = new Array[Long](toks.length - k + 1)
+      var i = 0
+      while (i + k <= toks.length) {
+        res(i) = fnv64Bytes(toks.slice(i, i + k).mkString(" ").getBytes("UTF-8"))
+        i += 1
+      }
+      res
+    }
+  }
+
+  /**
+   * MinHash signature: `numHashes` permutations simulated as
+   * min(mix64(shingleHash ^ seed_i)). Empty text -> all Long.MaxValue.
+   * Returned as ArrayData[Long] for Catalyst.
+   */
+  def minhash(text: UTF8String, k: Int, numHashes: Int): ArrayData = {
+    val hs = shingleHashes(text, k)
+    val sig = new Array[Any](numHashes)
+    var f = 0
+    while (f < numHashes) {
+      var m = Long.MaxValue
+      var i = 0
+      val seed = mix64(f.toLong * 0x9e3779b97f4a7c15L + 1)
+      while (i < hs.length) {
+        val v = mix64(hs(i) ^ seed)
+        if (v < m) m = v
+        i += 1
+      }
+      sig(f) = m
+      f += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** One LSH band key: hash of signature slice [band*rowsPerBand, +rowsPerBand). */
+  def minhashBand(text: UTF8String, k: Int, numHashes: Int, band: Int,
+                  rowsPerBand: Int): Long = {
+    val sig = minhash(text, k, numHashes)
+    var h = 0xcbf29ce484222325L ^ band.toLong
+    var i = band * rowsPerBand
+    val end = math.min(numHashes, i + rowsPerBand)
+    while (i < end) { h ^= sig.getLong(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** 64-bit SimHash over word-shingle hashes. */
+  def simhash(text: UTF8String, k: Int): Long = {
+    val hs = shingleHashes(text, k)
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < hs.length) {
+      val h = mix64(hs(i))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Exact n-gram Jaccard similarity between two texts (refinement step after
+   *  LSH candidate generation). */
+  def jaccardShingles(a: UTF8String, b: UTF8String, k: Int): Double = {
+    val sa = shingleHashes(a, k).toSet
+    val sb = shingleHashes(b, k).toSet
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else {
+      val inter = sa.intersect(sb).size.toDouble
+      inter / (sa.size + sb.size - inter)
+    }
+  }
+
+  // ---------- embeddings ----------
+
+  /** Cosine similarity of two float vectors (ArrayData of FloatType). */
+  def cosineSim(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def l2Norm(a: ArrayData): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.numElements()) { val x = a.getFloat(i).toDouble; s += x * x; i += 1 }
+    math.sqrt(s)
+  }
+
+  /** LSH bucket for cosine ANN: sign bits of `nBits` deterministic random
+   *  hyperplanes (seeded by splitmix64 of (bit, dim)). */
+  def cosineLshBucket(a: ArrayData, nBits: Int): Long = {
+    var bucket = 0L
+    var bit = 0
+    while (bit < nBits) {
+      var dot = 0.0
+      var i = 0
+      while (i < a.numElements()) {
+        // deterministic pseudo-gaussian-ish weight in [-1,1)
+        val w = (mix64(bit.toLong << 32 | i.toLong).toDouble / Long.MaxValue)
+        dot += a.getFloat(i) * w
+        i += 1
+      }
+      if (dot >= 0) bucket |= (1L << bit)
+      bit += 1
+    }
+    bucket
+  }
+}
