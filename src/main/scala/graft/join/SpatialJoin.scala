@@ -1,0 +1,184 @@
+package graft.join
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.st
+import graft.geom.GeomKernel
+import graft.index.S2
+
+/** Predicate enum mirroring the reference's `Predicate::{Intersects, Contains}`
+ *  (reference: geopolars/src/spatial_index.rs:13,28; default Intersects). */
+sealed abstract class SpatialPredicate(val id: Int)
+object SpatialPredicate {
+  case object Intersects extends SpatialPredicate(GeomKernel.PRED_INTERSECTS)
+  case object Contains extends SpatialPredicate(GeomKernel.PRED_CONTAINS)
+}
+
+/**
+ * Distributed spatial join with the reference's row-level semantics
+ * (geopolars/src/spatial_index.rs:37-204):
+ *
+ *   filter  — candidate generation. The reference scans an in-process R-tree
+ *             for AABB overlaps (:73-76); at cluster scale we bucket both
+ *             sides by S2 cell (point -> its containing cell, polygon -> its
+ *             covering cells) so candidates co-locate under a plain equi-join
+ *             that Catalyst plans natively (broadcast or shuffled hash join —
+ *             never a nested loop).
+ *   refine  — the exact predicate truth table (:89-137), reproduced verbatim
+ *             in `GeomKernel.joinRefine`, evaluated inside codegen.
+ *   finish  — row-index pair matching with `_left`/`_right` suffixing
+ *             (:147-199), reproduced with per-side row ids.
+ *
+ * Scale notes: the left (point) side never explodes (exactly one cell per
+ * point); only the polygon side replicates, by its covering-cell count, which
+ * is bounded by choosing `cellLevel` near the polygon size. Skewed cells are
+ * handled explicitly in `joinSalted`.
+ */
+object SpatialJoin {
+
+  /** Default bucketing resolution: S2 level 9 ≈ 15-20 km cells. */
+  val DefaultCellLevel = 9
+
+  /** Point rows per cell before a cell is treated as hot (salted). */
+  val DefaultSkewThreshold = 200000L
+
+  private def suffixed(df: DataFrame, suffix: String): DataFrame =
+    df.toDF(df.columns.map(_ + suffix).toIndexedSeq: _*)
+
+  /**
+   * Generic spatial join, semantics-faithful to the reference. Both inputs
+   * need a WKB `geometry` column (the reference resolves the literal column
+   * name "geometry", spatial_index.rs:44-45). Right side is broadcast when
+   * `broadcastRight` (admin-boundary-sized layers); otherwise a shuffled
+   * equi-join on cell.
+   */
+  def join(left: DataFrame, right: DataFrame,
+           predicate: SpatialPredicate = SpatialPredicate.Intersects,
+           joinType: String = "inner",
+           lSuffix: String = "_left", rSuffix: String = "_right",
+           cellLevel: Int = DefaultCellLevel,
+           broadcastRight: Boolean = true): DataFrame = {
+    require(joinType == "inner" || joinType == "left",
+      s"join type '$joinType' not supported (reference supports Inner/Left only," +
+        " spatial_index.rs:200-203)")
+
+    // per-side row ids play the role of the reference's lhs_index/rhs_index
+    // (spatial_index.rs:147-162). Deterministic per execution: derived from
+    // partition layout, used only within this one plan.
+    val l = suffixed(left, lSuffix).withColumn("__lidx", monotonically_increasing_id())
+    val r = suffixed(right, rSuffix).withColumn("__ridx", monotonically_increasing_id())
+    val lg = col("geometry" + lSuffix)
+    val rg = col("geometry" + rSuffix)
+
+    val lCells = l.withColumn("__cell", explode(cellsFor(lg, cellLevel)))
+    val rCellsBase = r.withColumn("__cell", explode(cellsFor(rg, cellLevel)))
+    val rCells = if (broadcastRight) broadcast(rCellsBase) else rCellsBase
+
+    val matched = lCells
+      .join(rCells.withColumnRenamed("__cell", "__cell_r"),
+        col("__cell") === col("__cell_r"), "inner")
+      .filter(st.st_joinRefine(lg, rg, lit(predicate.id)))
+      .drop("__cell", "__cell_r")
+      // two geometries can share several covering cells -> same (l,r) pair
+      // appears once per shared cell; the reference emits each pair once
+      .dropDuplicates("__lidx", "__ridx")
+
+    val result = joinType match {
+      case "inner" => matched
+      case "left" =>
+        val unmatched = l.join(matched.select("__lidx"), Seq("__lidx"), "left_anti")
+        val rCols = right.columns.map(_ + rSuffix)
+        val withNulls = rCols.foldLeft(unmatched)((df, c) =>
+          df.withColumn(c, lit(null).cast(r.schema(c).dataType)))
+          .withColumn("__ridx", lit(null).cast("long"))
+        matched.unionByName(withNulls)
+    }
+    result.drop("__lidx", "__ridx")
+  }
+
+  /**
+   * Large×large points-vs-polygons join with explicit skew salting
+   * (BASELINE.json:6). Hot cells — more point rows than `skewThreshold` —
+   * split into `nSalts` shards: point rows pick a deterministic shard by
+   * geometry hash, polygon covering-cell rows replicate to all shards. Cold
+   * cells keep salt 0 on both sides, so replication cost is paid only where
+   * skew exists. AQE's skew-join stays on underneath as a backstop.
+   */
+  def joinSalted(points: DataFrame, polys: DataFrame,
+                 predicate: SpatialPredicate = SpatialPredicate.Intersects,
+                 cellLevel: Int = DefaultCellLevel,
+                 nSalts: Int = 8,
+                 skewThreshold: Long = DefaultSkewThreshold,
+                 lSuffix: String = "_left", rSuffix: String = "_right"): DataFrame = {
+    val l = suffixed(points, lSuffix).withColumn("__lidx", monotonically_increasing_id())
+    val r = suffixed(polys, rSuffix).withColumn("__ridx", monotonically_increasing_id())
+    val lg = col("geometry" + lSuffix)
+    val rg = col("geometry" + rSuffix)
+
+    val lCells = l.withColumn("__cell", pointCell(lg, cellLevel))
+
+    // hot-cell census: partial-aggregated count over the point side only
+    val hot = lCells.groupBy("__cell").count()
+      .filter(col("count") > skewThreshold)
+      .select(col("__cell").as("__hot_cell"))
+
+    val lSalted = lCells
+      .join(broadcast(hot), lCells("__cell") === hot("__hot_cell"), "left")
+      .withColumn("__salt",
+        when(col("__hot_cell").isNotNull,
+          pmod(xxhash64(lg), lit(nSalts)).cast("int")).otherwise(lit(0)))
+      .drop("__hot_cell")
+
+    val rCells = r.withColumn("__cell", explode(cellsFor(rg, cellLevel)))
+    val rSalted = rCells
+      .join(broadcast(hot), rCells("__cell") === hot("__hot_cell"), "left")
+      .withColumn("__salt",
+        explode(when(col("__hot_cell").isNotNull, sequence(lit(0), lit(nSalts - 1)))
+          .otherwise(array(lit(0)))))
+      .drop("__hot_cell")
+
+    lSalted
+      .join(rSalted, Seq("__cell", "__salt"), "inner")
+      .filter(st.st_joinRefine(lg, rg, lit(predicate.id)))
+      .dropDuplicates("__lidx", "__ridx")
+      .drop("__cell", "__salt", "__lidx", "__ridx")
+  }
+
+  /** Cell of a point geometry (exactly one — the no-replication left side). */
+  def pointCell(geomWkb: Column, level: Int): Column = {
+    val b = st.st_bounds(geomWkb)
+    st.s2_cell(b.getField("miny"), b.getField("minx"), lit(level))
+  }
+
+  /** Covering cells of an arbitrary geometry via its bbox (complete superset;
+   *  refinement removes false positives). Points yield exactly one cell. */
+  def cellsFor(geomWkb: Column, level: Int): Column = {
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types._
+    val b = st.st_bounds(geomWkb)
+    Bridge.column(StaticInvoke(JoinKernel.getClass,
+      ArrayType(LongType, containsNull = false), "coverBounds",
+      Seq(Bridge.expression(b.getField("miny")), Bridge.expression(b.getField("minx")),
+        Bridge.expression(b.getField("maxy")), Bridge.expression(b.getField("maxx")),
+        Bridge.expression(lit(level))),
+      Seq(DoubleType, DoubleType, DoubleType, DoubleType, IntegerType),
+      propagateNull = true, returnNullable = false))
+  }
+}
+
+/** StaticInvoke targets for the join module. */
+object JoinKernel {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  def coverBounds(minLat: Double, minLon: Double, maxLat: Double, maxLon: Double,
+                  level: Int): ArrayData = {
+    if (minLat == maxLat && minLon == maxLon) {
+      new GenericArrayData(Array[Any](S2.cellId(minLat, minLon, level)))
+    } else {
+      new GenericArrayData(
+        S2.coverRect(minLat, minLon, maxLat, maxLon, level).map(x => x: Any))
+    }
+  }
+}

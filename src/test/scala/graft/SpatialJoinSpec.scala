@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.locationtech.jts.geom.Coordinate
+
+import graft.geom.{GeomKernel, Wkb}
+import graft.join.{SpatialJoin, SpatialPredicate}
+
+/**
+ * Port of the reference's spatial-join unit tests — the exact-output contract
+ * (reference: geopolars/src/spatial_index.rs:352-625). Same 9 points, same
+ * [0,20]² polygon, same expected shapes and suffixed column names.
+ */
+class SpatialJoinSpec extends SparkSpec {
+
+  private def pointWkb(x: Double, y: Double): Array[Byte] =
+    Wkb.write(Wkb.factory.createPoint(new Coordinate(x, y)))
+
+  private def polyWkb(coords: (Double, Double)*): Array[Byte] =
+    Wkb.write(Wkb.factory.createPolygon(
+      (coords :+ coords.head).map { case (x, y) => new Coordinate(x, y) }.toArray))
+
+  // fixture: spatial_index.rs:434-457
+  private lazy val points: DataFrame = {
+    val pts = Seq(
+      (0.0, 10.0, 1.0), (1.0, 1.0, 2.0), (10.0, 1.0, 3.0), (1.0, -1.0, 4.0),
+      (0.0, -10.0, 5.0), (-1.0, -1.0, 6.0), (-10.0, 0.0, 7.0), (-1.0, 1.0, 8.0),
+      (0.0, 10.0, 9.0))
+    spark.createDataFrame(pts.map { case (x, y, v) => (pointWkb(x, y), v) })
+      .toDF("geometry", "point_values")
+  }
+
+  private lazy val polys: DataFrame =
+    spark.createDataFrame(Seq(
+      (polyWkb((0.0, 0.0), (20.0, 0.0), (20.0, 20.0), (0.0, 20.0)), "test")))
+      .toDF("geometry", "string_col")
+
+  test("inner join shape (2,4) — boundary points excluded (spatial_index.rs:479)") {
+    val res = SpatialJoin.join(points, polys, SpatialPredicate.Intersects, "inner")
+    assert(res.columns.toSeq ==
+      Seq("geometry_left", "point_values_left", "geometry_right", "string_col_right"))
+    val rows = res.collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getDouble(1)).sorted.toSeq == Seq(2.0, 3.0)) // (1,1) and (10,1)
+    assert(rows.forall(_.getString(3) == "test"))
+  }
+
+  test("left join shape (9,4) (spatial_index.rs:480)") {
+    val res = SpatialJoin.join(points, polys, SpatialPredicate.Intersects, "left")
+    val rows = res.collect()
+    assert(rows.length == 9)
+    assert(rows.count(!_.isNullAt(3)) == 2)
+    assert(rows.count(_.isNullAt(3)) == 7)
+  }
+
+  test("custom suffixes produce the reference's exact column names (spatial_index.rs:544-552)") {
+    val res = SpatialJoin.join(points, polys, SpatialPredicate.Intersects, "inner",
+      lSuffix = "_left!", rSuffix = "_right!")
+    assert(res.columns.toSeq ==
+      Seq("geometry_left!", "point_values_left!", "geometry_right!", "string_col_right!"))
+    assert(res.count() == 2)
+  }
+
+  test("non-broadcast (shuffled cell) path gives identical rows") {
+    val res = SpatialJoin.join(points, polys, SpatialPredicate.Intersects, "inner",
+      broadcastRight = false)
+    assert(res.collect().map(_.getDouble(1)).sorted.toSeq == Seq(2.0, 3.0))
+  }
+
+  test("predicate truth table quirks: point-point candidates never match (fall-through false)") {
+    val res = SpatialJoin.join(points, points, SpatialPredicate.Intersects, "inner",
+      cellLevel = 5)
+    assert(res.count() == 0) // even identical points: arm (_, _) => false
+  }
+
+  test("polygon-polygon honors Contains vs Intersects") {
+    val small = spark.createDataFrame(Seq(
+      (polyWkb((1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0)), "small")))
+      .toDF("geometry", "tag")
+    val overlap = spark.createDataFrame(Seq(
+      (polyWkb((-1.0, -1.0), (1.5, -1.0), (1.5, 1.5), (-1.0, 1.5)), "overlap")))
+      .toDF("geometry", "tag")
+    // big contains small
+    assert(SpatialJoin.join(polys, small, SpatialPredicate.Contains).count() == 1)
+    // small does not contain big
+    assert(SpatialJoin.join(small, polys, SpatialPredicate.Contains).count() == 0)
+    // but they intersect both ways
+    assert(SpatialJoin.join(small, polys, SpatialPredicate.Intersects).count() == 1)
+    // partial overlap: intersects yes, contains no
+    assert(SpatialJoin.join(small, overlap, SpatialPredicate.Intersects).count() == 1)
+    assert(SpatialJoin.join(small, overlap, SpatialPredicate.Contains).count() == 0)
+  }
+
+  test("linestring-point arm: point on line interior matches, endpoint does not") {
+    val line = spark.createDataFrame(Seq(
+      (Wkb.write(Wkb.factory.createLineString(Array(
+        new Coordinate(0, 0), new Coordinate(10, 0)))), "l1"))).toDF("geometry", "tag")
+    val pts = spark.createDataFrame(Seq(
+      (pointWkb(5.0, 0.0), "mid"), (pointWkb(0.0, 0.0), "end"), (pointWkb(5.0, 1.0), "off")))
+      .toDF("geometry", "tag")
+    val res = SpatialJoin.join(pts, line, SpatialPredicate.Intersects, "inner")
+    val tags = res.collect().map(_.getString(1)).toSet
+    assert(tags == Set("mid")) // boundary (endpoint) excluded by contains
+  }
+
+  test("salted join equals broadcast join rows on skewed input") {
+    // 2000 points piled into one cell + 50 spread out; threshold 500 forces salting
+    val hotPts = (0 until 2000).map(i => (pointWkb(10.0 + (i % 50) * 1e-4, 10.0 + (i / 50) * 1e-4), i.toDouble))
+    val coldPts = (0 until 50).map(i => (pointWkb(-150.0 + i, -60.0 + i * 0.5), 10000.0 + i))
+    val pts = spark.createDataFrame(hotPts ++ coldPts).toDF("geometry", "v")
+    val layer = spark.createDataFrame(Seq(
+      (polyWkb((9.0, 9.0), (11.0, 9.0), (11.0, 11.0), (9.0, 11.0)), 1L),
+      (polyWkb((-160.0, -70.0), (-120.0, -70.0), (-120.0, -40.0), (-160.0, -40.0)), 2L)))
+      .toDF("geometry", "poly_id")
+
+    val salted = SpatialJoin.joinSalted(pts, layer, SpatialPredicate.Intersects,
+      nSalts = 4, skewThreshold = 500)
+      .select("v_left", "poly_id_right").collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).sorted
+    val bcast = SpatialJoin.join(pts, layer, SpatialPredicate.Intersects, "inner")
+      .select("v_left", "poly_id_right").collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).sorted
+    assert(salted.length == bcast.length && salted.sameElements(bcast))
+    // every hot point is in poly 1; cold points i=0..29 fall in poly 2
+    // (i=30 lands on the lon=-120 boundary, excluded by contains semantics)
+    assert(salted.length == 2000 + 30)
+  }
+
+  test("bucketed join equals brute-force oracle on random boxes/points") {
+    val rnd = new scala.util.Random(42)
+    val pts = (0 until 500).map { i =>
+      (pointWkb(rnd.nextDouble() * 40 - 20, rnd.nextDouble() * 40 - 20), i.toLong)
+    }
+    val boxes = (0 until 30).map { j =>
+      val x = rnd.nextDouble() * 30 - 15; val y = rnd.nextDouble() * 30 - 15
+      val w = rnd.nextDouble() * 8; val h = rnd.nextDouble() * 8
+      (polyWkb((x, y), (x + w, y), (x + w, y + h), (x, y + h)), j.toLong)
+    }
+    val ptsDf = spark.createDataFrame(pts).toDF("geometry", "pid")
+    val boxDf = spark.createDataFrame(boxes).toDF("geometry", "bid")
+
+    val engine = SpatialJoin.join(ptsDf, boxDf, SpatialPredicate.Intersects, "inner",
+      cellLevel = 7)
+      .select("pid_left", "bid_right").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val oracle = (for {
+      (pw, pid) <- pts
+      (bw, bid) <- boxes
+      if GeomKernel.joinRefine(pw, bw, GeomKernel.PRED_INTERSECTS)
+    } yield (pid, bid)).toSet
+
+    assert(engine == oracle)
+  }
+}
