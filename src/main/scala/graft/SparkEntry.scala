@@ -1,13 +1,502 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.st._
+import graft.geom.Wkb
+import graft.join.{SpatialJoin, SpatialPredicate}
+import graft.pipeline.GeoPipeline
+import org.locationtech.jts.geom.Coordinate
+
+/**
+ * Driver contract: one `queries` entry per implemented operator from
+ * SURVEY.md §2, with ANSI-SQL oracles in `oracleSql` (DuckDB on the same
+ * parquet tables). Geometry inputs are derived deterministically from table
+ * columns so the oracle can compute the expected values in plain SQL.
+ *
+ * Float outputs are rounded at a granularity far above cross-engine libm ulp
+ * differences (~1e-15 relative); integer-valued outputs are cast to BIGINT on
+ * both sides so schemas hash identically.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: the geo pipeline end-to-end at smoke scale. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    GeoPipeline.run(spark, nPages = 1000, seed = 42, numPartitions = 4).joined
+
+  // customer-derived synthetic point field (lon/lat kept strictly off all
+  // integer box boundaries by the +0.5 offsets)
+  private def custPoints(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(
+      col("c_custkey").as("custkey"),
+      ((col("c_custkey") * 37) % 340 - 170 + 0.5).cast("double").as("lon"),
+      ((col("c_custkey") * 17) % 116 - 58 + 0.5).cast("double").as("lat"))
+
+  private val custPointsSql =
+    """SELECT c_custkey AS custkey,
+      | CAST((c_custkey * 37) % 340 - 170 + 0.5 AS DOUBLE) AS lon,
+      | CAST((c_custkey * 17) % 116 - 58 + 0.5 AS DOUBLE) AS lat FROM customer""".stripMargin
+
+  // the spatial-join polygon layer: 6 literal lon/lat boxes
+  private val joinBoxes = Seq(
+    (1L, -170.0, -58.0, -100.0, -10.0), (2L, -100.0, -10.0, -30.0, 40.0),
+    (3L, -30.0, -58.0, 40.0, 0.0), (4L, 40.0, 0.0, 110.0, 58.0),
+    (5L, -170.0, 10.0, -100.0, 58.0), (6L, 110.0, -58.0, 170.0, 58.0))
+
+  private def boxWkb(minx: Double, miny: Double, maxx: Double, maxy: Double): Array[Byte] =
+    Wkb.write(Wkb.factory.createPolygon(Array(
+      new Coordinate(minx, miny), new Coordinate(maxx, miny),
+      new Coordinate(maxx, maxy), new Coordinate(minx, maxy), new Coordinate(minx, miny))))
+
+  private val joinBoxesSqlValues = joinBoxes
+    .map { case (id, a, b, c, d) => s"(CAST($id AS BIGINT), $a, $b, $c, $d)" }
+    .mkString(", ")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ============ relational baseline (Catalyst built-ins) ============
+    // money sums accumulate as exact integer cents: FP summation order differs
+    // between engines, so round-after-float-sum is not reproducible
+    "q1_agg" -> ((s, dir) => t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_c"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_base_c"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("cnt"))),
+
+    "q3_revenue" -> ((s, dir) => t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey")
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
+        .cast("long")).as("revenue_c4"))),
+
+    "q_window_topn" -> ((s, dir) => t(s, dir, "orders")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rnk").cast("int").as("rnk"),
+        col("o_totalprice"))),
+
+    // ============ geometry accessors (SURVEY §2.1) ============
+    "q_st_xy" -> ((s, dir) => t(s, dir, "customer").select(
+      col("c_custkey").as("id"),
+      st_x(st_point(col("c_acctbal"), col("c_custkey").cast("double"))).as("x"),
+      st_y(st_point(col("c_acctbal"), col("c_custkey").cast("double"))).as("y"))),
+
+    "q_st_distance" -> ((s, dir) => t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+      round(st_distance(st_point(col("l_quantity"), col("l_discount")),
+        st_point(col("l_tax"), lit(1.0))), 6).as("dist"))),
+
+    "q_box_ops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("minx", (col("o_orderkey") % 100).cast("double"))
+        .withColumn("miny", (col("o_custkey") % 100).cast("double"))
+        .withColumn("w", (lit(1) + col("o_orderkey") % 7).cast("double"))
+        .withColumn("h", (lit(1) + col("o_custkey") % 5).cast("double"))
+      val box = st_makeBox(col("minx"), col("miny"), col("minx") + col("w"),
+        col("miny") + col("h"))
+      o.select(col("o_orderkey"),
+        st_area(box).as("area"),
+        st_length(box).as("perim"),
+        st_x(st_centroid(box)).as("cx"),
+        st_y(st_centroid(box)).as("cy"),
+        st_geomType(box).as("gtype"),
+        st_geomType(st_exterior(box)).as("ext_type"),
+        st_isRing(st_exterior(box)).as("ext_ring"),
+        st_isEmpty(box).as("empty"))
+    }),
+
+    "q_affine" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .withColumn("x", ((col("c_custkey") % 200) + 0.5).cast("double"))
+        .withColumn("y", ((col("c_custkey") % 100) + 0.25).cast("double"))
+      val pt = st_point(col("x"), col("y"))
+      c.select(col("c_custkey"),
+        st_x(st_translate(pt, lit(10.5), lit(-2.25))).as("tx"),
+        st_y(st_translate(pt, lit(10.5), lit(-2.25))).as("ty"),
+        st_x(st_scale(pt, lit(2.0), lit(3.0), lit(2), lit(0.0), lit(0.0))).as("sx"),
+        round(st_x(st_rotate(pt, lit(90.0), lit(2), lit(0.0), lit(0.0))), 6).as("rx"),
+        round(st_y(st_rotate(pt, lit(90.0), lit(2), lit(0.0), lit(0.0))), 6).as("ry"),
+        round(st_x(st_skew(pt, lit(45.0), lit(0.0), lit(2), lit(0.0), lit(0.0))), 6).as("kx"),
+        round(st_x(st_affine(pt, lit(2.0), lit(0.5), lit(0.25), lit(3.0), lit(7.0), lit(-1.0))), 6).as("ax"))
+    }),
+
+    "q_geom_type" -> ((s, dir) => {
+      val c = t(s, dir, "customer").withColumn("m", col("c_custkey") % 3)
+      val geom = when(col("m") === 0, st_point(lit(1.0), lit(2.0)))
+        .when(col("m") === 1, st_makeLine(lit(0.0), lit(0.0), lit(1.0), lit(1.0)))
+        .otherwise(st_makeBox(lit(0.0), lit(0.0), lit(1.0), lit(1.0)))
+      c.select(col("c_custkey"), st_geomType(geom).as("gtype"))
+    }),
+
+    "q_contains" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .withColumn("x", ((col("c_custkey") * 7) % 100 + 0.5).cast("double"))
+        .withColumn("y", ((col("c_custkey") * 13) % 100 + 0.5).cast("double"))
+      c.select(col("c_custkey"),
+        st_contains(st_makeBox(lit(10.0), lit(10.0), lit(60.0), lit(60.0)),
+          st_point(col("x"), col("y"))).as("inside"),
+        st_within(st_point(col("x"), col("y")),
+          st_makeBox(lit(10.0), lit(10.0), lit(60.0), lit(60.0))).as("within"))
+    }),
+
+    "q_intersects_bbox" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("minx", (col("o_orderkey") % 100).cast("double"))
+        .withColumn("miny", (col("o_custkey") % 100).cast("double"))
+      val box = st_makeBox(col("minx"), col("miny"), col("minx") + 10.0, col("miny") + 10.0)
+      o.select(col("o_orderkey"),
+        st_intersects(box,
+          st_makeBox(lit(50.0), lit(50.0), lit(120.0), lit(120.0))).as("hits"))
+    }),
+
+    "q_bounds_line" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val line = st_makeLine(col("l_quantity"), col("l_discount"),
+        col("l_tax") * 10.0, col("l_extendedprice") / 1000.0)
+      val b = st_bounds(line)
+      l.select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        b.getField("minx").as("minx"), b.getField("miny").as("miny"),
+        b.getField("maxx").as("maxx"), b.getField("maxy").as("maxy"),
+        round(st_length(line), 6).as("len"))
+    }),
+
+    "q_hull_area" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .withColumn("a", lit(1) + col("c_custkey") % 50)
+        .withColumn("b", col("c_custkey") % 30)
+        .withColumn("cc", lit(1) + col("c_custkey") % 20)
+      val line = st_makeLine3(lit(0.0), lit(0.0), col("a").cast("double"), lit(0.0),
+        col("b").cast("double"), col("cc").cast("double"))
+      c.select(col("c_custkey"),
+        st_area(st_convexHull(line)).as("hull_area"),
+        st_geomType(st_convexHull(line)).as("hull_type"))
+    }),
+
+    "q_geodesic" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .withColumn("lat1", ((col("l_orderkey") % 110) - 55 + 0.25).cast("double"))
+        .withColumn("lon1", ((col("l_partkey") % 340) - 170 + 0.25).cast("double"))
+        .withColumn("lat2", ((col("l_suppkey") % 110) - 55 + 0.25).cast("double"))
+        .withColumn("lon2", ((col("l_partkey") * 7 % 340) - 170 + 0.25).cast("double"))
+      l.select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        round(st_geodesicLength(
+          st_makeLine(col("lon1"), col("lat1"), col("lon2"), col("lat2")),
+          "haversine")).cast("long").as("hav_m"))
+    }),
+
+    "q_tile" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("lat", ((col("o_orderkey") % 110) - 55 + 0.25).cast("double"))
+        .withColumn("lon", ((col("o_custkey") % 350) - 175 + 0.25).cast("double"))
+      o.select(col("o_orderkey"),
+        tile_x(col("lon"), lit(8)).as("tx8"), tile_y(col("lat"), lit(8)).as("ty8"),
+        tile_x(col("lon"), lit(12)).as("tx12"), tile_y(col("lat"), lit(12)).as("ty12"),
+        tile_x(col("lon"), lit(4)).as("tx4"), tile_y(col("lat"), lit(4)).as("ty4"))
+    }),
+
+    "q_mercator" -> ((s, dir) => custPoints(s, dir).select(
+      col("custkey"),
+      round(st_x(st_transform(st_point(col("lon"), col("lat")), lit(4326), lit(3857))), 3).as("mx"),
+      round(st_y(st_transform(st_point(col("lon"), col("lat")), lit(4326), lit(3857))), 3).as("my"))),
+
+    "q_simplify" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .withColumn("a", (lit(2) + col("l_orderkey") % 50).cast("double"))
+        .withColumn("eps", (lit(0.001) * (lit(1) + col("l_linenumber") % 5)).cast("double"))
+      val zig = st_makeLine3(lit(0.0), lit(0.0), col("a") / 2.0, col("eps"), col("a"), lit(0.0))
+      l.select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        round(st_length(st_simplify(zig, lit(1.0))), 6).as("slen"))
+    }),
+
+    // ============ spatial join + kNN (SURVEY §2.4, BASELINE workload) ============
+    "q_spatial_join" -> ((s, dir) => {
+      val pts = custPoints(s, dir)
+        .select(col("custkey"), st_point(col("lon"), col("lat")).as("geometry"))
+      val boxes = s.createDataFrame(
+        joinBoxes.map { case (id, a, b, c, d) => (id, boxWkb(a, b, c, d)) })
+        .toDF("box_id", "geometry")
+      SpatialJoin.join(pts, boxes, SpatialPredicate.Intersects, "inner", cellLevel = 4)
+        .select(col("custkey_left").as("custkey"), col("box_id_right").as("box_id"))
+    }),
+
+    "q_knn_points" -> ((s, dir) => {
+      val q = s.createDataFrame(Seq(
+        (1L, 0.5, 10.5), (2L, -120.5, -30.5), (3L, 60.5, 40.5))).toDF("qid", "qx", "qy")
+      val pts = custPoints(s, dir)
+      pts.crossJoin(broadcast(q))
+        .withColumn("dist", st_distance(st_point(col("lon"), col("lat")),
+          st_point(col("qx"), col("qy"))))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("dist"), col("custkey"))))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("custkey"), col("rnk").cast("int").as("rnk"),
+          round(col("dist"), 6).as("dist"))
+    }),
+
+    // ============ dedup / text analysis (training-data ops) ============
+    "q_dedup_exact" -> ((s, dir) => t(s, dir, "documents")
+      .groupBy("text")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
+      .select("keep_id", "n")),
+
+    "q_token_stats" -> ((s, dir) => t(s, dir, "documents").select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+        .cast("long").as("n_tokens"))),
+
+    "q_quality" -> ((s, dir) => t(s, dir, "documents").select(
+      col("doc_id"),
+      length(regexp_replace(col("text"), "[^.!?]", "")).cast("long").as("punct"),
+      length(regexp_replace(col("text"), "[^A-Z]", "")).cast("long").as("uppers"),
+      length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("digits"),
+      round(length(regexp_replace(col("text"), "[^A-Z]", "")).cast("double") /
+        greatest(length(col("text")), lit(1)), 6).as("upper_ratio"))),
+
+    "q_lsh_dup_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val u = docs.unionByName(
+        docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      // MinHash LSH: 16 hashes, 4 bands x 4 rows; identical text -> identical
+      // signature -> collides in every band (complete for exact duplicates)
+      val bands = u.select(col("doc_id"), col("text"),
+        explode(array((0 until 4).map(lit): _*)).as("band"))
+        .withColumn("bucket",
+          minhash_band(col("text"), lit(3), lit(16), col("band"), lit(4)))
+      val l = bands.select(col("band"), col("bucket"),
+        col("doc_id").as("a_id"), col("text").as("a_text"))
+      val r = bands.select(col("band"), col("bucket"),
+        col("doc_id").as("b_id"), col("text").as("b_text"))
+      l.join(r, Seq("band", "bucket"))
+        .filter(col("a_id") < col("b_id") && col("a_text") === col("b_text"))
+        .select("a_id", "b_id").distinct()
+    }),
+
+    // ============ embeddings: similarity search ============
+    "q_embed_norm" -> ((s, dir) => t(s, dir, "embeddings").select(
+      col("vec_id"), round(l2_norm(col("embedding")), 6).as("nrm"))),
+
+    "q_knn_embed" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", cosine_sim(col("qe"), col("embedding")))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rnk") <= 3)
+        .select(col("qid"), col("vec_id").as("cid"), col("rnk").cast("int").as("rnk"),
+          round(col("cos"), 6).as("cos"))
+    }),
+
+    // ============ events (relational over the stream table) ============
+    "q_events_agg" -> ((s, dir) => t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("value") * 100).cast("long")).as("total_c"),
+        countDistinct("user_id").as("users"))),
+
+    // ============ rows-only checks (not SQL-expressible) ============
+    "q_s2_cells" -> ((s, dir) => custPoints(s, dir).select(
+      col("custkey"),
+      s2_cell(col("lat"), col("lon"), lit(5)).as("cell5"),
+      s2_cell(col("lat"), col("lon"), lit(9)).as("cell9"),
+      s2_cell(col("lat"), col("lon"), lit(12)).as("cell12"),
+      (s2_parent(s2_cell(col("lat"), col("lon"), lit(12)), lit(5)) ===
+        s2_cell(col("lat"), col("lon"), lit(5))).as("prefix_ok"))),
+
+    "q_lang_id" -> ((s, dir) => t(s, dir, "documents").select(
+      col("doc_id"), lang_id(col("text")).as("lang_guess"), col("lang"))),
+
+    "q_simhash" -> ((s, dir) => t(s, dir, "documents").select(
+      col("doc_id"), simhash64(col("text"), lit(3)).as("simhash"),
+      fingerprint64(col("text")).as("fp"))),
+
+    "q_cosine_lsh" -> ((s, dir) => t(s, dir, "embeddings").select(
+      col("vec_id"), cosine_lsh_bucket(col("embedding"), lit(12)).as("bucket"))),
+
+    "q_pages_pipeline" -> ((s, dir) => {
+      val sf = if (dir.contains("0.1")) 20000L else 2000L
+      GeoPipeline.run(s, sf, seed = 42, numPartitions = 16).joined
+        .select(col("url_left").as("url"), col("s2_cell_left").as("s2_cell"),
+          col("tile_z8_left").as("tile_z8"), col("admin_id_right").as("admin_id"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(CAST(round(l_quantity*100) AS BIGINT)) AS sum_qty_c,
+        | sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_base_c,
+        | round(avg(l_discount),6) AS avg_disc,
+        | count(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_revenue" ->
+      """SELECT o_orderkey,
+        | sum(CAST(round(l_extendedprice*(1.0-l_discount)*10000) AS BIGINT)) AS revenue_c4
+        |FROM customer JOIN orders ON c_custkey=o_custkey
+        |JOIN lineitem ON o_orderkey=l_orderkey
+        |WHERE c_mktsegment='BUILDING' GROUP BY o_orderkey""".stripMargin,
+
+    "q_window_topn" ->
+      """SELECT o_custkey, o_orderkey, CAST(rnk AS INTEGER) AS rnk, o_totalprice FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rnk FROM orders) WHERE rnk<=3""".stripMargin,
+
+    "q_st_xy" ->
+      "SELECT c_custkey AS id, c_acctbal AS x, CAST(c_custkey AS DOUBLE) AS y FROM customer",
+
+    "q_st_distance" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        | round(sqrt((l_quantity-l_tax)*(l_quantity-l_tax)
+        |   + (l_discount-1.0)*(l_discount-1.0)),6) AS dist FROM lineitem""".stripMargin,
+
+    "q_box_ops" ->
+      """SELECT o_orderkey, w*h AS area, 2*(w+h) AS perim,
+        | minx + w/2 AS cx, miny + h/2 AS cy,
+        | 3 AS gtype, 1 AS ext_type, TRUE AS ext_ring, FALSE AS empty
+        |FROM (SELECT o_orderkey,
+        |  CAST(o_orderkey % 100 AS DOUBLE) AS minx, CAST(o_custkey % 100 AS DOUBLE) AS miny,
+        |  CAST(1 + o_orderkey % 7 AS DOUBLE) AS w, CAST(1 + o_custkey % 5 AS DOUBLE) AS h
+        | FROM orders)""".stripMargin,
+
+    "q_affine" ->
+      """SELECT c_custkey, x+10.5 AS tx, y-2.25 AS ty, x*2.0 AS sx,
+        | round(x*cos(radians(90.0)) - y*sin(radians(90.0)),6) AS rx,
+        | round(x*sin(radians(90.0)) + y*cos(radians(90.0)),6) AS ry,
+        | round(x + tan(radians(45.0))*y,6) AS kx,
+        | round(2.0*x + 0.5*y + 7.0,6) AS ax
+        |FROM (SELECT c_custkey, CAST((c_custkey % 200) + 0.5 AS DOUBLE) AS x,
+        |  CAST((c_custkey % 100) + 0.25 AS DOUBLE) AS y FROM customer)""".stripMargin,
+
+    "q_geom_type" ->
+      """SELECT c_custkey, CASE WHEN c_custkey % 3 = 0 THEN 0
+        | WHEN c_custkey % 3 = 1 THEN 1 ELSE 3 END AS gtype FROM customer""".stripMargin,
+
+    "q_contains" ->
+      """SELECT c_custkey, (x>10 AND x<60 AND y>10 AND y<60) AS inside,
+        | (x>10 AND x<60 AND y>10 AND y<60) AS within
+        |FROM (SELECT c_custkey, CAST((c_custkey*7) % 100 + 0.5 AS DOUBLE) AS x,
+        |  CAST((c_custkey*13) % 100 + 0.5 AS DOUBLE) AS y FROM customer)""".stripMargin,
+
+    "q_intersects_bbox" ->
+      """SELECT o_orderkey,
+        | (minx <= 120 AND minx+10 >= 50 AND miny <= 120 AND miny+10 >= 50) AS hits
+        |FROM (SELECT o_orderkey, CAST(o_orderkey % 100 AS DOUBLE) AS minx,
+        |  CAST(o_custkey % 100 AS DOUBLE) AS miny FROM orders)""".stripMargin,
+
+    "q_bounds_line" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        | least(x1,x2) AS minx, least(y1,y2) AS miny,
+        | greatest(x1,x2) AS maxx, greatest(y1,y2) AS maxy,
+        | round(sqrt((x1-x2)*(x1-x2)+(y1-y2)*(y1-y2)),6) AS len
+        |FROM (SELECT l_orderkey, l_linenumber, l_quantity AS x1, l_discount AS y1,
+        |  l_tax*10.0 AS x2, l_extendedprice/1000.0 AS y2 FROM lineitem)""".stripMargin,
+
+    "q_hull_area" ->
+      """SELECT c_custkey, CAST(a AS DOUBLE)*CAST(cc AS DOUBLE)/2.0 AS hull_area, 3 AS hull_type
+        |FROM (SELECT c_custkey, 1 + c_custkey % 50 AS a, 1 + c_custkey % 20 AS cc
+        | FROM customer)""".stripMargin,
+
+    "q_geodesic" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        | CAST(round(2*6371008.8*asin(least(1.0, sqrt(
+        |   sin(radians(lat2-lat1)/2)*sin(radians(lat2-lat1)/2)
+        |   + cos(radians(lat1))*cos(radians(lat2))
+        |     *sin(radians(lon2-lon1)/2)*sin(radians(lon2-lon1)/2))))) AS BIGINT) AS hav_m
+        |FROM (SELECT l_orderkey, l_linenumber,
+        |  CAST((l_orderkey % 110) - 55 + 0.25 AS DOUBLE) AS lat1,
+        |  CAST((l_partkey % 340) - 170 + 0.25 AS DOUBLE) AS lon1,
+        |  CAST((l_suppkey % 110) - 55 + 0.25 AS DOUBLE) AS lat2,
+        |  CAST((l_partkey*7 % 340) - 170 + 0.25 AS DOUBLE) AS lon2 FROM lineitem)""".stripMargin,
+
+    "q_tile" ->
+      """SELECT o_orderkey,
+        | CAST(floor((lon+180.0)/360.0*256) AS BIGINT) AS tx8,
+        | CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat)))/pi())/2.0*256) AS BIGINT) AS ty8,
+        | CAST(floor((lon+180.0)/360.0*4096) AS BIGINT) AS tx12,
+        | CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat)))/pi())/2.0*4096) AS BIGINT) AS ty12,
+        | CAST(floor((lon+180.0)/360.0*16) AS BIGINT) AS tx4,
+        | CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat)))/pi())/2.0*16) AS BIGINT) AS ty4
+        |FROM (SELECT o_orderkey, CAST((o_orderkey % 110) - 55 + 0.25 AS DOUBLE) AS lat,
+        |  CAST((o_custkey % 350) - 175 + 0.25 AS DOUBLE) AS lon FROM orders)""".stripMargin,
+
+    "q_mercator" ->
+      s"""SELECT custkey, round(radians(lon)*6378137.0,3) AS mx,
+         | round(ln(tan(pi()/4 + radians(lat)/2))*6378137.0,3) AS my
+         |FROM ($custPointsSql)""".stripMargin,
+
+    "q_simplify" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        | CAST(a AS DOUBLE) AS slen
+        |FROM (SELECT l_orderkey, l_linenumber, 2 + l_orderkey % 50 AS a FROM lineitem)""".stripMargin,
+
+    "q_spatial_join" ->
+      s"""WITH b(box_id, minx, miny, maxx, maxy) AS (VALUES $joinBoxesSqlValues),
+         | p AS ($custPointsSql)
+         |SELECT p.custkey, b.box_id FROM p, b
+         |WHERE p.lon > b.minx AND p.lon < b.maxx AND p.lat > b.miny AND p.lat < b.maxy""".stripMargin,
+
+    "q_knn_points" ->
+      s"""WITH q(qid, qx, qy) AS (VALUES (CAST(1 AS BIGINT), 0.5, 10.5),
+         |  (CAST(2 AS BIGINT), -120.5, -30.5), (CAST(3 AS BIGINT), 60.5, 40.5)),
+         | p AS ($custPointsSql)
+         |SELECT qid, custkey, CAST(rnk AS INTEGER) AS rnk, round(dist,6) AS dist FROM (
+         | SELECT q.qid, p.custkey,
+         |  sqrt((p.lon-q.qx)*(p.lon-q.qx)+(p.lat-q.qy)*(p.lat-q.qy)) AS dist,
+         |  row_number() OVER (PARTITION BY q.qid ORDER BY
+         |    sqrt((p.lon-q.qx)*(p.lon-q.qx)+(p.lat-q.qy)*(p.lat-q.qy)), p.custkey) AS rnk
+         | FROM p, q) WHERE rnk <= 5""".stripMargin,
+
+    "q_dedup_exact" ->
+      "SELECT min(doc_id) AS keep_id, count(*) AS n FROM documents GROUP BY text",
+
+    "q_token_stats" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        | CAST(length(text) - length(replace(text,' ','')) + 1 AS BIGINT) AS n_tokens
+        |FROM documents""".stripMargin,
+
+    "q_quality" ->
+      """SELECT doc_id,
+        | CAST(length(regexp_replace(text,'[^.!?]','','g')) AS BIGINT) AS punct,
+        | CAST(length(regexp_replace(text,'[^A-Z]','','g')) AS BIGINT) AS uppers,
+        | CAST(length(regexp_replace(text,'[^0-9]','','g')) AS BIGINT) AS digits,
+        | round(CAST(length(regexp_replace(text,'[^A-Z]','','g')) AS DOUBLE)
+        |   / greatest(length(text),1),6) AS upper_ratio
+        |FROM documents""".stripMargin,
+
+    "q_lsh_dup_pairs" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+        | UNION ALL SELECT doc_id + 1000000, text FROM documents)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |FROM u a JOIN u b ON a.text = b.text AND a.doc_id < b.doc_id""".stripMargin,
+
+    "q_embed_norm" ->
+      """SELECT vec_id, round(sqrt(list_sum(list_transform(embedding,
+        | x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))),6) AS nrm FROM embeddings""".stripMargin,
+
+    "q_knn_embed" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        | p AS (SELECT q.qid, e.vec_id AS cid,
+        |   list_sum(list_transform(list_zip(q.qe, e.embedding),
+        |     x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)))
+        |   / (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |      * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+        |  FROM embeddings e, q WHERE e.vec_id <> q.qid)
+        |SELECT qid, cid, CAST(rnk AS INTEGER) AS rnk, round(cos,6) AS cos FROM (
+        | SELECT qid, cid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        | FROM p) WHERE rnk <= 3""".stripMargin,
+
+    "q_events_agg" ->
+      """SELECT event_type, count(*) AS cnt,
+        | sum(CAST(round(value*100) AS BIGINT)) AS total_c,
+        | count(DISTINCT user_id) AS users FROM events GROUP BY event_type""".stripMargin)
 }

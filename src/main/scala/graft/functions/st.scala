@@ -49,6 +49,11 @@ object st {
   def st_makeLine(x1: Column, y1: Column, x2: Column, y2: Column): Column =
     invoke(G, "stMakeLine", BinaryType, false,
       x1 -> DoubleType, y1 -> DoubleType, x2 -> DoubleType, y2 -> DoubleType)
+  def st_makeLine3(x1: Column, y1: Column, x2: Column, y2: Column,
+                   x3: Column, y3: Column): Column =
+    invoke(G, "stMakeLine3", BinaryType, false,
+      x1 -> DoubleType, y1 -> DoubleType, x2 -> DoubleType, y2 -> DoubleType,
+      x3 -> DoubleType, y3 -> DoubleType)
   def st_geomFromText(wkt: Column): Column =
     invoke(G, "stGeomFromText", BinaryType, false, wkt -> StringType)
   def st_asText(wkb: Column): Column = geom1("stAsText", StringType, wkb)

@@ -54,6 +54,11 @@ object GeomKernel {
   def stMakeLine(x1: Double, y1: Double, x2: Double, y2: Double): Array[Byte] =
     out(Wkb.factory.createLineString(Array(new Coordinate(x1, y1), new Coordinate(x2, y2))))
 
+  def stMakeLine3(x1: Double, y1: Double, x2: Double, y2: Double,
+                  x3: Double, y3: Double): Array[Byte] =
+    out(Wkb.factory.createLineString(Array(
+      new Coordinate(x1, y1), new Coordinate(x2, y2), new Coordinate(x3, y3))))
+
   def stGeomFromText(wkt: UTF8String): Array[Byte] = out(Wkb.readWkt(wkt.toString))
 
   def stAsText(wkb: Array[Byte]): UTF8String = UTF8String.fromString(Wkb.writeWkt(g(wkb)))
