@@ -1,24 +1,120 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/**
+ * Benchmark driver. Emits ONE JSON line:
+ *   {"metric":"total","value":<sum sec>,"unit":"sec","queries":{...},"sf":...,
+ *    "pipeline":{...scaling evidence...}}
+ *
+ * Two parts:
+ *  1. headline SparkEntry queries on SPARK_GRAFT_SF_DIR, forced end-to-end
+ *     with a noop sink (count() would let Catalyst prune the very projections
+ *     under test);
+ *  2. the geo pipeline (generate -> geocode -> spatial join -> tiles) at two
+ *     parallelism levels on identical input — N=2 vs 4N=8 CPU-pinned child
+ *     JVMs, the sandbox stand-in for the north rule's N vs 4N executor
+ *     scaling run — plus the full 32-core absolute throughput.
+ */
 object Bench {
+
+  private val headline = Seq(
+    "q1_agg", "q3_revenue", "q_window_topn", "q_st_distance", "q_box_ops",
+    "q_affine", "q_geodesic", "q_tile", "q_mercator", "q_spatial_join",
+    "q_knn_points", "q_dedup_exact", "q_token_stats", "q_quality",
+    "q_lsh_dup_pairs", "q_embed_norm", "q_knn_embed", "q_simplify",
+    "q_hull_area", "q_s2_cells")
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", math.max(cores, 32))
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def force(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  /** Pipeline pages/sec at a given core count, in an isolated child JVM
+   *  pinned to exactly `cores` CPUs — the sandbox analogue of a separate
+   *  spark-submit run on an N-core cluster slice (a second SparkContext in
+   *  one JVM inherits a degraded heap, and an unpinned local[N] JVM still
+   *  enjoys machine-wide GC/JIT threads, overstating small-N throughput). */
+  private def pipelineThroughput(cores: Int, nPages: Long): Double = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val raw = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toVector
+    // --add-opens/--add-exports may arrive as two separate args; keep pairs
+    val jvmArgs = raw.indices.flatMap { i =>
+      val a = raw(i)
+      if (a == "--add-opens" || a == "--add-exports") Seq(a, raw(i + 1))
+      else if (a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
+        a.startsWith("-Xmx") || a.startsWith("-D")) Seq(a)
+      else if (i > 0 && (raw(i - 1) == "--add-opens" || raw(i - 1) == "--add-exports")) Nil
+      else Nil
+    }
+    val pin =
+      if (new java.io.File("/usr/bin/taskset").exists)
+        Seq("/usr/bin/taskset", "-c", s"0-${cores - 1}")
+      else Nil
+    val cmd = pin ++ Seq(javaBin) ++ jvmArgs ++
+      Seq(s"-XX:ActiveProcessorCount=$cores",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.BenchPipeline", cores.toString, nPages.toString)
+    val proc = new ProcessBuilder(cmd.asJava).redirectErrorStream(true).start()
+    val out = new String(proc.getInputStream.readAllBytes())
+    proc.waitFor()
+    out.linesIterator.find(_.startsWith("PPS "))
+      .map(_.stripPrefix("PPS ").toDouble)
+      .getOrElse(sys.error(s"bench child failed:\n$out"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val benchPages = sys.env.get("SPARK_GRAFT_BENCH_PAGES").map(_.toLong).getOrElse {
+      if (sfDir.contains("sf0.1")) 800000L
+      else if (sfDir.contains("sf0.01")) 60000L else 10000L
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // part 1: scaling evidence, N=2 vs 4N=8 pinned cores, plus full-machine
+    // (32-core) absolute throughput. Interleaved best-of: the host steals CPU
+    // in bursts, so adjacent samples see similar interference. The 8->32
+    // window is reported too but is capped by the host itself (a pure-ALU
+    // Spark job measures ~0.67 on this box, see BENCH.md).
+    val samples = Seq(2, 8, 32, 2, 8, 32).map(c => c -> pipelineThroughput(c, benchPages))
+    def best(c: Int) = samples.collect { case (`c`, v) => v }.max
+    val pps2 = best(2); val pps8 = best(8); val pps32 = best(32)
+    val efficiency = (pps8 / pps2) / 4.0
+    val eff8to32 = (pps32 / pps8) / 4.0
+
+    // part 2: headline queries at local[32] (driver-standard config)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = session(cpus)
+    val results = headline.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        force(fn(spark, sfDir)) // warm-up (JIT + codegen cache)
+        val t0 = System.nanoTime()
+        force(fn(spark, sfDir))
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val pipelineJson =
+      f"""{"pages":$benchPages,"pages_per_sec_n2":$pps2%.1f,""" +
+        f""""pages_per_sec_n8":$pps8%.1f,"pages_per_sec_full32":$pps32%.1f,""" +
+        f""""scaling_efficiency_n_to_4n":$efficiency%.3f,""" +
+        f""""scaling_efficiency_8_to_32":$eff8to32%.3f}"""
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline":$pipelineJson}""")
     spark.stop()
   }
 }

@@ -58,7 +58,8 @@ object SpatialJoin {
            joinType: String = "inner",
            lSuffix: String = "_left", rSuffix: String = "_right",
            cellLevel: Int = DefaultCellLevel,
-           broadcastRight: Boolean = true): DataFrame = {
+           broadcastRight: Boolean = true,
+           leftPointsOnly: Boolean = false): DataFrame = {
     require(joinType == "inner" || joinType == "left",
       s"join type '$joinType' not supported (reference supports Inner/Left only," +
         " spatial_index.rs:200-203)")
@@ -71,18 +72,26 @@ object SpatialJoin {
     val lg = col("geometry" + lSuffix)
     val rg = col("geometry" + rSuffix)
 
-    val lCells = l.withColumn("__cell", explode(cellsFor(lg, cellLevel)))
+    // Point-only left side: exactly one cell per row, so each (l,r) candidate
+    // pair meets in at most one shared cell — no explode on the left and,
+    // crucially, no dedupe shuffle. With a broadcast right this plan is a pure
+    // scan + broadcast hash join: zero exchanges, embarrassingly parallel.
+    val lCells =
+      if (leftPointsOnly) l.withColumn("__cell", pointCell(lg, cellLevel))
+      else l.withColumn("__cell", explode(cellsFor(lg, cellLevel)))
     val rCellsBase = r.withColumn("__cell", explode(cellsFor(rg, cellLevel)))
     val rCells = if (broadcastRight) broadcast(rCellsBase) else rCellsBase
 
-    val matched = lCells
+    val candidates = lCells
       .join(rCells.withColumnRenamed("__cell", "__cell_r"),
         col("__cell") === col("__cell_r"), "inner")
       .filter(st.st_joinRefine(lg, rg, lit(predicate.id)))
       .drop("__cell", "__cell_r")
-      // two geometries can share several covering cells -> same (l,r) pair
-      // appears once per shared cell; the reference emits each pair once
-      .dropDuplicates("__lidx", "__ridx")
+
+    // two polygons can share several covering cells -> the same (l,r) pair
+    // appears once per shared cell; the reference emits each pair once
+    val matched =
+      if (leftPointsOnly) candidates else candidates.dropDuplicates("__lidx", "__ridx")
 
     val result = joinType match {
       case "inner" => matched

@@ -40,16 +40,12 @@ object GeoPipeline {
 
   final case class Result(joined: DataFrame, pagesPerSec: Double, rows: Long)
 
-  /**
-   * Run end-to-end. When `snapshotRoot` is set, each stage is
-   * checkpoint-or-resume through the snapshot layer.
-   */
-  def run(spark: SparkSession, nPages: Long, seed: Long, numPartitions: Int,
-          snapshotRoot: Option[String] = None,
-          s2Level: Int = SpatialJoin.DefaultCellLevel,
-          zooms: Seq[Int] = Seq(4, 8, 12)): Result = {
-    val t0 = System.nanoTime()
-
+  /** Build the full plan (no materialization). */
+  def build(spark: SparkSession, nPages: Long, seed: Long, numPartitions: Int,
+            snapshotRoot: Option[String] = None,
+            s2Level: Int = SpatialJoin.DefaultCellLevel,
+            zooms: Seq[Int] = Seq(4, 8, 12),
+            joinCellLevel: Int = 5): DataFrame = {
     def stage(name: String)(compute: => DataFrame): DataFrame = snapshotRoot match {
       case Some(root) =>
         Snapshot.runStage(spark, root, name, s"n=$nPages,seed=$seed,s2=$s2Level")(compute)
@@ -63,14 +59,31 @@ object GeoPipeline {
 
     val admin = adminLayer(spark)
 
-    val joined = stage("spatial_join") {
+    stage("spatial_join") {
       val pts = geocoded.select(
         (col("url") +: col("warc_ts") +: col("lang") +: col("geometry") +:
           col("s2_cell") +: zooms.map(z => col(s"tile_z$z"))): _*)
+      // join-bucketing level is sized to the polygon layer (admin rects are
+      // ~15 degrees wide): level 5 keeps each polygon's covering to a few
+      // dozen cells, so the broadcast stays thousands of rows, not millions.
+      // s2Level (finer) is the storage/index resolution on the point side.
       SpatialJoin.join(pts, admin, SpatialPredicate.Intersects, "inner",
-        cellLevel = s2Level, broadcastRight = true)
+        cellLevel = joinCellLevel, broadcastRight = true, leftPointsOnly = true)
     }
+  }
 
+  /**
+   * Run end-to-end and materialize. When `snapshotRoot` is set, each stage is
+   * checkpoint-or-resume through the snapshot layer.
+   */
+  def run(spark: SparkSession, nPages: Long, seed: Long, numPartitions: Int,
+          snapshotRoot: Option[String] = None,
+          s2Level: Int = SpatialJoin.DefaultCellLevel,
+          zooms: Seq[Int] = Seq(4, 8, 12),
+          joinCellLevel: Int = 5): Result = {
+    val t0 = System.nanoTime()
+    val joined = build(spark, nPages, seed, numPartitions, snapshotRoot, s2Level, zooms,
+      joinCellLevel)
     val rows = joined.count()
     val secs = (System.nanoTime() - t0) / 1e9
     Result(joined, nPages / secs, rows)
