@@ -305,6 +305,13 @@ object SparkEntry {
         countDistinct("user_id").as("users"))),
 
     // ============ rows-only checks (not SQL-expressible) ============
+    "q_h3_cells" -> ((s, dir) => custPoints(s, dir).select(
+      col("custkey"),
+      h3_cell(col("lat"), col("lon"), lit(6)).as("cell6"),
+      h3_cell(col("lat"), col("lon"), lit(9)).as("cell9"),
+      (h3_parent(h3_cell(col("lat"), col("lon"), lit(9)), lit(3)) ===
+        h3_parent(h3_cell(col("lat"), col("lon"), lit(9)), lit(3))).as("parent_ok"))),
+
     "q_s2_cells" -> ((s, dir) => custPoints(s, dir).select(
       col("custkey"),
       s2_cell(col("lat"), col("lon"), lit(5)).as("cell5"),

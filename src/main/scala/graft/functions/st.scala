@@ -136,6 +136,11 @@ object st {
       lat -> DoubleType, lon -> DoubleType, level -> IntegerType)
   def s2_parent(cell: Column, level: Column): Column =
     invoke(I, "s2Parent", LongType, false, cell -> LongType, level -> IntegerType)
+  def h3_cell(lat: Column, lon: Column, res: Column): Column =
+    invoke(I, "h3Cell", LongType, false,
+      lat -> DoubleType, lon -> DoubleType, res -> IntegerType)
+  def h3_parent(cell: Column, res: Column): Column =
+    invoke(I, "h3Parent", LongType, false, cell -> LongType, res -> IntegerType)
   def tile_id(lat: Column, lon: Column, z: Column): Column =
     invoke(I, "tileId", LongType, false,
       lat -> DoubleType, lon -> DoubleType, z -> IntegerType)

@@ -5,6 +5,9 @@ object IndexKernel {
   def s2Cell(lat: Double, lon: Double, level: Int): Long = S2.cellId(lat, lon, level)
   def s2Parent(cell: Long, level: Int): Long = S2.parent(cell, level)
   def s2Level(cell: Long): Int = S2.level(cell)
+  def h3Cell(lat: Double, lon: Double, res: Int): Long = H3.cell(lat, lon, res)
+  def h3Parent(cell: Long, res: Int): Long = H3.parent(cell, res)
+  def h3Resolution(cell: Long): Int = H3.resolution(cell)
   def tileId(lat: Double, lon: Double, z: Int): Long = Tile.tileId(lat, lon, z)
   def tileX(lon: Double, z: Int): Long = Tile.tileX(lon, z)
   def tileY(lat: Double, z: Int): Long = Tile.tileY(lat, z)

@@ -54,6 +54,7 @@ object Pages {
     val geocoded = withEntity.join(broadcast(gazetteer), Seq("entity"), "inner")
       .withColumn("geometry", st.st_point(col("lon"), col("lat")))
       .withColumn("s2_cell", st.s2_cell(col("lat"), col("lon"), lit(s2Level)))
+      .withColumn("h3_cell", st.h3_cell(col("lat"), col("lon"), lit(s2Level)))
     zooms.foldLeft(geocoded)((df, z) =>
       df.withColumn(s"tile_z$z", st.tile_id(col("lat"), col("lon"), lit(z))))
   }

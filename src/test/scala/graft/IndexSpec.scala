@@ -1,0 +1,179 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index.{H3, S2, Tile}
+
+/** Pure-Scala index properties (no Spark needed). Property-style via seeded
+ *  random sampling (the scalatestplus-scalacheck bridge is not in the
+ *  offline cache). */
+class IndexSpec extends AnyFunSuite {
+
+  /** 200 seeded (lat, lon) samples. */
+  private def forAllPoints(f: (Double, Double) => Unit): Unit = {
+    val rnd = new scala.util.Random(20260816L)
+    (0 until 200).foreach { _ =>
+      f(rnd.nextDouble() * 168 - 84, rnd.nextDouble() * 358 - 179)
+    }
+  }
+  private def forAllPointsRes(maxRes: Int)(f: (Double, Double, Int) => Unit): Unit = {
+    val rnd = new scala.util.Random(42424242L)
+    (0 until 200).foreach { _ =>
+      f(rnd.nextDouble() * 168 - 84, rnd.nextDouble() * 358 - 179, rnd.nextInt(maxRes + 1))
+    }
+  }
+
+  // ---------------- S2 ----------------
+
+  test("s2: leaf id has level 30, sentinel bit set") {
+    val id = S2.leafCell(45.0, 10.0)
+    assert(S2.level(id) == 30)
+    assert((id & 1L) == 1L)
+  }
+
+  test("s2: parent is a prefix (range containment) at every level") {
+    forAllPoints { (lat, lon) =>
+      val leaf = S2.leafCell(lat, lon)
+      (0 to 29).foreach { lvl =>
+        val p = S2.parent(leaf, lvl)
+        assert(S2.level(p) == lvl)
+        assert(S2.contains(p, leaf))
+        assert(S2.parent(p, lvl) == p) // idempotent
+        // parent chain is monotone: parent at lvl of parent at lvl+1 == parent at lvl
+        assert(S2.parent(S2.parent(leaf, lvl + 1), lvl) == p)
+      }
+    }
+  }
+
+  test("s2: nearby points share coarse cells, far points do not") {
+    val a = S2.cellId(48.8566, 2.3522, 9)   // Paris
+    val b = S2.cellId(48.8570, 2.3530, 9)   // ~50m away
+    val c = S2.cellId(-33.8688, 151.2093, 9) // Sydney
+    assert(a == b)
+    assert(a != c)
+    assert(S2.cellId(48.8566, 2.3522, 4) == S2.parent(a, 4))
+  }
+
+  test("s2: coverRect covers every contained point's cell (completeness)") {
+    val rnd = new scala.util.Random(7)
+    (0 until 20).foreach { _ =>
+      val lat0 = rnd.nextDouble() * 100 - 50
+      val lon0 = rnd.nextDouble() * 300 - 150
+      val dLat = rnd.nextDouble() * 8 + 0.1
+      val dLon = rnd.nextDouble() * 8 + 0.1
+      val lvl = 6
+      val cover = S2.coverRect(lat0, lon0, lat0 + dLat, lon0 + dLon, lvl).toSet
+      (0 until 200).foreach { _ =>
+        val la = lat0 + rnd.nextDouble() * dLat
+        val lo = lon0 + rnd.nextDouble() * dLon
+        assert(cover.contains(S2.cellId(la, lo, lvl)),
+          s"uncovered point ($la,$lo) in rect ($lat0,$lon0)+($dLat,$dLon)")
+      }
+    }
+  }
+
+  test("s2: all six faces reachable") {
+    val faces = Seq((0.0, 0.0), (0.0, 90.0), (89.0, 0.0), (0.0, 180.0), (0.0, -90.0),
+      (-89.0, 0.0)).map { case (la, lo) => S2.face(S2.leafCell(la, lo)) }.toSet
+    assert(faces == Set(0, 1, 2, 3, 4, 5))
+  }
+
+  // ---------------- H3 ----------------
+
+  test("h3: resolution and face round-trip; digits padded with 7") {
+    forAllPointsRes(15) { (lat, lon, res) =>
+      val h = H3.cell(lat, lon, res)
+      assert(H3.resolution(h) == res)
+      assert(H3.face(h) >= 0 && H3.face(h) < 20)
+    }
+  }
+
+  test("h3: parent chain is consistent and prefix-monotone") {
+    forAllPoints { (lat, lon) =>
+      val h = H3.cell(lat, lon, 12)
+      (0 to 11).foreach { r =>
+        val p = H3.parent(h, r)
+        assert(H3.resolution(p) == r)
+        assert(H3.isParentOf(p, h))
+        assert(H3.parent(H3.parent(h, r + 1), r) == p)
+      }
+    }
+  }
+
+  test("h3: nearby points share cells at coarse res, distinct far away") {
+    val a = H3.cell(48.8566, 2.3522, 9)
+    val b = H3.cell(48.85661, 2.35221, 9)
+    val c = H3.cell(-33.8688, 151.2093, 9)
+    assert(a == b)
+    assert(a != c)
+  }
+
+  test("h3: determinism across calls") {
+    forAllPoints { (lat, lon) =>
+      assert(H3.cell(lat, lon, 10) == H3.cell(lat, lon, 10))
+    }
+  }
+
+  test("h3: aperture-7 — resolution r+1 refines r (child count sanity)") {
+    // sample many points inside one res-6 cell; their res-7 cells must be
+    // few (<= ~7 + boundary effects) and all children of some res-6 cell
+    val base = H3.cell(40.0, -100.0, 6)
+    val rnd = new scala.util.Random(11)
+    val eps = H3.approxEdgeDeg(6) / 4
+    val children = (0 until 500).map { _ =>
+      val la = 40.0 + (rnd.nextDouble() - 0.5) * eps
+      val lo = -100.0 + (rnd.nextDouble() - 0.5) * eps
+      H3.cell(la, lo, 7)
+    }.toSet
+    assert(children.nonEmpty && children.size <= 9)
+    val sameParent = children.filter(c => H3.parent(c, 6) == base)
+    assert(sameParent.nonEmpty)
+  }
+
+  test("h3: coverRect covers every contained point's cell (completeness)") {
+    val rnd = new scala.util.Random(13)
+    (0 until 10).foreach { _ =>
+      val lat0 = rnd.nextDouble() * 80 - 40
+      val lon0 = rnd.nextDouble() * 300 - 150
+      val dLat = rnd.nextDouble() * 3 + 0.1
+      val dLon = rnd.nextDouble() * 3 + 0.1
+      val res = 4
+      val cover = H3.coverRect(lat0, lon0, lat0 + dLat, lon0 + dLon, res).toSet
+      (0 until 100).foreach { _ =>
+        val la = lat0 + rnd.nextDouble() * dLat
+        val lo = lon0 + rnd.nextDouble() * dLon
+        assert(cover.contains(H3.cell(la, lo, res)))
+      }
+    }
+  }
+
+  // ---------------- Tile ----------------
+
+  test("tile: known anchors at z=1 and packing round-trip") {
+    // z=1: four tiles; (0,0) lon/lat -> tile (1,1)? lon 0 -> x=1, lat 0 -> y=1
+    assert(Tile.tileX(0.0, 1) == 1)
+    assert(Tile.tileY(0.0, 1) == 1)
+    assert(Tile.tileX(-180.0, 1) == 0)
+    forAllPointsRes(18) { (lat, lon, z) =>
+      val id = Tile.tileId(lat, lon, z)
+      assert(Tile.zoom(id) == z)
+      assert(Tile.x(id) == Tile.tileX(lon, z))
+      assert(Tile.y(id) == Tile.tileY(lat, z))
+      // parent prefix property
+      if (z > 0) assert(Tile.parent(id, z - 1) == Tile.tileId(lat, lon, z - 1) ||
+        // boundary: a point exactly on a tile edge can legitimately round to
+        // the adjacent child; parent must still be the shifted coordinates
+        Tile.parent(id, z - 1) == Tile.pack(z - 1, Tile.x(id) >> 1, Tile.y(id) >> 1))
+    }
+  }
+
+  test("tile: bounds contain the generating point") {
+    forAllPointsRes(13) { (lat, lon, z0) =>
+      val z = z0 + 2
+      val id = Tile.tileId(lat, lon, z)
+      val (w, s, e, n) = Tile.bounds(id)
+      assert(lon >= w - 1e-9 && lon <= e + 1e-9)
+      assert(lat >= s - 1e-6 && lat <= n + 1e-6)
+    }
+  }
+}
