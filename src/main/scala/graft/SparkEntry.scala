@@ -216,6 +216,52 @@ object SparkEntry {
         round(st_length(st_simplify(zig, lit(1.0))), 6).as("slen"))
     }),
 
+    // ============ overlay / buffer / dissolve (SURVEY §2.7) ============
+    "q_overlay" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("minx", (col("o_orderkey") % 100).cast("double"))
+        .withColumn("miny", (col("o_custkey") % 100).cast("double"))
+        .withColumn("w", (lit(1) + col("o_orderkey") % 7).cast("double"))
+        .withColumn("h", (lit(1) + col("o_custkey") % 5).cast("double"))
+      val a = st_makeBox(col("minx"), col("miny"), col("minx") + col("w"), col("miny") + col("h"))
+      val b = st_makeBox(lit(50.0), lit(50.0), lit(120.0), lit(120.0))
+      o.select(col("o_orderkey"),
+        st_area(st_intersection(a, b)).as("inter_area"),
+        st_area(st_union(a, b)).as("union_area"),
+        st_area(st_difference(a, b)).as("diff_area"))
+    }),
+
+    "q_buffer" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("w", (lit(1) + col("o_orderkey") % 7).cast("double"))
+        .withColumn("h", (lit(1) + col("o_custkey") % 5).cast("double"))
+        .withColumn("d", (lit(1) + col("o_orderkey") % 3).cast("double"))
+      val box = st_makeBox(lit(0.0), lit(0.0), col("w"), col("h"))
+      o.select(col("o_orderkey"),
+        round(st_area(st_buffer(box, col("d"))), 6).as("buf_area"))
+    }),
+
+    "q_union_agg" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("grp", col("o_custkey") % 10)
+        .withColumn("minx", (col("o_orderkey") * 10).cast("double")) // disjoint boxes
+        .withColumn("w", (lit(1) + col("o_orderkey") % 7).cast("double"))
+        .withColumn("h", (lit(1) + col("o_custkey") % 5).cast("double"))
+      val box = st_makeBox(col("minx"), lit(0.0), col("minx") + col("w"), col("h"))
+      o.groupBy("grp")
+        .agg(st_union_agg(box).as("dissolved"))
+        .select(col("grp"),
+          st_area(col("dissolved")).cast("long").as("union_area"),
+          st_geomType(col("dissolved")).as("gtype"))
+    }),
+
+    "q_total_bounds" -> ((s, dir) => {
+      val b = st_bounds(st_point(col("lon"), col("lat")))
+      custPoints(s, dir).select(b.getField("minx").as("x"), b.getField("miny").as("y"))
+        .agg(min("x").as("minx"), max("x").as("maxx"),
+          min("y").as("miny"), max("y").as("maxy"))
+    }),
+
     // ============ spatial join + kNN (SURVEY §2.4, BASELINE workload) ============
     "q_spatial_join" -> ((s, dir) => {
       val pts = custPoints(s, dir)
@@ -445,6 +491,36 @@ object SparkEntry {
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
         | CAST(a AS DOUBLE) AS slen
         |FROM (SELECT l_orderkey, l_linenumber, 2 + l_orderkey % 50 AS a FROM lineitem)""".stripMargin,
+
+    "q_overlay" ->
+      """SELECT o_orderkey,
+        | iw*ih AS inter_area,
+        | w*h + 4900.0 - iw*ih AS union_area,
+        | w*h - iw*ih AS diff_area
+        |FROM (SELECT o_orderkey, w, h,
+        |  greatest(0.0, least(minx+w, 120.0) - greatest(minx, 50.0)) AS iw,
+        |  greatest(0.0, least(miny+h, 120.0) - greatest(miny, 50.0)) AS ih
+        | FROM (SELECT o_orderkey,
+        |   CAST(o_orderkey % 100 AS DOUBLE) AS minx, CAST(o_custkey % 100 AS DOUBLE) AS miny,
+        |   CAST(1 + o_orderkey % 7 AS DOUBLE) AS w, CAST(1 + o_custkey % 5 AS DOUBLE) AS h
+        |  FROM orders))""".stripMargin,
+
+    "q_buffer" ->
+      """SELECT o_orderkey,
+        | round(w*h + 2*(w+h)*d + 2*8*d*d*sin(pi()/16), 6) AS buf_area
+        |FROM (SELECT o_orderkey, CAST(1 + o_orderkey % 7 AS DOUBLE) AS w,
+        |  CAST(1 + o_custkey % 5 AS DOUBLE) AS h,
+        |  CAST(1 + o_orderkey % 3 AS DOUBLE) AS d FROM orders)""".stripMargin,
+
+    "q_union_agg" ->
+      """SELECT o_custkey % 10 AS grp,
+        | CAST(sum((1 + o_orderkey % 7) * (1 + o_custkey % 5)) AS BIGINT) AS union_area,
+        | 6 AS gtype
+        |FROM orders GROUP BY o_custkey % 10""".stripMargin,
+
+    "q_total_bounds" ->
+      s"""SELECT min(lon) AS minx, max(lon) AS maxx, min(lat) AS miny, max(lat) AS maxy
+         |FROM ($custPointsSql)""".stripMargin,
 
     "q_spatial_join" ->
       s"""WITH b(box_id, minx, miny, maxx, maxy) AS (VALUES $joinBoxesSqlValues),

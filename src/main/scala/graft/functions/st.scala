@@ -121,6 +121,20 @@ object st {
     invoke(G, "stSkew", BinaryType, false, wkb -> BinaryType, xs -> DoubleType,
       ys -> DoubleType, originMode -> IntegerType, ox -> DoubleType, oy -> DoubleType)
 
+  // ---------- set-theoretic overlay ----------
+  def st_union(a: Column, b: Column): Column =
+    invoke(G, "stUnion", BinaryType, false, a -> BinaryType, b -> BinaryType)
+  def st_intersection(a: Column, b: Column): Column =
+    invoke(G, "stIntersection", BinaryType, false, a -> BinaryType, b -> BinaryType)
+  def st_difference(a: Column, b: Column): Column =
+    invoke(G, "stDifference", BinaryType, false, a -> BinaryType, b -> BinaryType)
+  def st_symDifference(a: Column, b: Column): Column =
+    invoke(G, "stSymDifference", BinaryType, false, a -> BinaryType, b -> BinaryType)
+  def st_buffer(wkb: Column, distance: Column): Column =
+    invoke(G, "stBuffer", BinaryType, false, wkb -> BinaryType, distance -> DoubleType)
+  /** Dissolve per group (TypedImperativeAggregate over JTS cascaded union). */
+  def st_union_agg(geom: Column): Column = graft.expr.UnionAgg.st_union_agg(geom)
+
   // ---------- reshaping / CRS ----------
   def st_dump(wkb: Column): Column =
     invoke(G, "stDump", ArrayType(BinaryType, containsNull = false), false, wkb -> BinaryType)

@@ -323,6 +323,23 @@ object GeomKernel {
   def stSimplify(wkb: Array[Byte], tolerance: Double): Array[Byte] =
     out(DouglasPeuckerSimplifier.simplify(g(wkb), tolerance))
 
+  // ================= set-theoretic overlay (geoseries.rst:74-77, 85) =================
+
+  def stUnion(a: Array[Byte], b: Array[Byte]): Array[Byte] = out(g(a).union(g(b)))
+
+  def stIntersection(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    out(g(a).intersection(g(b)))
+
+  def stDifference(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    out(g(a).difference(g(b)))
+
+  def stSymDifference(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    out(g(a).symDifference(g(b)))
+
+  /** JTS buffer, default quadrant segments (8). */
+  def stBuffer(wkb: Array[Byte], distance: Double): Array[Byte] =
+    out(g(wkb).buffer(distance))
+
   // ================= CRS =================
   // The reference reprojects vertex-wise via PROJ (ops/proj.rs:33-70). PROJ is
   // unavailable offline; we implement the pair the web-map workload needs:
