@@ -1,0 +1,94 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graftbridge.Bridge
+
+import graft.functions.st
+import graft.expr.UnionAgg
+
+/**
+ * SQL registration for the engine's functions: makes every operator usable
+ * from `spark.sql("SELECT st_area(geom) ...")` in addition to the Column DSL.
+ * Builders delegate to the DSL (single source of truth for kernel signatures
+ * and casts). Register per session via `GraftSql.register(spark)`, or
+ * configure `spark.sql.extensions=graft.sql.GraftSparkExtensions` so every
+ * session in a cluster gets them at startup.
+ */
+object GraftSql {
+
+  /** name -> (arity, Column-level builder). */
+  val functions: Map[String, (Int, Seq[Column] => Column)] = Map(
+    "st_point" -> (2, a => st.st_point(a(0), a(1))),
+    "st_makebox" -> (4, a => st.st_makeBox(a(0), a(1), a(2), a(3))),
+    "st_makeline" -> (4, a => st.st_makeLine(a(0), a(1), a(2), a(3))),
+    "st_geomfromtext" -> (1, a => st.st_geomFromText(a(0))),
+    "st_astext" -> (1, a => st.st_asText(a(0))),
+    "st_area" -> (1, a => st.st_area(a(0))),
+    "st_centroid" -> (1, a => st.st_centroid(a(0))),
+    "st_convexhull" -> (1, a => st.st_convexHull(a(0))),
+    "st_envelope" -> (1, a => st.st_envelope(a(0))),
+    "st_bounds" -> (1, a => st.st_bounds(a(0))),
+    "st_length" -> (1, a => st.st_length(a(0))),
+    "st_exterior" -> (1, a => st.st_exterior(a(0))),
+    "st_geomtype" -> (1, a => st.st_geomType(a(0))),
+    "st_isempty" -> (1, a => st.st_isEmpty(a(0))),
+    "st_isring" -> (1, a => st.st_isRing(a(0))),
+    "st_x" -> (1, a => st.st_x(a(0))),
+    "st_y" -> (1, a => st.st_y(a(0))),
+    "st_distance" -> (2, a => st.st_distance(a(0), a(1))),
+    "st_contains" -> (2, a => st.st_contains(a(0), a(1))),
+    "st_intersects" -> (2, a => st.st_intersects(a(0), a(1))),
+    "st_within" -> (2, a => st.st_within(a(0), a(1))),
+    "st_translate" -> (3, a => st.st_translate(a(0), a(1), a(2))),
+    "st_rotate" -> (5, a => st.st_rotate(a(0), a(1), a(2), a(3), a(4))),
+    "st_scale" -> (6, a => st.st_scale(a(0), a(1), a(2), a(3), a(4), a(5))),
+    "st_skew" -> (6, a => st.st_skew(a(0), a(1), a(2), a(3), a(4), a(5))),
+    "st_affine" -> (7, a => st.st_affine(a(0), a(1), a(2), a(3), a(4), a(5), a(6))),
+    "st_union" -> (2, a => st.st_union(a(0), a(1))),
+    "st_intersection" -> (2, a => st.st_intersection(a(0), a(1))),
+    "st_difference" -> (2, a => st.st_difference(a(0), a(1))),
+    "st_symdifference" -> (2, a => st.st_symDifference(a(0), a(1))),
+    "st_buffer" -> (2, a => st.st_buffer(a(0), a(1))),
+    "st_dump" -> (1, a => st.st_dump(a(0))),
+    "st_simplify" -> (2, a => st.st_simplify(a(0), a(1))),
+    "st_transform" -> (3, a => st.st_transform(a(0), a(1), a(2))),
+    "st_union_agg" -> (1, a => UnionAgg.st_union_agg(a(0))),
+    "s2_cell" -> (3, a => st.s2_cell(a(0), a(1), a(2))),
+    "s2_parent" -> (2, a => st.s2_parent(a(0), a(1))),
+    "h3_cell" -> (3, a => st.h3_cell(a(0), a(1), a(2))),
+    "h3_parent" -> (2, a => st.h3_parent(a(0), a(1))),
+    "tile_id" -> (3, a => st.tile_id(a(0), a(1), a(2))),
+    "tile_x" -> (2, a => st.tile_x(a(0), a(1))),
+    "tile_y" -> (2, a => st.tile_y(a(0), a(1))),
+    "haversine_m" -> (4, a => st.haversine_m(a(0), a(1), a(2), a(3))),
+    "extract_text" -> (1, a => st.extract_text(a(0))),
+    "lang_id" -> (1, a => st.lang_id(a(0))),
+    "fingerprint64" -> (1, a => st.fingerprint64(a(0))),
+    "simhash64" -> (2, a => st.simhash64(a(0), a(1))),
+    "hamming64" -> (2, a => st.hamming64(a(0), a(1))),
+    "minhash_band" -> (5, a => st.minhash_band(a(0), a(1), a(2), a(3), a(4))),
+    "jaccard_shingles" -> (3, a => st.jaccard_shingles(a(0), a(1), a(2))),
+    "cosine_sim" -> (2, a => st.cosine_sim(a(0), a(1))),
+    "l2_norm" -> (1, a => st.l2_norm(a(0))),
+    "cosine_lsh_bucket" -> (2, a => st.cosine_lsh_bucket(a(0), a(1))))
+
+  /** Register all functions into an existing session's catalog. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, (arity, builder)) =>
+      Bridge.registerFunction(spark, name, { exprs =>
+        require(exprs.length == arity, s"$name expects $arity args, got ${exprs.length}")
+        Bridge.toCatalyst(builder(exprs.map(Bridge.column)))
+      })
+    }
+}
+
+/** For `spark.sql.extensions=graft.sql.GraftSparkExtensions`. */
+class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftSql.functions.foreach { case (name, (arity, builder)) =>
+      Bridge.injectFunction(ext, name, { exprs =>
+        require(exprs.length == arity, s"$name expects $arity args, got ${exprs.length}")
+        Bridge.toCatalyst(builder(exprs.map(Bridge.column)))
+      })
+    }
+}
