@@ -326,6 +326,48 @@ object SparkEntry {
         .select("a_id", "b_id").distinct()
     }),
 
+    "q_ngram_neardup" -> ((s, dir) => {
+      // near-duplicate detection: MinHash-LSH candidates refined by exact
+      // 3-gram Jaccard >= 0.8 (rows-only: shingle hashes not SQL-expressible)
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      // seed guaranteed near-dups (id+2000000 copies) so the check always has rows
+      val docs = base.unionByName(
+        base.select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      val bands = docs.select(col("doc_id"), col("text"),
+        explode(array((0 until 8).map(lit): _*)).as("band"))
+        .withColumn("bucket",
+          minhash_band(col("text"), lit(3), lit(32), col("band"), lit(4)))
+      val l = bands.select(col("band"), col("bucket"),
+        col("doc_id").as("a_id"), col("text").as("a_text"))
+      val r = bands.select(col("band"), col("bucket"),
+        col("doc_id").as("b_id"), col("text").as("b_text"))
+      l.join(r, Seq("band", "bucket"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          jaccard_shingles(col("a_text"), col("b_text"), lit(3)).as("jac"))
+        .filter(col("jac") >= 0.8)
+        .select(col("a_id"), col("b_id"), round(col("jac"), 6).as("jac"))
+        .distinct()
+    }),
+
+    "q_ann_lsh" -> ((s, dir) => {
+      // scale path for similarity search: LSH-bucketed candidate generation
+      // (sign-random-projection) + exact cosine rerank inside buckets
+      val eb = t(s, dir, "embeddings")
+      // seed exact duplicates (vec_id+100000) so the check always has rows
+      val e = eb.unionByName(eb.withColumn("vec_id", col("vec_id") + 100000L))
+        .select(col("vec_id"), col("embedding"),
+          cosine_lsh_bucket(col("embedding"), lit(8)).as("bucket"))
+      val l = e.select(col("bucket"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      val r = e.select(col("bucket"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      l.join(r, Seq("bucket"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("cos", cosine_sim(col("a_emb"), col("b_emb")))
+        .filter(col("cos") >= 0.95)
+        .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"))
+        .distinct()
+    }),
+
     // ============ embeddings: similarity search ============
     "q_embed_norm" -> ((s, dir) => t(s, dir, "embeddings").select(
       col("vec_id"), round(l2_norm(col("embedding")), 6).as("nrm"))),
