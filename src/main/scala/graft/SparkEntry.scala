@@ -269,7 +269,8 @@ object SparkEntry {
       val boxes = s.createDataFrame(
         joinBoxes.map { case (id, a, b, c, d) => (id, boxWkb(a, b, c, d)) })
         .toDF("box_id", "geometry")
-      SpatialJoin.join(pts, boxes, SpatialPredicate.Intersects, "inner", cellLevel = 4)
+      SpatialJoin.join(pts, boxes, SpatialPredicate.Intersects, "inner", cellLevel = 4,
+        leftPointsOnly = true)
         .select(col("custkey_left").as("custkey"), col("box_id_right").as("box_id"))
     }),
 
