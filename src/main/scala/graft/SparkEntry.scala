@@ -274,6 +274,19 @@ object SparkEntry {
         .select(col("custkey_left").as("custkey"), col("box_id_right").as("box_id"))
     }),
 
+    "q_spatial_join_salted" -> ((s, dir) => {
+      // the explicit-skew-salting path must produce the same rows as the
+      // broadcast path; tiny threshold forces salting on every cell
+      val pts = custPoints(s, dir)
+        .select(col("custkey"), st_point(col("lon"), col("lat")).as("geometry"))
+      val boxes = s.createDataFrame(
+        joinBoxes.map { case (id, a, b, c, d) => (id, boxWkb(a, b, c, d)) })
+        .toDF("box_id", "geometry")
+      SpatialJoin.joinSalted(pts, boxes, SpatialPredicate.Intersects,
+        cellLevel = 4, nSalts = 4, skewThreshold = 50)
+        .select(col("custkey_left").as("custkey"), col("box_id_right").as("box_id"))
+    }),
+
     "q_knn_points" -> ((s, dir) => {
       val q = s.createDataFrame(Seq(
         (1L, 0.5, 10.5), (2L, -120.5, -30.5), (3L, 60.5, 40.5))).toDF("qid", "qx", "qy")
@@ -566,6 +579,12 @@ object SparkEntry {
          |FROM ($custPointsSql)""".stripMargin,
 
     "q_spatial_join" ->
+      s"""WITH b(box_id, minx, miny, maxx, maxy) AS (VALUES $joinBoxesSqlValues),
+         | p AS ($custPointsSql)
+         |SELECT p.custkey, b.box_id FROM p, b
+         |WHERE p.lon > b.minx AND p.lon < b.maxx AND p.lat > b.miny AND p.lat < b.maxy""".stripMargin,
+
+    "q_spatial_join_salted" ->
       s"""WITH b(box_id, minx, miny, maxx, maxy) AS (VALUES $joinBoxesSqlValues),
          | p AS ($custPointsSql)
          |SELECT p.custkey, b.box_id FROM p, b

@@ -35,6 +35,31 @@ class SpatialJoinSpec extends SparkSpec {
       (polyWkb((0.0, 0.0), (20.0, 0.0), (20.0, 20.0), (0.0, 20.0)), "test")))
       .toDF("geometry", "string_col")
 
+  test("index query: 9 points, envelope [0,0]-[20,20] -> indexes {0,1,2,8} (spatial_index.rs:361-395)") {
+    // the reference's R-tree envelope query == AABB-intersects filter here
+    import graft.functions.st._
+    import org.apache.spark.sql.functions._
+    val hits = points
+      .filter(st_bboxIntersects(col("geometry"),
+        st_makeBox(lit(0.0), lit(0.0), lit(20.0), lit(20.0))))
+      .select("point_values").collect().map(_.getDouble(0)).sorted
+    assert(hits.toSeq == Seq(1.0, 2.0, 3.0, 9.0)) // indexes 0,1,2,8; len 4
+  }
+
+  test("index query: 2 polygons, envelope [0,0]-[20,20] -> index {0} (spatial_index.rs:397-430)") {
+    import graft.functions.st._
+    import org.apache.spark.sql.functions._
+    val polys2 = spark.createDataFrame(Seq(
+      (polyWkb((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)), 0),
+      (polyWkb((-30.0, -30.0), (-25.0, -30.0), (-25.0, -25.0), (-30.0, -25.0)), 1)))
+      .toDF("geometry", "idx")
+    val hits = polys2
+      .filter(st_bboxIntersects(col("geometry"),
+        st_makeBox(lit(0.0), lit(0.0), lit(20.0), lit(20.0))))
+      .select("idx").collect().map(_.getInt(0))
+    assert(hits.toSeq == Seq(0))
+  }
+
   test("inner join shape (2,4) — boundary points excluded (spatial_index.rs:479)") {
     val res = SpatialJoin.join(points, polys, SpatialPredicate.Intersects, "inner")
     assert(res.columns.toSeq ==
