@@ -326,11 +326,11 @@ object SparkEntry {
       val u = docs.unionByName(
         docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       // MinHash LSH: 16 hashes, 4 bands x 4 rows; identical text -> identical
-      // signature -> collides in every band (complete for exact duplicates)
+      // signature -> collides in every band (complete for exact duplicates).
+      // minhash_bands computes the signature once per row (not once per band)
       val bands = u.select(col("doc_id"), col("text"),
-        explode(array((0 until 4).map(lit): _*)).as("band"))
-        .withColumn("bucket",
-          minhash_band(col("text"), lit(3), lit(16), col("band"), lit(4)))
+        posexplode(minhash_bands(col("text"), lit(3), lit(16), lit(4))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       val l = bands.select(col("band"), col("bucket"),
         col("doc_id").as("a_id"), col("text").as("a_text"))
       val r = bands.select(col("band"), col("bucket"),
@@ -348,9 +348,8 @@ object SparkEntry {
       val docs = base.unionByName(
         base.select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
       val bands = docs.select(col("doc_id"), col("text"),
-        explode(array((0 until 8).map(lit): _*)).as("band"))
-        .withColumn("bucket",
-          minhash_band(col("text"), lit(3), lit(32), col("band"), lit(4)))
+        posexplode(minhash_bands(col("text"), lit(3), lit(32), lit(4))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       val l = bands.select(col("band"), col("bucket"),
         col("doc_id").as("a_id"), col("text").as("a_text"))
       val r = bands.select(col("band"), col("bucket"),

@@ -174,6 +174,12 @@ object st {
                    rowsPerBand: Column): Column =
     invoke(T, "minhashBand", LongType, false, text -> StringType, k -> IntegerType,
       numHashes -> IntegerType, band -> IntegerType, rowsPerBand -> IntegerType)
+  /** All band keys in one signature pass; pair with posexplode. */
+  def minhash_bands(text: Column, k: Column, numHashes: Column,
+                    rowsPerBand: Column): Column =
+    invoke(T, "minhashBands", ArrayType(LongType, containsNull = false), false,
+      text -> StringType, k -> IntegerType, numHashes -> IntegerType,
+      rowsPerBand -> IntegerType)
   def simhash64(text: Column, k: Column): Column =
     invoke(T, "simhash", LongType, false, text -> StringType, k -> IntegerType)
   def hamming64(a: Column, b: Column): Column =

@@ -226,11 +226,27 @@ object TextKernel {
   def minhashBand(text: UTF8String, k: Int, numHashes: Int, band: Int,
                   rowsPerBand: Int): Long = {
     val sig = minhash(text, k, numHashes)
+    bandKey(sig, band, rowsPerBand, numHashes)
+  }
+
+  private def bandKey(sig: ArrayData, band: Int, rowsPerBand: Int, numHashes: Int): Long = {
     var h = 0xcbf29ce484222325L ^ band.toLong
     var i = band * rowsPerBand
     val end = math.min(numHashes, i + rowsPerBand)
     while (i < end) { h ^= sig.getLong(i); h *= 0x100000001b3L; i += 1 }
     h
+  }
+
+  /** All LSH band keys at once — one signature computation per row instead of
+   *  one per band (the per-band form recomputes the full MinHash each call). */
+  def minhashBands(text: UTF8String, k: Int, numHashes: Int,
+                   rowsPerBand: Int): ArrayData = {
+    val sig = minhash(text, k, numHashes)
+    val nBands = numHashes / rowsPerBand
+    val out = new Array[Any](nBands)
+    var b = 0
+    while (b < nBands) { out(b) = bandKey(sig, b, rowsPerBand, numHashes); b += 1 }
+    new GenericArrayData(out)
   }
 
   /** 64-bit SimHash over word-shingle hashes. */
