@@ -115,6 +115,39 @@ object Snapshot {
   def read(spark: SparkSession, root: String, id: Long): DataFrame =
     spark.read.parquet(dataPath(root, id))
 
+  /** Time travel: read the snapshot that was CURRENT at or before `tsMs`. */
+  def readAsOf(spark: SparkSession, root: String, tsMs: Long): DataFrame = {
+    var cur = currentId(root)
+    while (cur.isDefined && cur.get > 0) {
+      val m = readManifest(root, cur.get)
+      if (m.committedAtMs <= tsMs) return read(spark, root, m.snapshotId)
+      cur = Some(m.parentId)
+    }
+    throw new IllegalArgumentException(s"no snapshot at or before $tsMs in $root")
+  }
+
+  /** Roll CURRENT back to an earlier snapshot (data files are immutable, so
+   *  this is just a pointer flip; later snapshots stay readable by id). */
+  def rollback(root: String, id: Long): Unit = {
+    readManifest(root, id) // validates existence
+    val tmp = Paths.get(root, "CURRENT.tmp")
+    Files.write(tmp, id.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(root, "CURRENT"), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The manifest chain from CURRENT back to the first snapshot (lineage). */
+  def history(root: String): Seq[Manifest] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Manifest]
+    var cur = currentId(root)
+    while (cur.isDefined && cur.get > 0) {
+      val m = readManifest(root, cur.get)
+      out += m
+      cur = Some(m.parentId)
+    }
+    out.toSeq
+  }
+
   /**
    * Checkpoint-or-compute: if a committed snapshot exists for this
    * (stage, fingerprint), read it back (resume path); otherwise compute,

@@ -76,6 +76,48 @@ class PipelineSpec extends SparkSpec {
     assert(Snapshot.currentId(root).contains(2L))
   }
 
+  test("snapshot time travel, rollback and history") {
+    val root = Files.createTempDirectory("snap").toString
+    Snapshot.write(spark.range(10).toDF("id"), root, "s", "v1")
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    Snapshot.write(spark.range(20).toDF("id"), root, "s", "v2")
+    assert(Snapshot.currentId(root).contains(2L))
+    assert(Snapshot.history(root).map(_.snapshotId) == Seq(2L, 1L))
+    // time travel to before the second commit
+    assert(Snapshot.readAsOf(spark, root, t1).count() == 10)
+    // rollback flips the pointer; later snapshot stays readable by id
+    Snapshot.rollback(root, 1L)
+    assert(Snapshot.currentId(root).contains(1L))
+    assert(Snapshot.read(spark, root, 2L).count() == 20)
+  }
+
+  test("streaming pages geocode: ST ops compose with structured streaming") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.st._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val gaz = Pages.gazetteer(spark)
+    val stream = input.toDF().toDF("text")
+      .withColumn("entity",
+        regexp_extract(col("text"), "(Entityville-\\d{4})", 1))
+      .join(broadcast(gaz), Seq("entity"))
+      .withColumn("cell", s2_cell(col("lat"), col("lon"), lit(9)))
+      .withColumn("tile", tile_id(col("lat"), col("lon"), lit(8)))
+    val q = stream.writeStream.format("memory").queryName("geo_stream")
+      .outputMode("append").start()
+    try {
+      input.addData("dispatch from near Entityville-0007 today",
+        "nothing geographic here")
+      q.processAllAvailable()
+      val rows = spark.sql("select entity, cell, tile from geo_stream").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getString(0) == "Entityville-0007")
+      assert(rows(0).getLong(1) != 0L)
+    } finally q.stop()
+  }
+
   test("pipeline end-to-end: every geocoded page joins exactly one admin cell") {
     val res = GeoPipeline.run(spark, nPages = 2000, seed = 42, numPartitions = 8)
     assert(res.rows == 2000)
