@@ -31,7 +31,9 @@ object PagesKernel {
       java.lang.Long.remainderUnsigned(mix64(h), NumEntities).toInt
   }
 
-  def entityName(idx: Int): String = f"Entityville-$idx%04d"
+  private val entityNames: Array[String] =
+    Array.tabulate(NumEntities)(i => f"Entityville-$i%04d")
+  def entityName(idx: Int): String = entityNames(idx) // Formatter is hot-path-slow
 
   /** Deterministic gazetteer position; lat in [-58,58], lon in [-170,170]. */
   def entityLat(idx: Int): Double = {
@@ -59,6 +61,24 @@ object PagesKernel {
     s"https://crawl-$seed.example.org/p/${java.lang.Long.toHexString(h)}/$id"
   }
 
+  /** Minimal growable ASCII byte sink — the html builder is the hottest
+   *  allocation site in the pipeline, so skip the StringBuilder->String->
+   *  getBytes double copy (all template content is ASCII). */
+  private final class ByteSink(cap: Int) {
+    private var buf = new Array[Byte](cap)
+    private var len = 0
+    private def ensure(n: Int): Unit =
+      if (len + n > buf.length) buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, len + n))
+    def add(s: String): Unit = {
+      ensure(s.length)
+      var i = 0
+      while (i < s.length) { buf(len) = s.charAt(i).toByte; len += 1; i += 1 }
+    }
+    def addLong(v: Long): Unit = add(java.lang.Long.toString(v))
+    def addUnsigned(v: Long): Unit = add(java.lang.Long.toUnsignedString(v))
+    def result(): Array[Byte] = java.util.Arrays.copyOf(buf, len)
+  }
+
   /** The html template. Tags + entities exercise extractText; the
    *  "near <Entity>" marker is the geocoding hook. */
   def html(id: Long, seed: Long): Array[Byte] = {
@@ -67,19 +87,19 @@ object PagesKernel {
     val filler = langFiller(lang)
     val h = mix64(id * 2654435761L + seed)
     val nPara = 1 + java.lang.Long.remainderUnsigned(h, 4).toInt
-    val sb = new java.lang.StringBuilder(512)
-    sb.append("<html><head><title>Report ").append(id)
-      .append("</title><style>body{margin:0}</style>")
-      .append("<script>var x=1;</script></head><body>")
-    sb.append("<h1>Dispatch &amp; notes from near ").append(entityName(idx)).append("</h1>")
+    val sb = new ByteSink(640)
+    sb.add("<html><head><title>Report "); sb.addLong(id)
+    sb.add("</title><style>body{margin:0}</style>")
+    sb.add("<script>var x=1;</script></head><body>")
+    sb.add("<h1>Dispatch &amp; notes from near "); sb.add(entityName(idx)); sb.add("</h1>")
     var p = 0
     while (p < nPara) {
-      sb.append("<p>").append(filler).append(" segment ")
-        .append(java.lang.Long.toUnsignedString(mix64(h + p))).append("</p>")
+      sb.add("<p>"); sb.add(filler); sb.add(" segment ")
+      sb.addUnsigned(mix64(h + p)); sb.add("</p>")
       p += 1
     }
-    sb.append("</body></html>")
-    sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    sb.add("</body></html>")
+    sb.result()
   }
 
   // StaticInvoke-facing wrappers
