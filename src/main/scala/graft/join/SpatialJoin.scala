@@ -120,8 +120,11 @@ object SpatialJoin {
                  nSalts: Int = 8,
                  skewThreshold: Long = DefaultSkewThreshold,
                  lSuffix: String = "_left", rSuffix: String = "_right"): DataFrame = {
-    val l = suffixed(points, lSuffix).withColumn("__lidx", monotonically_increasing_id())
-    val r = suffixed(polys, rSuffix).withColumn("__ridx", monotonically_increasing_id())
+    // no row ids / dedupe here: the left side is points by contract, so each
+    // point carries exactly one (cell, salt) key and meets each polygon
+    // replica set at most once — a dedupe would add a full-width shuffle
+    val l = suffixed(points, lSuffix)
+    val r = suffixed(polys, rSuffix)
     val lg = col("geometry" + lSuffix)
     val rg = col("geometry" + rSuffix)
 
@@ -150,8 +153,7 @@ object SpatialJoin {
     lSalted
       .join(rSalted, Seq("__cell", "__salt"), "inner")
       .filter(st.st_joinRefine(lg, rg, lit(predicate.id)))
-      .dropDuplicates("__lidx", "__ridx")
-      .drop("__cell", "__salt", "__lidx", "__ridx")
+      .drop("__cell", "__salt")
   }
 
   /** Cell of a point geometry (exactly one — the no-replication left side). */

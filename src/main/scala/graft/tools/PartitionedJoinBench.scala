@@ -1,0 +1,55 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.join.{SpatialJoin, SpatialPredicate}
+import graft.pages.Pages
+import graft.pipeline.GeoPipeline
+
+/**
+ * Partitioned (shuffled, salted) spatial-join benchmark: large point set vs
+ * a polygon layer too big to broadcast comfortably — the cluster-scale path
+ * of the engine next to the broadcast fast path.
+ */
+object PartitionedJoinBench {
+  def main(args: Array[String]): Unit = {
+    val cores = if (args.nonEmpty) args(0).toInt else 32
+    val nPages = if (args.length > 1) args(1).toLong else 1600000L
+    val spark = SparkSession.builder().master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", math.max(cores, 32))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def force(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val pts = Pages.geocode(Pages.generate(spark, nPages, 42, 64), Pages.gazetteer(spark))
+      .select(col("url"), col("geometry"), col("s2_cell"))
+    // dense fine-grained polygon layer (32x64 = 2048 rects)
+    val layer = GeoPipeline.adminLayer(spark, nLat = 32, nLon = 64)
+
+    // warm-up
+    force(SpatialJoin.joinSalted(
+      Pages.geocode(Pages.generate(spark, 50000, 7, 64), Pages.gazetteer(spark))
+        .select(col("url"), col("geometry"), col("s2_cell")),
+      layer, SpatialPredicate.Intersects, cellLevel = 6, nSalts = 8,
+      skewThreshold = 20000))
+
+    def run(tag: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      force(df)
+      val pps = nPages / ((System.nanoTime() - t0) / 1e9)
+      println(f"PARTJOIN $tag pages_per_sec=$pps%.1f")
+    }
+    // salted shuffled join (hot gazetteer cells get split)
+    run("salted")(SpatialJoin.joinSalted(pts, layer, SpatialPredicate.Intersects,
+      cellLevel = 6, nSalts = 8, skewThreshold = 20000))
+    // shuffled (non-broadcast) generic path
+    run("shuffled")(SpatialJoin.join(pts, layer, SpatialPredicate.Intersects, "inner",
+      cellLevel = 6, broadcastRight = false, leftPointsOnly = true))
+    // broadcast baseline on the same layer
+    run("broadcast")(SpatialJoin.join(pts, layer, SpatialPredicate.Intersects, "inner",
+      cellLevel = 6, broadcastRight = true, leftPointsOnly = true))
+    spark.stop()
+  }
+}
