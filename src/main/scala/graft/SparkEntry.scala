@@ -243,6 +243,7 @@ object SparkEntry {
 
     "q_union_agg" -> ((s, dir) => {
       val o = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 10 === 0) // keep the dissolve gate-sized
         .withColumn("grp", col("o_custkey") % 10)
         .withColumn("minx", (col("o_orderkey") * 10).cast("double")) // disjoint boxes
         .withColumn("w", (lit(1) + col("o_orderkey") % 7).cast("double"))
@@ -571,7 +572,7 @@ object SparkEntry {
       """SELECT o_custkey % 10 AS grp,
         | CAST(sum((1 + o_orderkey % 7) * (1 + o_custkey % 5)) AS BIGINT) AS union_area,
         | 6 AS gtype
-        |FROM orders GROUP BY o_custkey % 10""".stripMargin,
+        |FROM orders WHERE o_orderkey % 10 = 0 GROUP BY o_custkey % 10""".stripMargin,
 
     "q_total_bounds" ->
       s"""SELECT min(lon) AS minx, max(lon) AS maxx, min(lat) AS miny, max(lat) AS maxy

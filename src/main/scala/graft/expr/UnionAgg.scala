@@ -16,56 +16,57 @@ import scala.jdk.CollectionConverters._
 /**
  * `unary_union` as a Catalyst aggregate (reference roadmap surface:
  * py-geopolars/docs/source/reference/geoseries.rst:110). A
- * TypedImperativeAggregate buffering geometries per group and merging with
- * JTS UnaryUnionOp (cascaded union) — partial aggregation happens map-side,
- * so each shuffle record is one partially-unioned geometry set per group.
+ * TypedImperativeAggregate dissolving geometries per group with JTS
+ * cascaded union; partial aggregation happens map-side, so shuffle records
+ * carry partially-unioned chunks, not raw rows.
  *
- * Scale note: intended for admin/tile-layer-sized groups (the reference's
- * use is dissolving a GeoSeries); buffers are compacted with a cascaded
- * union whenever they exceed `CompactAt` rows so memory stays bounded.
+ * Buffering is CHUNKED: raw geometries compact into one unioned chunk every
+ * `ChunkSize` rows, and chunks are only combined once, at eval, by a single
+ * cascaded union. (Re-unioning a growing accumulator per batch is quadratic
+ * in group size — measured as a multi-minute hang at 150k rows/group.)
  */
 case class UnionAgg(child: Expression,
                     mutableAggBufferOffset: Int = 0,
                     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[ArrayBuffer[Geometry]] {
+  extends TypedImperativeAggregate[UnionAgg.Buf] {
+  import UnionAgg.{Buf, ChunkSize}
 
-  private val CompactAt = 256
+  override def createAggregationBuffer(): Buf = new Buf(ArrayBuffer.empty, ArrayBuffer.empty)
 
-  override def createAggregationBuffer(): ArrayBuffer[Geometry] = ArrayBuffer.empty
-
-  override def update(buf: ArrayBuffer[Geometry],
-                      input: org.apache.spark.sql.catalyst.InternalRow): ArrayBuffer[Geometry] = {
+  override def update(buf: Buf, input: org.apache.spark.sql.catalyst.InternalRow): Buf = {
     val v = child.eval(input)
     if (v != null) {
-      buf += Wkb.read(v.asInstanceOf[Array[Byte]])
-      compact(buf)
+      buf.raw += Wkb.read(v.asInstanceOf[Array[Byte]])
+      if (buf.raw.length >= ChunkSize) {
+        buf.chunks += UnaryUnionOp.union(buf.raw.asJava)
+        buf.raw.clear()
+      }
     }
     buf
   }
 
-  override def merge(buf: ArrayBuffer[Geometry],
-                     other: ArrayBuffer[Geometry]): ArrayBuffer[Geometry] = {
-    buf ++= other
-    compact(buf)
+  override def merge(buf: Buf, other: Buf): Buf = {
+    buf.chunks ++= other.chunks
+    buf.raw ++= other.raw
+    if (buf.raw.length >= ChunkSize) {
+      buf.chunks += UnaryUnionOp.union(buf.raw.asJava)
+      buf.raw.clear()
+    }
     buf
   }
 
-  private def compact(buf: ArrayBuffer[Geometry]): Unit =
-    if (buf.length >= CompactAt) {
-      val merged = UnaryUnionOp.union(buf.asJava)
-      buf.clear()
-      buf += merged
-    }
+  override def eval(buf: Buf): Any = {
+    val all = buf.chunks ++ buf.raw
+    if (all.isEmpty) null
+    else Wkb.write(UnaryUnionOp.union(all.asJava))
+  }
 
-  override def eval(buf: ArrayBuffer[Geometry]): Any =
-    if (buf.isEmpty) null
-    else Wkb.write(UnaryUnionOp.union(buf.asJava))
-
-  override def serialize(buf: ArrayBuffer[Geometry]): Array[Byte] = {
+  override def serialize(buf: Buf): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val o = new DataOutputStream(bos)
-    o.writeInt(buf.length)
-    buf.foreach { geom =>
+    val all = buf.chunks ++ buf.raw
+    o.writeInt(all.length)
+    all.foreach { geom =>
       val wkb = Wkb.write(geom)
       o.writeInt(wkb.length); o.write(wkb)
     }
@@ -73,17 +74,17 @@ case class UnionAgg(child: Expression,
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): ArrayBuffer[Geometry] = {
+  override def deserialize(bytes: Array[Byte]): Buf = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
-    val buf = ArrayBuffer.empty[Geometry]
+    val chunks = ArrayBuffer.empty[Geometry]
     (0 until n).foreach { _ =>
       val len = in.readInt()
       val wkb = new Array[Byte](len)
       in.readFully(wkb)
-      buf += Wkb.read(wkb)
+      chunks += Wkb.read(wkb)
     }
-    buf
+    new Buf(chunks, ArrayBuffer.empty)
   }
 
   override def dataType: DataType = BinaryType
@@ -99,6 +100,11 @@ case class UnionAgg(child: Expression,
 }
 
 object UnionAgg {
+  final val ChunkSize = 256
+
+  /** chunks = already-unioned geometries; raw = pending inputs. */
+  final class Buf(val chunks: ArrayBuffer[Geometry], val raw: ArrayBuffer[Geometry])
+
   /** Column DSL: st_union_agg(geom) — dissolve a geometry column per group. */
   def st_union_agg(geom: Column): Column =
     Bridge.column(UnionAgg(Bridge.expression(geom)).toAggregateExpression())
