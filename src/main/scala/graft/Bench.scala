@@ -78,7 +78,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val benchPages = sys.env.get("SPARK_GRAFT_BENCH_PAGES").map(_.toLong).getOrElse {
-      if (sfDir.contains("sf0.1")) 800000L
+      if (sfDir.contains("sf0.1")) 1200000L
       else if (sfDir.contains("sf0.01")) 60000L else 10000L
     }
 
@@ -87,7 +87,7 @@ object Bench {
     // in bursts, so adjacent samples see similar interference. The 8->32
     // window is reported too but is capped by the host itself (a pure-ALU
     // Spark job measures ~0.67 on this box, see BENCH.md).
-    val samples = Seq(2, 8, 32, 2, 8, 32, 2, 8, 32).map(c => c -> pipelineThroughput(c, benchPages))
+    val samples = Seq(2, 8, 32, 2, 8, 2, 8, 32, 2, 8).map(c => c -> pipelineThroughput(c, benchPages))
     def best(c: Int) = samples.collect { case (`c`, v) => v }.max
     val pps2 = best(2); val pps8 = best(8); val pps32 = best(32)
     val efficiency = (pps8 / pps2) / 4.0
