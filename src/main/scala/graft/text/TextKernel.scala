@@ -122,7 +122,19 @@ object TextKernel {
    *  Uses String.indexOf (SIMD intrinsic) — measured ~2x faster than a
    *  scalar byte scan, and this runs once per page in the hot path. */
   def langId(text: UTF8String): UTF8String = {
-    val t = " " + text.toString.toLowerCase + " "
+    // one padded+lowercased copy instead of three (toString, toLowerCase,
+    // concat) — this runs per page in the hot generation path. ASCII fold is
+    // correct here: stopword patterns are ASCII; non-ASCII chars never match.
+    val src = text.toString
+    val arr = new Array[Char](src.length + 2)
+    arr(0) = ' '; arr(arr.length - 1) = ' '
+    var i = 0
+    while (i < src.length) {
+      val c = src.charAt(i)
+      arr(i + 1) = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+      i += 1
+    }
+    val t = new String(arr)
     var best = stopwordLangs.length // "und"
     var bestScore = 0
     var l = 0
