@@ -60,12 +60,16 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ============ relational baseline (Catalyst built-ins) ============
     // money sums accumulate as exact integer cents: FP summation order differs
-    // between engines, so round-after-float-sum is not reproducible
+    // between engines, so round-after-float-sum is not reproducible. Per-row
+    // rounding is floor(x+0.5), NOT round(): Spark's round re-rounds the
+    // shortest decimal repr (BigDecimal HALF_UP) while DuckDB rounds the
+    // binary double, and they disagree when x's shortest repr lands on .5;
+    // floor/+/* are bit-identical IEEE ops in both engines.
     "q1_agg" -> ((s, dir) => t(s, dir, "lineitem")
       .groupBy("l_returnflag", "l_linestatus")
-      .agg(sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_c"),
-        sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_base_c"),
-        round(avg("l_discount"), 6).as("avg_disc"),
+      .agg(sum(floor(col("l_quantity") * 100 + 0.5)).as("sum_qty_c"),
+        sum(floor(col("l_extendedprice") * 100 + 0.5)).as("sum_base_c"),
+        sum(floor(col("l_discount") * 10000 + 0.5)).as("sum_disc_c4"),
         count(lit(1)).as("cnt"))),
 
     "q3_revenue" -> ((s, dir) => t(s, dir, "customer")
@@ -73,8 +77,8 @@ object SparkEntry {
       .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
       .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
       .groupBy("o_orderkey")
-      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
-        .cast("long")).as("revenue_c4"))),
+      .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000 + 0.5))
+        .as("revenue_c4"))),
 
     "q_window_topn" -> ((s, dir) => t(s, dir, "orders")
       .withColumn("rnk", row_number().over(
@@ -403,7 +407,7 @@ object SparkEntry {
     "q_events_agg" -> ((s, dir) => t(s, dir, "events")
       .groupBy("event_type")
       .agg(count(lit(1)).as("cnt"),
-        sum(round(col("value") * 100).cast("long")).as("total_c"),
+        sum(floor(col("value") * 100 + 0.5)).as("total_c"),
         countDistinct("user_id").as("users"))),
 
     // ============ rows-only checks (not SQL-expressible) ============
@@ -411,8 +415,13 @@ object SparkEntry {
       col("custkey"),
       h3_cell(col("lat"), col("lon"), lit(6)).as("cell6"),
       h3_cell(col("lat"), col("lon"), lit(9)).as("cell9"),
+      // hierarchy consistency: the res-3 ancestor derived from the res-9 cell
+      // matches the one derived from the res-12 cell. Hex hierarchies are not
+      // perfectly nested, so this can differ for points within ~a res-12 cell
+      // of a res-3 boundary (~0.03% of uniform points); verified to hold for
+      // every point of this lattice at sf0.01 and sf0.1.
       (h3_parent(h3_cell(col("lat"), col("lon"), lit(9)), lit(3)) ===
-        h3_parent(h3_cell(col("lat"), col("lon"), lit(9)), lit(3))).as("parent_ok"))),
+        h3_parent(h3_cell(col("lat"), col("lon"), lit(12)), lit(3))).as("parent_ok"))),
 
     "q_s2_cells" -> ((s, dir) => custPoints(s, dir).select(
       col("custkey"),
@@ -442,14 +451,14 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        | sum(CAST(round(l_quantity*100) AS BIGINT)) AS sum_qty_c,
-        | sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_base_c,
-        | round(avg(l_discount),6) AS avg_disc,
+        | sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS sum_qty_c,
+        | sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS sum_base_c,
+        | sum(CAST(floor(l_discount*10000 + 0.5) AS BIGINT)) AS sum_disc_c4,
         | count(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "q3_revenue" ->
       """SELECT o_orderkey,
-        | sum(CAST(round(l_extendedprice*(1.0-l_discount)*10000) AS BIGINT)) AS revenue_c4
+        | sum(CAST(floor(l_extendedprice*(1.0-l_discount)*10000 + 0.5) AS BIGINT)) AS revenue_c4
         |FROM customer JOIN orders ON c_custkey=o_custkey
         |JOIN lineitem ON o_orderkey=l_orderkey
         |WHERE c_mktsegment='BUILDING' GROUP BY o_orderkey""".stripMargin,
@@ -642,6 +651,6 @@ object SparkEntry {
 
     "q_events_agg" ->
       """SELECT event_type, count(*) AS cnt,
-        | sum(CAST(round(value*100) AS BIGINT)) AS total_c,
+        | sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS total_c,
         | count(DISTINCT user_id) AS users FROM events GROUP BY event_type""".stripMargin)
 }

@@ -117,64 +117,106 @@ object S2 {
 
   /**
    * Complete covering of a lat/lon rectangle with cell ids at `level`.
-   * Strategy: sample corners, edge midpoints and center to find the (face,i,j)
-   * extent, then enumerate the ij-rectangle at `level`, expanded by one cell on
-   * every side as a safety margin. For rectangles spanning multiple faces,
-   * falls back to dense boundary sampling. Used for the polygon side of the
-   * cell-bucketed spatial join; completeness (superset) is what matters —
-   * refinement removes false positives.
+   *
+   * Per-face analytic bound: on every face, u and v restricted to the rect
+   * are monotone between critical lines, so their extrema over the rect are
+   * attained at rect corners/edge endpoints, on cardinal meridians
+   * (lon ≡ 0 mod 45° — face centers AND face boundaries of the equatorial
+   * faces, u/v axes of the polar faces), or at the equator. Evaluating the
+   * (unclamped) gnomonic u/v of that augmented sample grid on each face and
+   * clamping to the face square [-1,1]² therefore bounds the projection of
+   * every rect point that lands on that face — including points on the face
+   * boundary, where a sample from the far side clamps to exactly ±1. The ij
+   * rectangle of the clamped bound (± one cell of float-safety margin) is a
+   * complete covering. False-positive cells are fine (refinement removes
+   * them); missing a cell is not. Used by the polygon side of the
+   * cell-bucketed spatial join.
    */
+  // lat/lon bounding box of each face's point set (with FP-safety margin):
+  // equatorial faces reach |lat| 45° (at the centre meridian) and span 90° of
+  // lon; polar faces start at the corner latitude asin(1/sqrt(3)) = 33.557°.
+  // Face 3 wraps the antimeridian, so it carries two lon windows.
+  private val faceClipBoxes: Array[Array[(Double, Double, Double, Double)]] = {
+    val e = 0.5 // margin, degrees
+    Array(
+      Array((-45 - e, -45 - e, 45 + e, 45 + e)),                       // face 0
+      Array((-45 - e, 45 - e, 45 + e, 135 + e)),                       // face 1
+      Array((33.0, -180.0, 90.0, 180.0)),                              // face 2 (N pole)
+      Array((-45 - e, 135 - e, 45 + e, 180.0),
+            (-45 - e, -180.0, 45 + e, -135 + e)),                      // face 3 (wraps)
+      Array((-45 - e, -135 - e, 45 + e, -45 + e)),                     // face 4
+      Array((-90.0, -180.0, -33.0, 180.0)))                            // face 5 (S pole)
+  }
+
   def coverRect(minLat: Double, minLon: Double, maxLat: Double, maxLon: Double,
                 lvl: Int): Array[Long] = {
-    val samplesLat = Array(minLat, (minLat + maxLat) / 2, maxLat)
-    val samplesLon = Array(minLon, (minLon + maxLon) / 2, maxLon)
-    val pts = for (la <- samplesLat; lo <- samplesLon) yield (la, lo)
-    val faces = pts.map { case (la, lo) => face(leafCell(la, lo)) }.distinct
-    if (faces.length == 1) {
-      // single face: enumerate ij rectangle
-      val shift = 2 * 0 // ij at leaf precision, we shift below
-      val ijs = pts.map { case (la, lo) =>
-        val lat = math.toRadians(la); val lon = math.toRadians(lo)
-        val cl = math.cos(lat)
-        val x = cl * math.cos(lon); val y = cl * math.sin(lon); val z = math.sin(lat)
-        val (u, v) = faceXyzToUv(faces(0), x, y, z)
-        (stToIj(uvToSt(u)), stToIj(uvToSt(v)))
-      }
-      val cellShift = MaxLevel - lvl
-      var i0 = ijs.map(_._1).min >> cellShift
-      var i1 = ijs.map(_._1).max >> cellShift
-      var j0 = ijs.map(_._2).min >> cellShift
-      var j1 = ijs.map(_._2).max >> cellShift
-      val maxIj = (1 << lvl) - 1
-      i0 = math.max(0, i0 - 1); j0 = math.max(0, j0 - 1)
-      i1 = math.min(maxIj, i1 + 1); j1 = math.min(maxIj, j1 + 1)
-      val buf = new scala.collection.mutable.ArrayBuffer[Long]((i1 - i0 + 1) * (j1 - j0 + 1))
-      var i = i0
-      while (i <= i1) {
-        var j = j0
-        while (j <= j1) {
-          buf += parent(fromFaceIj(faces(0), i << cellShift, j << cellShift), lvl)
-          j += 1
+    val cellShift = MaxLevel - lvl
+    val maxIj = (1 << lvl) - 1
+    val set = new scala.collection.mutable.HashSet[Long]
+
+    var f = 0
+    while (f < 6) {
+      // unclamped uv bound over the augmented samples of the rect clipped to
+      // this face's lat/lon box (a superset of the face's point set, so the
+      // clip never excludes a rect point that lies on this face)
+      var uMin = Double.MaxValue; var uMax = Double.MinValue
+      var vMin = Double.MaxValue; var vMax = Double.MinValue
+      var any = false
+      for ((bLat0, bLon0, bLat1, bLon1) <- faceClipBoxes(f)) {
+        val cLat0 = math.max(minLat, bLat0); val cLat1 = math.min(maxLat, bLat1)
+        val cLon0 = math.max(minLon, bLon0); val cLon1 = math.min(maxLon, bLon1)
+        if (cLat0 <= cLat1 && cLon0 <= cLon1) {
+          // samples: corners/midpoints plus the u/v critical lines — every
+          // multiple of 45° lon (face centres + boundaries + polar axes) and
+          // the equator — when inside the clipped range
+          val latS = {
+            val b = scala.collection.mutable.SortedSet(cLat0, (cLat0 + cLat1) / 2, cLat1)
+            if (cLat0 < 0 && cLat1 > 0) b += 0.0
+            b
+          }
+          val lonS = {
+            val b = scala.collection.mutable.SortedSet(cLon0, (cLon0 + cLon1) / 2, cLon1)
+            var c = math.ceil(cLon0 / 45.0) * 45.0
+            while (c <= cLon1) { b += c; c += 45.0 }
+            b
+          }
+          for (la <- latS; lo <- lonS) {
+            val lat = math.toRadians(la); val lon = math.toRadians(lo)
+            val cl = math.cos(lat)
+            val x = cl * math.cos(lon); val y = cl * math.sin(lon); val z = math.sin(lat)
+            val denomOk = f match {
+              case 0 => x > 1e-12;  case 1 => y > 1e-12;  case 2 => z > 1e-12
+              case 3 => x < -1e-12; case 4 => y < -1e-12; case _ => z < -1e-12
+            }
+            if (denomOk) {
+              val (u, v) = faceXyzToUv(f, x, y, z)
+              any = true
+              if (u < uMin) uMin = u; if (u > uMax) uMax = u
+              if (v < vMin) vMin = v; if (v > vMax) vMax = v
+            }
+          }
         }
-        i += 1
       }
-      buf.toArray
-    } else {
-      // multi-face fallback: dense sampling at half-cell pitch (complete for
-      // the rectangle sizes our layers use), plus neighbors via the ±pitch grid
-      val pitch = approxEdgeDeg(lvl) / 2
-      val set = new scala.collection.mutable.HashSet[Long]
-      var la = minLat - pitch
-      while (la <= maxLat + pitch) {
-        var lo = minLon - pitch
-        while (lo <= maxLon + pitch) {
-          set += cellId(math.max(-89.9999, math.min(89.9999, la)),
-            math.max(-179.9999, math.min(179.9999, lo)), lvl)
-          lo += pitch
+      // skip faces whose uv box misses the face square entirely: no rect
+      // point projects onto this face (points exactly on a face boundary are
+      // caught by the >= comparisons plus the one-cell margin below)
+      if (any && uMax >= -1 && uMin <= 1 && vMax >= -1 && vMin <= 1) {
+        val i0 = math.max(0, (stToIj(uvToSt(math.max(-1, uMin))) >> cellShift) - 1)
+        val i1 = math.min(maxIj, (stToIj(uvToSt(math.min(1, uMax))) >> cellShift) + 1)
+        val j0 = math.max(0, (stToIj(uvToSt(math.max(-1, vMin))) >> cellShift) - 1)
+        val j1 = math.min(maxIj, (stToIj(uvToSt(math.min(1, vMax))) >> cellShift) + 1)
+        var i = i0
+        while (i <= i1) {
+          var j = j0
+          while (j <= j1) {
+            set += parent(fromFaceIj(f, i << cellShift, j << cellShift), lvl)
+            j += 1
+          }
+          i += 1
         }
-        la += pitch
       }
-      set.toArray
+      f += 1
     }
+    set.toArray
   }
 }

@@ -64,21 +64,40 @@ object SpatialJoin {
       s"join type '$joinType' not supported (reference supports Inner/Left only," +
         " spatial_index.rs:200-203)")
 
-    // per-side row ids play the role of the reference's lhs_index/rhs_index
-    // (spatial_index.rs:147-162). Deterministic per execution: derived from
-    // partition layout, used only within this one plan.
-    val l = suffixed(left, lSuffix).withColumn("__lidx", monotonically_increasing_id())
-    val r = suffixed(right, rSuffix).withColumn("__ridx", monotonically_increasing_id())
     val lg = col("geometry" + lSuffix)
     val rg = col("geometry" + rSuffix)
 
     // Point-only left side: exactly one cell per row, so each (l,r) candidate
-    // pair meets in at most one shared cell — no explode on the left and,
-    // crucially, no dedupe shuffle. With a broadcast right this plan is a pure
-    // scan + broadcast hash join: zero exchanges, embarrassingly parallel.
-    val lCells =
-      if (leftPointsOnly) l.withColumn("__cell", pointCell(lg, cellLevel))
-      else l.withColumn("__cell", explode(cellsFor(lg, cellLevel)))
+    // pair meets in at most one shared cell — no explode, no dedupe, and no
+    // row ids. Inner AND left join are both a single equi-join with the exact
+    // predicate folded into the join condition (left_outer emits the null-
+    // extended row natively). With a broadcast right this is a pure scan +
+    // broadcast hash join: zero exchanges, embarrassingly parallel.
+    if (leftPointsOnly) {
+      val l = suffixed(left, lSuffix)
+      val r = suffixed(right, rSuffix)
+      val lCells = l.withColumn("__cell", pointCell(lg, cellLevel))
+      val rCellsBase = r.withColumn("__cell_r", explode(cellsFor(rg, cellLevel)))
+      val rCells = if (broadcastRight) broadcast(rCellsBase) else rCellsBase
+      val cond = col("__cell") === col("__cell_r") &&
+        st.st_joinRefine(lg, rg, lit(predicate.id))
+      val jt = if (joinType == "left") "left_outer" else "inner"
+      return lCells.join(rCells, cond, jt).drop("__cell", "__cell_r")
+    }
+
+    // Generic path: the left side explodes to several covering cells, so a
+    // pair can meet more than once and dedupe needs per-side row ids (the
+    // reference's lhs_index/rhs_index, spatial_index.rs:147-162).
+    // monotonically_increasing_id is partition-layout dependent, and the left
+    // join below references `l` from two subtrees (matched + anti) — pin the
+    // ids with a lazy localCheckpoint so both subtrees read the same
+    // materialized ids (a lost block then fails the job instead of silently
+    // dropping/duplicating rows).
+    val lRaw = suffixed(left, lSuffix).withColumn("__lidx", monotonically_increasing_id())
+    val l = if (joinType == "left") lRaw.localCheckpoint(false) else lRaw
+    val r = suffixed(right, rSuffix).withColumn("__ridx", monotonically_increasing_id())
+
+    val lCells = l.withColumn("__cell", explode(cellsFor(lg, cellLevel)))
     val rCellsBase = r.withColumn("__cell", explode(cellsFor(rg, cellLevel)))
     val rCells = if (broadcastRight) broadcast(rCellsBase) else rCellsBase
 
@@ -90,8 +109,7 @@ object SpatialJoin {
 
     // two polygons can share several covering cells -> the same (l,r) pair
     // appears once per shared cell; the reference emits each pair once
-    val matched =
-      if (leftPointsOnly) candidates else candidates.dropDuplicates("__lidx", "__ridx")
+    val matched = candidates.dropDuplicates("__lidx", "__ridx")
 
     val result = joinType match {
       case "inner" => matched

@@ -46,9 +46,12 @@ object GeoPipeline {
             s2Level: Int = SpatialJoin.DefaultCellLevel,
             zooms: Seq[Int] = Seq(4, 8, 12),
             joinCellLevel: Int = 5): DataFrame = {
+    // fingerprint carries EVERY parameter that affects stage output — a
+    // missing one would silently resume a stale snapshot after a param change
+    val fp = s"n=$nPages,seed=$seed,s2=$s2Level,jcl=$joinCellLevel," +
+      s"z=${zooms.mkString("-")},parts=$numPartitions"
     def stage(name: String)(compute: => DataFrame): DataFrame = snapshotRoot match {
-      case Some(root) =>
-        Snapshot.runStage(spark, root, name, s"n=$nPages,seed=$seed,s2=$s2Level")(compute)
+      case Some(root) => Snapshot.runStage(spark, root, name, fp)(compute)
       case None => compute
     }
 

@@ -166,16 +166,31 @@ object Snapshot {
 
   final case class TaskMetric(taskIndex: Int, records: Long, millis: Long)
 
-  /** Capture per-task output metrics of the job(s) run inside `body`. */
+  /** Capture per-task output metrics of the job(s) run inside `body`.
+   *  Only successful task attempts count, and one metric is kept per
+   *  (stage, partition index) — otherwise failed or speculative attempts
+   *  would inflate row_count and duplicate partition rows in the metrics
+   *  table. Keyed by stage too so a multi-stage write doesn't collapse
+   *  distinct stages' partition 0s into one. */
   def withTaskMetrics[T](spark: SparkSession)(body: => T): (T, Seq[TaskMetric]) = {
-    val buf = ArrayBuffer.empty[TaskMetric]
+    val byTask = scala.collection.mutable.LinkedHashMap.empty[(Int, Int), TaskMetric]
+    val ownStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     val listener = new SparkListener {
+      // scope to jobs submitted while the listener is live (not a pre-existing
+      // concurrent job's stages); jobs another thread submits concurrently
+      // inside `body` are indistinguishable and still counted
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        j.stageInfos.foreach(si => ownStages.add(si.stageId))
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
-        if (t.taskMetrics != null && t.taskMetrics.outputMetrics != null &&
+        if (t.reason == org.apache.spark.Success && ownStages.contains(t.stageId) &&
+          t.taskMetrics != null && t.taskMetrics.outputMetrics != null &&
           t.taskMetrics.outputMetrics.recordsWritten > 0) {
-          buf.synchronized {
-            buf += TaskMetric(t.taskInfo.index, t.taskMetrics.outputMetrics.recordsWritten,
-              t.taskInfo.duration)
+          byTask.synchronized {
+            // last successful attempt wins (a speculative duplicate of a
+            // successful task writes the same committed output once)
+            byTask((t.stageId, t.taskInfo.index)) =
+              TaskMetric(t.taskInfo.index, t.taskMetrics.outputMetrics.recordsWritten,
+                t.taskInfo.duration)
           }
         }
       }
@@ -185,7 +200,7 @@ object Snapshot {
       val r = body
       // listener bus is async; drain before reading
       org.apache.spark.graftbridge.SparkBridge.drainListenerBus(spark.sparkContext)
-      (r, buf.synchronized(buf.toSeq))
+      (r, byTask.synchronized(byTask.values.toSeq))
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 }

@@ -72,6 +72,72 @@ class IndexSpec extends AnyFunSuite {
     }
   }
 
+  test("s2: coverRect complete for wide asymmetric rects at fine levels") {
+    // regression for the single-face extent bug: u/v extrema of a rect edge
+    // occur at the face-centre meridian / equator, not at corner samples, so
+    // wide rects asymmetric about the meridian used to miss cells at lvl>=9
+    val rnd = new scala.util.Random(99)
+    val rects = Seq(
+      // wide, asymmetric about face-0 meridian (the demonstrated failure)
+      (3.0, -41.0, 9.0, 12.0), (-12.0, -40.5, -2.0, 30.0),
+      // face-boundary straddlers
+      (10.0, 40.0, 18.0, 52.0), (-20.0, 130.0, -8.0, 142.0),
+      // polar and near-polar
+      (62.0, -170.0, 79.0, 20.0), (-80.0, 10.0, -55.0, 100.0),
+      // dateline-adjacent and equator straddler
+      (5.0, 168.0, 15.0, 179.9), (-6.0, -179.9, 4.0, -150.0))
+    for ((la0, lo0, la1, lo1) <- rects; lvl <- Seq(9, 10, 11, 12)) {
+      val cover = S2.coverRect(la0, lo0, la1, lo1, lvl).toSet
+      var k = 0
+      while (k < 3000) {
+        val la = la0 + rnd.nextDouble() * (la1 - la0)
+        val lo = lo0 + rnd.nextDouble() * (lo1 - lo0)
+        assert(cover.contains(S2.cellId(la, lo, lvl)),
+          s"uncovered ($la,$lo) lvl=$lvl rect=($la0,$lo0,$la1,$lo1)")
+        k += 1
+      }
+    }
+  }
+
+  test("s2: coverRect edge/corner stress (boundary-biased points)") {
+    // points biased to rect edges and corners, where ij truncation +
+    // face-boundary clamping interact
+    val rnd = new scala.util.Random(123)
+    (0 until 12).foreach { _ =>
+      val la0 = rnd.nextDouble() * 140 - 70
+      val lo0 = rnd.nextDouble() * 340 - 170
+      val la1 = la0 + rnd.nextDouble() * 25 + 0.05
+      val lo1 = lo0 + rnd.nextDouble() * 45 + 0.05
+      val lvl = 8 + rnd.nextInt(3)
+      val cover = S2.coverRect(la0, lo0, math.min(la1, 89.9), math.min(lo1, 179.9), lvl).toSet
+      val laB = math.min(la1, 89.9); val loB = math.min(lo1, 179.9)
+      val edgePts = Seq(
+        (la0, lo0), (la0, loB), (laB, lo0), (laB, loB),
+        (la0, (lo0 + loB) / 2), (laB, (lo0 + loB) / 2),
+        ((la0 + laB) / 2, lo0), ((la0 + laB) / 2, loB)) ++
+        (0 until 500).map { _ =>
+          if (rnd.nextBoolean()) (if (rnd.nextBoolean()) la0 else laB,
+            lo0 + rnd.nextDouble() * (loB - lo0))
+          else (la0 + rnd.nextDouble() * (laB - la0), if (rnd.nextBoolean()) lo0 else loB)
+        }
+      edgePts.foreach { case (la, lo) =>
+        assert(cover.contains(S2.cellId(la, lo, lvl)),
+          s"uncovered edge point ($la,$lo) lvl=$lvl rect=($la0,$lo0,$laB,$loB)")
+      }
+    }
+  }
+
+  test("s2: coverRect size stays proportional to rect area (no face blowup)") {
+    // a mid-latitude rect reaching into a polar face must not enumerate the
+    // whole polar face
+    val c = S2.coverRect(30.0, 0.0, 60.0, 90.0, 9)
+    // rect is ~30x90 deg; at level 9 (~0.176 deg cells) the area bound is
+    // ~(30/0.176)*(90/0.176)*distortion; whole-sphere would be 6*512*512=1.5M
+    assert(c.length < 500000, s"covering exploded: ${c.length}")
+    val small = S2.coverRect(40.0, 10.0, 40.5, 10.5, 9)
+    assert(small.length < 120, s"small covering too big: ${small.length}")
+  }
+
   test("s2: all six faces reachable") {
     val faces = Seq((0.0, 0.0), (0.0, 90.0), (89.0, 0.0), (0.0, 180.0), (0.0, -90.0),
       (-89.0, 0.0)).map { case (la, lo) => S2.face(S2.leafCell(la, lo)) }.toSet
