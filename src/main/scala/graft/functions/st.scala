@@ -135,6 +135,12 @@ object st {
   /** Dissolve per group (TypedImperativeAggregate over JTS cascaded union). */
   def st_union_agg(geom: Column): Column = graft.expr.UnionAgg.st_union_agg(geom)
 
+  /** Bounded per-group top-k (score, payload) pairs, best-first — the
+   *  scale-safe kNN reducer (map-side combine; shuffle carries <= k rows per
+   *  group per partition instead of the whole corpus through one window). */
+  def topk_by(score: Column, payload: Column, k: Int, asc: Boolean = true): Column =
+    graft.expr.TopKAgg.topk_by(score, payload, k, asc)
+
   // ---------- reshaping / CRS ----------
   def st_dump(wkb: Column): Column =
     invoke(G, "stDump", ArrayType(BinaryType, containsNull = false), false, wkb -> BinaryType)
