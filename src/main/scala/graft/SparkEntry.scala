@@ -7,7 +7,10 @@ import org.apache.spark.sql.functions._
 import graft.functions.st._
 import graft.geom.Wkb
 import graft.join.{SelfJoin, SpatialJoin, SpatialPredicate}
+import graft.pages.Pages
 import graft.pipeline.GeoPipeline
+import graft.snapshot.Snapshot
+import graft.sources.CellStore
 import org.locationtech.jts.geom.Coordinate
 
 /**
@@ -54,6 +57,10 @@ object SparkEntry {
       new Coordinate(maxx, maxy), new Coordinate(minx, maxy), new Coordinate(minx, miny))))
 
   private val joinBoxesSqlValues = joinBoxes
+    .map { case (id, a, b, c, d) => s"(CAST($id AS BIGINT), $a, $b, $c, $d)" }
+    .mkString(", ")
+
+  private val joinBoxes2SqlValues = joinBoxes.take(2)
     .map { case (id, a, b, c, d) => s"(CAST($id AS BIGINT), $a, $b, $c, $d)" }
     .mkString(", ")
 
@@ -279,6 +286,20 @@ object SparkEntry {
         .select(col("custkey_left").as("custkey"), col("box_id_right").as("box_id"))
     }),
 
+    "q_spatial_join_left" -> ((s, dir) => {
+      // left-join + suffix semantics — the reference's strongest correctness
+      // artifact (spatial_index.rs:479-480,535-552): unmatched left rows
+      // survive with NULL right columns
+      val pts = custPoints(s, dir)
+        .select(col("custkey"), st_point(col("lon"), col("lat")).as("geometry"))
+      val boxes = s.createDataFrame(
+        joinBoxes.take(2).map { case (id, a, b, c, d) => (id, boxWkb(a, b, c, d)) })
+        .toDF("box_id", "geometry")
+      SpatialJoin.join(pts, boxes, SpatialPredicate.Intersects, "left", cellLevel = 4,
+        leftPointsOnly = true)
+        .select(col("custkey_left").as("custkey"), col("box_id_right").as("box_id"))
+    }),
+
     "q_spatial_join_salted" -> ((s, dir) => {
       // the explicit-skew-salting path must produce the same rows as the
       // broadcast path; tiny threshold forces salting on every cell
@@ -411,6 +432,199 @@ object SparkEntry {
       .agg(count(lit(1)).as("cnt"),
         sum(floor(col("value") * 100 + 0.5)).as("total_c"),
         countDistinct("user_id").as("users"))),
+
+    // ============ structure / pipeline invariants with literal oracles ======
+    "q_explode" -> ((s, dir) => {
+      // st_dump over a MultiPolygon (union of two disjoint boxes) -> one row
+      // per part; distinct areas so the oracle pins both parts
+      val o = t(s, dir, "orders")
+        .withColumn("w", (lit(1) + col("o_orderkey") % 7).cast("double"))
+        .withColumn("h", (lit(1) + col("o_custkey") % 5).cast("double"))
+      val a = st_makeBox(lit(0.0), lit(0.0), col("w"), col("h"))
+      val b = st_makeBox(lit(100.0), lit(0.0), lit(100.0) + col("w") * 2, col("h"))
+      o.select(col("o_orderkey"), explode(st_dump(st_union(a, b))).as("part"))
+        .select(col("o_orderkey"), st_area(col("part")).as("part_area"),
+          st_geomType(col("part")).as("part_type"))
+    }),
+
+    "q_wkt" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .withColumn("x", ((col("c_custkey") % 200) + 0.5).cast("double"))
+        .withColumn("y", ((col("c_custkey") % 100) + 0.25).cast("double"))
+      val pt = st_point(col("x"), col("y"))
+      c.select(col("c_custkey"),
+        st_asText(pt).as("wkt"),
+        st_x(st_geomFromText(st_asText(pt))).as("rx"),
+        st_y(st_geomFromText(st_asText(pt))).as("ry"))
+    }),
+
+    "q_s2_props" -> ((s, dir) => custPoints(s, dir).select(
+      col("custkey"),
+      (s2_parent(s2_cell(col("lat"), col("lon"), lit(12)), lit(5)) ===
+        s2_cell(col("lat"), col("lon"), lit(5))).as("prefix5_ok"),
+      (s2_parent(s2_cell(col("lat"), col("lon"), lit(12)), lit(9)) ===
+        s2_cell(col("lat"), col("lon"), lit(9))).as("prefix9_ok"),
+      (s2_parent(s2_parent(s2_cell(col("lat"), col("lon"), lit(12)), lit(9)), lit(5)) ===
+        s2_cell(col("lat"), col("lon"), lit(5))).as("transitive_ok"))),
+
+    "q_geodesic_ell" -> ((s, dir) => {
+      // the two independent ellipsoid solvers (Vincenty iteration vs Karney
+      // series) must agree to ~1e-8 relative; both must sit within the
+      // sphere-vs-ellipsoid envelope (±1%) of haversine for non-degenerate
+      // segments
+      val l = t(s, dir, "lineitem")
+        .withColumn("lat1", ((col("l_orderkey") % 110) - 55 + 0.25).cast("double"))
+        .withColumn("lon1", ((col("l_partkey") % 340) - 170 + 0.25).cast("double"))
+        .withColumn("lat2", ((col("l_suppkey") % 110) - 55 + 0.25).cast("double"))
+        .withColumn("lon2", ((col("l_partkey") * 7 % 340) - 170 + 0.25).cast("double"))
+      val line = st_makeLine(col("lon1"), col("lat1"), col("lon2"), col("lat2"))
+      val v = st_geodesicLength(line, "vincenty")
+      val k = st_geodesicLength(line, "geodesic")
+      val hv = st_geodesicLength(line, "haversine")
+      // greatest(hv,1) keeps ANSI division happy on zero-length segments;
+      // the hv<1000 guard then accepts those degenerates outright
+      val ratio = k / greatest(hv, lit(1.0))
+      l.select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        (abs(v - k) / greatest(k, lit(1.0)) < 1e-8).as("vk_ok"),
+        (hv < 1000.0 || (ratio > 0.99 && ratio < 1.01)).as("ratio_ok"))
+    }),
+
+    "q_lang_known" -> ((s, dir) => {
+      // lang_id on sentences of KNOWN language (the documents table's lang
+      // labels are uncorrelated with its synthetic text, so accuracy there is
+      // bounded by the base rate — this pins real detector behaviour instead)
+      val samples = Seq(
+        (1L, "the cat sat on the mat and the dog is happy that it is warm"),
+        (2L, "this is the house of the man that came to the city in the night"),
+        (3L, "der hund ist nicht ein wolf und die katze ist nicht der hund"),
+        (4L, "das auto ist schnell und der zug ist nicht langsam"),
+        (5L, "el perro es grande y la casa de los vecinos es una maravilla"),
+        (6L, "la vida es bella y el mar que vemos es una fuente de calma"),
+        (7L, "le chien et le chat sont des animaux et la maison est une ruine"),
+        (8L, "les enfants sont dans le jardin et la mer est une merveille"),
+        (9L, "il cane e il gatto sono una famiglia che vive per la strada"),
+        (10L, "la pizza e la pasta sono il cibo che amiamo per la cena"),
+        (11L, "xyzzy qwerty plugh"))
+      s.createDataFrame(samples).toDF("sid", "sentence")
+        .select(col("sid"), lang_id(col("sentence")).as("lang_guess"))
+    }),
+
+    "q_ann_recall" -> ((s, dir) => {
+      // characterize single-probe SRP-LSH recall against brute-force top-1:
+      // measured ~4-17x the random-bucketing baseline (1/2^bits) on this
+      // data; gate at >4x. Brute force goes through the bounded topk_by.
+      val bits = 8
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          cosine_lsh_bucket(col("embedding"), lit(bits)).as("bkt"))
+      val q = e.filter(col("vec_id") < 30)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bkt").as("qb"))
+      val top1 = e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", cosine_sim(col("qe"), col("embedding")))
+        .groupBy("qid", "qb")
+        .agg(topk_by(col("cos"), col("vec_id"), 1, asc = false).as("tk"))
+        .select(col("qid"), col("qb"), element_at(col("tk"), 1).getField("payload").as("nn"))
+      top1.join(e.select(col("vec_id").as("nn"), col("bkt").as("nb")), "nn")
+        .agg(count(lit(1)).as("n_queries"),
+          (avg(when(col("qb") === col("nb"), 1.0).otherwise(0.0)) >
+            lit(4.0 / (1 << bits))).as("recall_gt_4x_random"))
+    }),
+
+    "q_text_stable" -> ((s, dir) => {
+      // byte-identical extracted text per url across parallelism levels
+      // (north rule invariant): same generator, 2 vs 16 partitions
+      val h1 = Pages.generate(s, 3000, 7, 2)
+        .select(col("url"), xxhash64(extract_text(col("html"))).as("h1"))
+      val h2 = Pages.generate(s, 3000, 7, 16)
+        .select(col("url"), xxhash64(extract_text(col("html"))).as("h2"))
+      h1.join(h2, "url")
+        .agg(count(lit(1)).as("n_urls"),
+          count(when(col("h1") =!= col("h2"), 1)).as("mismatches"))
+    }),
+
+    "q_snapshot_resume" -> ((s, dir) => {
+      // checkpoint-or-resume contract: a rerun with the same fingerprint must
+      // NOT recompute (the thunk is never evaluated) and must not advance
+      // CURRENT; rollback flips CURRENT back; history walks the chain
+      val root = java.nio.file.Files.createTempDirectory("graft-snap-gate").toString
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      Snapshot.runStage(s, root, "docs", "fp1")(docs)
+      val id1 = Snapshot.currentId(root).get
+      var recomputed = false
+      val resumed = Snapshot.runStage(s, root, "docs", "fp1") { recomputed = true; docs }
+      val id2 = Snapshot.currentId(root).get
+      val nRows = resumed.count()
+      Snapshot.write(docs.limit(10), root, "docs2", "fp2")
+      Snapshot.rollback(root, id1)
+      val rolledBack = Snapshot.currentId(root).get == id1
+      val histOk = Snapshot.history(root).map(_.snapshotId) == Seq(id1)
+      s.createDataFrame(Seq((nRows, !recomputed && id1 == id2, rolledBack, histOk)))
+        .toDF("n_rows", "resume_ok", "rollback_ok", "history_ok")
+    }),
+
+    "q_cellstore_prune" -> ((s, dir) => {
+      // cell-partitioned layout: a bbox read must touch strictly fewer files
+      // than the relation holds, and return exactly the bbox rows
+      val root = java.nio.file.Files.createTempDirectory("graft-cellstore-gate").toString
+      val pts = custPoints(s, dir)
+        .withColumn("s2_cell", s2_cell(col("lat"), col("lon"), lit(12)))
+      CellStore.write(pts, root, partLevel = 4)
+      def filesRead(df: DataFrame): Long = {
+        // collect() so the metric comes from THIS Dataset's QueryExecution
+        // (a write action plans a fresh one and leaves these metrics at zero)
+        df.collect()
+        import org.apache.spark.sql.execution.FileSourceScanExec
+        df.queryExecution.executedPlan.collectLeaves().collectFirst {
+          case f: FileSourceScanExec => f.metrics("numFiles").value
+        }.getOrElse(-1L)
+      }
+      val all = filesRead(s.read.parquet(root))
+      val bboxRead = CellStore.readBbox(s, root, 10.0, 10.0, 40.0, 60.0, partLevel = 4)
+      val prunedFiles = filesRead(bboxRead)
+      bboxRead
+        .filter(col("lat") > 10 && col("lat") < 40 && col("lon") > 10 && col("lon") < 60)
+        .agg(count(lit(1)).as("n_rows"))
+        .withColumn("pruned", lit(prunedFiles > 0 && prunedFiles < all))
+    }),
+
+    "q_image_decode" -> ((s, dir) => {
+      // REAL image decode (javax.imageio): encode a solid-colour PNG per row,
+      // decode it back, resize it — dimensions and channel means are exact
+      val c = t(s, dir, "customer").select(col("c_custkey").as("custkey"),
+        (lit(8) + col("c_custkey") % 16).cast("int").as("w"),
+        (lit(8) + col("c_custkey") % 8).cast("int").as("h"),
+        (col("c_custkey") * 37 % 256).cast("int").as("r"),
+        (col("c_custkey") * 59 % 256).cast("int").as("g"),
+        (col("c_custkey") * 83 % 256).cast("int").as("b"))
+      val png = png_const(col("w"), col("h"), col("r"), col("g"), col("b"))
+      val s1 = img_stats(png)
+      val s2 = img_stats(img_resize(png, lit(4), lit(4)))
+      c.select(col("custkey"),
+        s1.getField("width").as("width"), s1.getField("height").as("height"),
+        s1.getField("mean_r").as("mean_r"), s1.getField("mean_g").as("mean_g"),
+        s1.getField("mean_b").as("mean_b"),
+        s2.getField("width").as("rw"), s2.getField("height").as("rh"),
+        s2.getField("mean_r").as("rmean_r"))
+    }),
+
+    "q_pipeline_consistency" -> ((s, dir) => {
+      // two independent join strategies over the same geocoded pages —
+      // broadcast fast path vs explicitly salted shuffle — must emit the
+      // same (url, admin_id) rows
+      val g = Pages.geocode(Pages.generate(s, 2000, 42, 8), Pages.gazetteer(s))
+      val pts = g.select(col("url"), col("geometry"))
+      val admin = GeoPipeline.adminLayer(s)
+      val bj = SpatialJoin.join(pts, admin, SpatialPredicate.Intersects, "inner",
+        cellLevel = 5, leftPointsOnly = true)
+        .select(col("url_left").as("url"), col("admin_id_right").as("admin_id"))
+      val sj = SpatialJoin.joinSalted(pts, admin, SpatialPredicate.Intersects,
+        cellLevel = 5, nSalts = 4, skewThreshold = 10)
+        .select(col("url_left").as("url"), col("admin_id_right").as("admin_id"))
+      val nB = bj.count(); val nS = sj.count()
+      val rowsEq = bj.except(sj).isEmpty && sj.except(bj).isEmpty
+      s.createDataFrame(Seq((nB > 0, nB == nS, rowsEq)))
+        .toDF("nonempty", "counts_eq", "rows_eq")
+    }),
 
     // ============ rows-only checks (not SQL-expressible) ============
     "q_h3_cells" -> ((s, dir) => custPoints(s, dir).select(
@@ -600,6 +814,72 @@ object SparkEntry {
          | p AS ($custPointsSql)
          |SELECT p.custkey, b.box_id FROM p, b
          |WHERE p.lon > b.minx AND p.lon < b.maxx AND p.lat > b.miny AND p.lat < b.maxy""".stripMargin,
+
+    "q_spatial_join_left" ->
+      s"""WITH b(box_id, minx, miny, maxx, maxy) AS (VALUES $joinBoxes2SqlValues),
+         | p AS ($custPointsSql)
+         |SELECT p.custkey, b.box_id FROM p LEFT JOIN b
+         |ON p.lon > b.minx AND p.lon < b.maxx AND p.lat > b.miny AND p.lat < b.maxy""".stripMargin,
+
+    "q_explode" ->
+      """SELECT o_orderkey, CAST(w*h AS DOUBLE) AS part_area, 3 AS part_type
+        |FROM (SELECT o_orderkey, 1 + o_orderkey % 7 AS w, 1 + o_custkey % 5 AS h FROM orders)
+        |UNION ALL
+        |SELECT o_orderkey, CAST(2*w*h AS DOUBLE) AS part_area, 3 AS part_type
+        |FROM (SELECT o_orderkey, 1 + o_orderkey % 7 AS w, 1 + o_custkey % 5 AS h FROM orders)""".stripMargin,
+
+    "q_wkt" ->
+      """SELECT c_custkey,
+        | 'POINT (' || CAST(x AS VARCHAR) || ' ' || CAST(y AS VARCHAR) || ')' AS wkt,
+        | x AS rx, y AS ry
+        |FROM (SELECT c_custkey, CAST((c_custkey % 200) + 0.5 AS DOUBLE) AS x,
+        |  CAST((c_custkey % 100) + 0.25 AS DOUBLE) AS y FROM customer)""".stripMargin,
+
+    "q_s2_props" ->
+      s"""SELECT custkey, TRUE AS prefix5_ok, TRUE AS prefix9_ok, TRUE AS transitive_ok
+         |FROM ($custPointsSql)""".stripMargin,
+
+    "q_geodesic_ell" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        | TRUE AS vk_ok, TRUE AS ratio_ok FROM lineitem""".stripMargin,
+
+    "q_lang_known" ->
+      """SELECT * FROM (VALUES
+        | (CAST(1 AS BIGINT),'en'), (CAST(2 AS BIGINT),'en'),
+        | (CAST(3 AS BIGINT),'de'), (CAST(4 AS BIGINT),'de'),
+        | (CAST(5 AS BIGINT),'es'), (CAST(6 AS BIGINT),'es'),
+        | (CAST(7 AS BIGINT),'fr'), (CAST(8 AS BIGINT),'fr'),
+        | (CAST(9 AS BIGINT),'it'), (CAST(10 AS BIGINT),'it'),
+        | (CAST(11 AS BIGINT),'und')) AS t(sid, lang_guess)""".stripMargin,
+
+    "q_ann_recall" ->
+      """SELECT count(*) AS n_queries, TRUE AS recall_gt_4x_random
+        |FROM embeddings WHERE vec_id < 30""".stripMargin,
+
+    "q_text_stable" ->
+      "SELECT CAST(3000 AS BIGINT) AS n_urls, CAST(0 AS BIGINT) AS mismatches",
+
+    "q_snapshot_resume" ->
+      """SELECT count(*) AS n_rows, TRUE AS resume_ok, TRUE AS rollback_ok,
+        | TRUE AS history_ok FROM documents""".stripMargin,
+
+    "q_cellstore_prune" ->
+      s"""SELECT count(*) AS n_rows, TRUE AS pruned FROM ($custPointsSql)
+         |WHERE lat > 10 AND lat < 40 AND lon > 10 AND lon < 60""".stripMargin,
+
+    "q_image_decode" ->
+      """SELECT c_custkey AS custkey,
+        | CAST(8 + c_custkey % 16 AS INTEGER) AS width,
+        | CAST(8 + c_custkey % 8 AS INTEGER) AS height,
+        | CAST(c_custkey * 37 % 256 AS DOUBLE) AS mean_r,
+        | CAST(c_custkey * 59 % 256 AS DOUBLE) AS mean_g,
+        | CAST(c_custkey * 83 % 256 AS DOUBLE) AS mean_b,
+        | CAST(4 AS INTEGER) AS rw, CAST(4 AS INTEGER) AS rh,
+        | CAST(c_custkey * 37 % 256 AS DOUBLE) AS rmean_r
+        |FROM customer""".stripMargin,
+
+    "q_pipeline_consistency" ->
+      "SELECT TRUE AS nonempty, TRUE AS counts_eq, TRUE AS rows_eq",
 
     "q_knn_points" ->
       s"""WITH q(qid, qx, qy) AS (VALUES (CAST(1 AS BIGINT), 0.5, 10.5),

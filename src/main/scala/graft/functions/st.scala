@@ -201,4 +201,27 @@ object st {
   def cosine_lsh_bucket(a: Column, nBits: Column): Column =
     invoke(T, "cosineLshBucket", LongType, false,
       a -> ArrayType(FloatType), nBits -> IntegerType)
+
+  // ---------- multimodal: real JDK image codecs (PNG/BMP/GIF/JPEG) ----------
+  private val M = graft.multimodal.ImageKernel.getClass
+  private val imgStatsSchema = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("mean_r", DoubleType, nullable = false),
+    StructField("mean_g", DoubleType, nullable = false),
+    StructField("mean_b", DoubleType, nullable = false)))
+
+  /** Deterministic solid-colour PNG (test/gate image source). */
+  def png_const(w: Column, h: Column, r: Column, g: Column, b: Column): Column =
+    invoke(M, "pngConst", BinaryType, false, w -> IntegerType, h -> IntegerType,
+      r -> IntegerType, g -> IntegerType, b -> IntegerType)
+
+  /** Decode + per-channel stats; NULL for bytes no JDK reader accepts. */
+  def img_stats(bytes: Column): Column =
+    invoke(M, "imgStats", imgStatsSchema, true, bytes -> BinaryType)
+
+  /** Nearest-neighbour resize re-encoded as PNG; NULL if undecodable. */
+  def img_resize(bytes: Column, w: Column, h: Column): Column =
+    invoke(M, "imgResize", BinaryType, true,
+      bytes -> BinaryType, w -> IntegerType, h -> IntegerType)
 }

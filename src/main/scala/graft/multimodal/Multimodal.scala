@@ -9,11 +9,12 @@ import org.apache.spark.sql.functions._
  * feature-extraction runs partition-batched so a real codec (JNI or a
  * vectorized library) can amortize per-batch setup.
  *
- * The decode step itself is a STUB: no image/audio libraries ship in this
- * container, so `FakeCodec` produces deterministic pseudo-features from the
- * bytes. The Spark-side plumbing — schema, batch shape, partitioning,
- * null-safety — is real and tested; swapping in a true codec is a one-object
- * change behind the `MediaCodec` interface.
+ * Image decode is REAL: `ImageIoCodec` / `ImageKernel` ride the JDK's own
+ * javax.imageio readers (PNG/BMP/GIF/JPEG). Audio/video decode remains a
+ * STUB (`FakeCodec`, deterministic pseudo-features) because the JDK ships no
+ * codec for them; the plumbing — schema, batch shape, partitioning,
+ * null-safety — is identical either way, and swapping in a true codec is a
+ * one-object change behind the `MediaCodec` interface.
  */
 object Multimodal {
 
