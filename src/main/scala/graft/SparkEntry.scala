@@ -433,6 +433,38 @@ object SparkEntry {
         sum(floor(col("value") * 100 + 0.5)).as("total_c"),
         countDistinct("user_id").as("users"))),
 
+    // ============ CRS: UTM + LAEA (general to_crs) ============
+    "q_utm" -> ((s, dir) => {
+      // per-point UTM zone, round trip through the zone CRS, and local scale
+      // checked against the Karney geodesic (TM envelope within a zone)
+      val p = custPoints(s, dir)
+      val srid = utm_srid(col("lat"), col("lon"))
+      val pt = st_point(col("lon"), col("lat"))
+      val prj = st_transform(pt, lit(4326), srid)
+      val back = st_transform(prj, srid, lit(4326))
+      val prj2 = st_transform(st_point(col("lon") + 0.01, col("lat")), lit(4326), srid)
+      val ratio = st_distance(prj, prj2) /
+        st_geodesicLength(st_makeLine(col("lon"), col("lat"),
+          col("lon") + 0.01, col("lat")), "geodesic")
+      p.select(col("custkey"),
+        (srid % 100).cast("int").as("zone"),
+        (srid < 32700).as("north"),
+        (abs(st_x(back) - col("lon")) < 1e-9 && abs(st_y(back) - col("lat")) < 1e-9)
+          .as("rt_ok"),
+        (ratio > 0.9995 && ratio < 1.0011).as("scale_ok"))
+    }),
+
+    "q_laea" -> ((s, dir) => {
+      // EPSG:3035 easting/northing over the European window, value-checked
+      // against the full Snyder formula spelled out in the oracle SQL
+      val p = custPoints(s, dir)
+        .filter(col("lat") > 34 && col("lat") < 70 && col("lon") > -10 && col("lon") < 40)
+      val prj = st_transform(st_point(col("lon"), col("lat")), lit(4326), lit(3035))
+      p.select(col("custkey"),
+        round(st_x(prj), 3).as("ex"),
+        round(st_y(prj), 3).as("ey"))
+    }),
+
     // ============ structure / pipeline invariants with literal oracles ======
     "q_explode" -> ((s, dir) => {
       // st_dump over a MultiPolygon (union of two disjoint boxes) -> one row
@@ -814,6 +846,28 @@ object SparkEntry {
          | p AS ($custPointsSql)
          |SELECT p.custkey, b.box_id FROM p, b
          |WHERE p.lon > b.minx AND p.lon < b.maxx AND p.lat > b.miny AND p.lat < b.maxy""".stripMargin,
+
+    "q_utm" ->
+      s"""SELECT custkey,
+         | CAST(floor((lon + 180.0) / 6.0) + 1 AS INTEGER) AS zone,
+         | lat >= 0 AS north, TRUE AS rt_ok, TRUE AS scale_ok
+         |FROM ($custPointsSql)""".stripMargin,
+
+    "q_laea" ->
+      s"""WITH p AS (SELECT custkey, lat, lon FROM ($custPointsSql)
+         |  WHERE lat > 34 AND lat < 70 AND lon > -10 AND lon < 40),
+         | c AS (SELECT custkey, radians(lon - 10.0) AS lam,
+         |   0.006694380022900787 AS e2, 0.08181919104281579 AS e,
+         |   1.9955310874809387 AS qp, 6371007.1808835175 AS rq,
+         |   0.7866706332158556 AS sinb0, 0.6173729139148921 AS cosb0,
+         |   sin(radians(lat)) AS s FROM p),
+         | q AS (SELECT *, (1.0-e2) * (s/(1.0-e2*s*s) - (1.0/(2.0*e))*ln((1.0-e*s)/(1.0+e*s))) AS qq FROM c),
+         | b AS (SELECT *, asin(qq/qp) AS beta FROM q),
+         | g AS (SELECT *, rq * sqrt(2.0/(1.0 + sinb0*sin(beta) + cosb0*cos(beta)*cos(lam))) AS bb FROM b)
+         |SELECT custkey,
+         | round(4321000.0 + bb*cos(beta)*sin(lam), 3) AS ex,
+         | round(3210000.0 + bb*(cosb0*sin(beta) - sinb0*cos(beta)*cos(lam)), 3) AS ey
+         |FROM g""".stripMargin,
 
     "q_spatial_join_left" ->
       s"""WITH b(box_id, minx, miny, maxx, maxy) AS (VALUES $joinBoxes2SqlValues),

@@ -151,6 +151,10 @@ object st {
       wkb -> BinaryType, fromSrid -> IntegerType, toSrid -> IntegerType)
 
   // ---------- spatial index ----------
+  /** EPSG code of the WGS84 UTM zone containing a point. */
+  def utm_srid(lat: Column, lon: Column): Column =
+    invoke(G, "utmSrid", IntegerType, false, lat -> DoubleType, lon -> DoubleType)
+
   def s2_cell(lat: Column, lon: Column, level: Column): Column =
     invoke(I, "s2Cell", LongType, false,
       lat -> DoubleType, lon -> DoubleType, level -> IntegerType)

@@ -342,28 +342,26 @@ object GeomKernel {
 
   // ================= CRS =================
   // The reference reprojects vertex-wise via PROJ (ops/proj.rs:33-70). PROJ is
-  // unavailable offline; we implement the pair the web-map workload needs:
-  // EPSG:4326 (WGS84 lon/lat) <-> EPSG:3857 (web mercator), vertex-wise like
-  // the reference.
-
-  private val R3857 = 6378137.0
+  // unavailable offline; Proj.scala implements the projections the workload
+  // needs directly (4326, 3857, all 120 WGS84 UTM zones via 4th-order Krüger
+  // Transverse Mercator, and EPSG:3035 LAEA). Any supported pair routes
+  // through lon/lat, vertex-wise like the reference.
 
   def stTransform(wkb: Array[Byte], fromSrid: Int, toSrid: Int): Array[Byte] = {
     if (fromSrid == toSrid) return wkb
+    if (!Proj.isSupported(fromSrid)) Proj.toLonLat(fromSrid, 0, 0) // throws with message
+    if (!Proj.isSupported(toSrid)) Proj.fromLonLat(toSrid, 0, 0)
     val geom = g(wkb).copy()
-    val filter: CoordinateFilter =
-      if (fromSrid == 4326 && toSrid == 3857) { (c: Coordinate) =>
-        c.x = math.toRadians(c.x) * R3857
-        c.y = math.log(math.tan(math.Pi / 4 + math.toRadians(c.y) / 2)) * R3857
-      } else if (fromSrid == 3857 && toSrid == 4326) { (c: Coordinate) =>
-        c.x = math.toDegrees(c.x / R3857)
-        c.y = math.toDegrees(2 * math.atan(math.exp(c.y / R3857)) - math.Pi / 2)
-      } else {
-        throw new IllegalArgumentException(
-          s"st_transform: unsupported CRS pair $fromSrid -> $toSrid (supported: 4326<->3857)")
-      }
+    val filter: CoordinateFilter = { (c: Coordinate) =>
+      val (lon, lat) = Proj.toLonLat(fromSrid, c.x, c.y)
+      val (x, y) = Proj.fromLonLat(toSrid, lon, lat)
+      c.x = x; c.y = y
+    }
     geom.apply(filter)
     geom.geometryChanged()
     out(geom)
   }
+
+  /** EPSG code of the WGS84 UTM zone containing a point. */
+  def utmSrid(lat: Double, lon: Double): Int = Proj.utmSrid(lat, lon)
 }

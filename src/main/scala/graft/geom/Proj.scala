@@ -1,0 +1,237 @@
+package graft.geom
+
+/**
+ * Pure-math CRS reprojection for the codes a web-map / analytics workload
+ * actually hits, replacing the reference's PROJ pipeline dependency
+ * (reference: geopolars/geopolars-geo/src/ops/proj.rs:33-70 — arbitrary PROJ
+ * strings, vertex-wise; PROJ does not ship offline, so we implement the
+ * projections themselves):
+ *
+ *   - EPSG:4326            WGS84 lon/lat (the hub CRS)
+ *   - EPSG:3857            Web-Mercator (sphere)
+ *   - EPSG:32601..32660    WGS84 / UTM north zones  (Transverse Mercator)
+ *   - EPSG:32701..32760    WGS84 / UTM south zones
+ *   - EPSG:3035            ETRS89-extended / LAEA Europe (GRS80)
+ *
+ * Transverse Mercator uses the 4th-order Krüger series in n (Karney 2011,
+ * "Transverse Mercator with an accuracy of a few nanometers", the series
+ * form also printed in OGP Guidance Note 7-2) with an exact Newton inverse
+ * of the conformal latitude — sub-micrometer in-zone accuracy. LAEA follows
+ * Snyder 1987 §24 (ellipsoidal case) with the authalic-latitude series
+ * inverse. Everything is per-vertex scalar math: it runs inside whole-stage
+ * codegen via GeomKernel.stTransform like every other kernel.
+ */
+object Proj {
+
+  // WGS84
+  private val A84 = 6378137.0
+  private val F84 = 1.0 / 298.257223563
+  // GRS80 (ETRS89)
+  private val A80 = 6378137.0
+  private val F80 = 1.0 / 298.257222101
+
+  final case class Ellipsoid(a: Double, f: Double) {
+    val n: Double = f / (2 - f)
+    val e2: Double = f * (2 - f)
+    val e: Double = math.sqrt(e2)
+    // rectifying radius A = a/(1+n) (1 + n²/4 + n⁴/64 + ...)
+    val rectA: Double = a / (1 + n) * (1 + n * n / 4 + n * n * n * n / 64)
+    // Krüger forward (alpha) and inverse (beta) coefficients, order n^4
+    val alpha: Array[Double] = {
+      val n2 = n * n; val n3 = n2 * n; val n4 = n3 * n
+      Array(
+        n / 2 - 2 * n2 / 3 + 5 * n3 / 16 + 41 * n4 / 180,
+        13 * n2 / 48 - 3 * n3 / 5 + 557 * n4 / 1440,
+        61 * n3 / 240 - 103 * n4 / 140,
+        49561 * n4 / 161280)
+    }
+    val beta: Array[Double] = {
+      val n2 = n * n; val n3 = n2 * n; val n4 = n3 * n
+      Array(
+        n / 2 - 2 * n2 / 3 + 37 * n3 / 96 - n4 / 360,
+        n2 / 48 + n3 / 15 - 437 * n4 / 1440,
+        17 * n3 / 480 - 37 * n4 / 840,
+        4397 * n4 / 161280)
+    }
+  }
+
+  val Wgs84: Ellipsoid = Ellipsoid(A84, F84)
+  val Grs80: Ellipsoid = Ellipsoid(A80, F80)
+
+  // ---------------- Transverse Mercator (Krüger series) ----------------
+
+  /** lon/lat degrees -> TM easting/northing (meters). */
+  def tmForward(ell: Ellipsoid, lonDeg: Double, latDeg: Double,
+                lon0Deg: Double, k0: Double, fe: Double, fn: Double): (Double, Double) = {
+    val phi = math.toRadians(latDeg)
+    val lam = math.toRadians(lonDeg - lon0Deg)
+    val e = ell.e
+    val sphi = math.sin(phi)
+    // conformal latitude: tau' = sinh(asinh(tan phi) - e atanh(e sin phi)) …
+    // computed via t = sinh(psi), psi = atanh(sin phi) - e atanh(e sin phi)
+    val psi = atanh(sphi) - e * atanh(e * sphi)
+    val t = math.sinh(psi)
+    val xiP = math.atan2(t, math.cos(lam))
+    val etaP = asinh(math.sin(lam) / math.hypot(t, math.cos(lam)))
+    var xi = xiP; var eta = etaP
+    var j = 0
+    while (j < 4) {
+      val k = 2.0 * (j + 1)
+      xi += ell.alpha(j) * math.sin(k * xiP) * math.cosh(k * etaP)
+      eta += ell.alpha(j) * math.cos(k * xiP) * math.sinh(k * etaP)
+      j += 1
+    }
+    (fe + k0 * ell.rectA * eta, fn + k0 * ell.rectA * xi)
+  }
+
+  /** TM easting/northing -> lon/lat degrees. */
+  def tmInverse(ell: Ellipsoid, x: Double, y: Double,
+                lon0Deg: Double, k0: Double, fe: Double, fn: Double): (Double, Double) = {
+    val xi = (y - fn) / (k0 * ell.rectA)
+    val eta = (x - fe) / (k0 * ell.rectA)
+    var xiP = xi; var etaP = eta
+    var j = 0
+    while (j < 4) {
+      val k = 2.0 * (j + 1)
+      xiP -= ell.beta(j) * math.sin(k * xi) * math.cosh(k * eta)
+      etaP -= ell.beta(j) * math.cos(k * xi) * math.sinh(k * eta)
+      j += 1
+    }
+    val lam = math.atan2(math.sinh(etaP), math.cos(xiP))
+    // tau' = tan(conformal latitude)
+    val tauP = math.sin(xiP) / math.hypot(math.sinh(etaP), math.cos(xiP))
+    // Newton-invert tau' -> tau = tan(phi) (Karney's exact inverse)
+    val e = ell.e
+    var tau = tauP
+    var i = 0
+    while (i < 6) {
+      val s = math.sinh(e * atanh(e * tau / math.hypot(1.0, tau)))
+      val tauPi = tau * math.hypot(1.0, s) - s * math.hypot(1.0, tau)
+      val dtau = (tauP - tauPi) * (1 + (1 - ell.e2) * tau * tau) /
+        ((1 - ell.e2) * math.hypot(1.0, tauPi) * math.hypot(1.0, tau))
+      tau += dtau
+      if (math.abs(dtau) < 1e-15 * math.max(1.0, math.abs(tau))) i = 6
+      i += 1
+    }
+    (lon0Deg + math.toDegrees(lam), math.toDegrees(math.atan(tau)))
+  }
+
+  @inline private def atanh(x: Double): Double = 0.5 * math.log((1 + x) / (1 - x))
+  @inline private def asinh(x: Double): Double = math.log(x + math.hypot(1.0, x))
+
+  // ---------------- Lambert Azimuthal Equal Area (Snyder §24) ----------------
+
+  /** Snyder's q (authalic-area function); q/qp = sin(authalic latitude). */
+  def authalicQ(ell: Ellipsoid, sphi: Double): Double = {
+    val e = ell.e
+    (1 - ell.e2) * (sphi / (1 - ell.e2 * sphi * sphi) -
+      (1 / (2 * e)) * math.log((1 - e * sphi) / (1 + e * sphi)))
+  }
+
+  /** LAEA forward; lat0/lon0 in degrees. */
+  def laeaForward(ell: Ellipsoid, lonDeg: Double, latDeg: Double,
+                  lat0Deg: Double, lon0Deg: Double,
+                  fe: Double, fn: Double): (Double, Double) = {
+    val qp = authalicQ(ell, 1.0)
+    val q = authalicQ(ell, math.sin(math.toRadians(latDeg)))
+    val q0 = authalicQ(ell, math.sin(math.toRadians(lat0Deg)))
+    val beta = math.asin(clamp1(q / qp))
+    val beta0 = math.asin(clamp1(q0 / qp))
+    val rq = ell.a * math.sqrt(qp / 2)
+    val lam = math.toRadians(lonDeg - lon0Deg)
+    val denom = 1 + math.sin(beta0) * math.sin(beta) +
+      math.cos(beta0) * math.cos(beta) * math.cos(lam)
+    val b = rq * math.sqrt(2 / denom)
+    val x = fe + b * math.cos(beta) * math.sin(lam)
+    val y = fn + b * (math.cos(beta0) * math.sin(beta) -
+      math.sin(beta0) * math.cos(beta) * math.cos(lam))
+    (x, y)
+  }
+
+  /** LAEA inverse. */
+  def laeaInverse(ell: Ellipsoid, x0: Double, y0: Double,
+                  lat0Deg: Double, lon0Deg: Double,
+                  fe: Double, fn: Double): (Double, Double) = {
+    val qp = authalicQ(ell, 1.0)
+    val q0 = authalicQ(ell, math.sin(math.toRadians(lat0Deg)))
+    val beta0 = math.asin(clamp1(q0 / qp))
+    val rq = ell.a * math.sqrt(qp / 2)
+    val x = x0 - fe; val y = y0 - fn
+    val rho = math.hypot(x, y)
+    if (rho < 1e-12) return (lon0Deg, lat0Deg)
+    val ce = 2 * math.asin(clamp1(rho / (2 * rq)))
+    val beta = math.asin(clamp1(math.cos(ce) * math.sin(beta0) +
+      y * math.sin(ce) * math.cos(beta0) / rho))
+    val lam = math.atan2(x * math.sin(ce),
+      rho * math.cos(beta0) * math.cos(ce) - y * math.sin(beta0) * math.sin(ce))
+    // authalic -> geodetic latitude: series start, then Newton on q(sin phi)
+    // (the O(e^6) series alone leaves ~1e-9 deg; two Newton steps reach ulp)
+    val e2 = ell.e2; val e4 = e2 * e2; val e6 = e4 * e2
+    var phi = beta +
+      (e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) * math.sin(2 * beta) +
+      (23 * e4 / 360 + 251 * e6 / 3780) * math.sin(4 * beta) +
+      (761 * e6 / 45360) * math.sin(6 * beta)
+    val qTarget = qp * math.sin(beta)
+    var it = 0
+    while (it < 3) {
+      val sphi = math.sin(phi)
+      val denom = 1 - e2 * sphi * sphi
+      val dq = 2 * (1 - e2) * math.cos(phi) / (denom * denom)
+      if (math.abs(dq) > 1e-16) phi += (qTarget - authalicQ(ell, sphi)) / dq
+      it += 1
+    }
+    (lon0Deg + math.toDegrees(lam), math.toDegrees(phi))
+  }
+
+  @inline private def clamp1(x: Double): Double = math.max(-1.0, math.min(1.0, x))
+
+  // ---------------- SRID dispatch ----------------
+
+  final val UtmK0 = 0.9996
+
+  /** UTM zone (1..60) containing a longitude. */
+  def utmZone(lonDeg: Double): Int =
+    math.min(60, math.max(1, (math.floor((lonDeg + 180.0) / 6.0) + 1).toInt))
+
+  /** EPSG code of the WGS84 UTM zone containing a point. */
+  def utmSrid(latDeg: Double, lonDeg: Double): Int =
+    (if (latDeg >= 0) 32600 else 32700) + utmZone(lonDeg)
+
+  def isSupported(srid: Int): Boolean =
+    srid == 4326 || srid == 3857 || srid == 3035 ||
+      (srid > 32600 && srid <= 32660) || (srid > 32700 && srid <= 32760)
+
+  private val R3857 = 6378137.0
+
+  /** Projected CRS -> lon/lat degrees. Identity for 4326. */
+  def toLonLat(srid: Int, x: Double, y: Double): (Double, Double) = srid match {
+    case 4326 => (x, y)
+    case 3857 =>
+      (math.toDegrees(x / R3857),
+        math.toDegrees(2 * math.atan(math.exp(y / R3857)) - math.Pi / 2))
+    case 3035 => laeaInverse(Grs80, x, y, 52.0, 10.0, 4321000.0, 3210000.0)
+    case z if z > 32600 && z <= 32660 =>
+      tmInverse(Wgs84, x, y, (z - 32600) * 6.0 - 183.0, UtmK0, 500000.0, 0.0)
+    case z if z > 32700 && z <= 32760 =>
+      tmInverse(Wgs84, x, y, (z - 32700) * 6.0 - 183.0, UtmK0, 500000.0, 10000000.0)
+    case other =>
+      throw new IllegalArgumentException(s"st_transform: unsupported CRS $other " +
+        "(supported: 4326, 3857, 3035, 326xx/327xx UTM)")
+  }
+
+  /** lon/lat degrees -> projected CRS. Identity for 4326. */
+  def fromLonLat(srid: Int, lon: Double, lat: Double): (Double, Double) = srid match {
+    case 4326 => (lon, lat)
+    case 3857 =>
+      (math.toRadians(lon) * R3857,
+        math.log(math.tan(math.Pi / 4 + math.toRadians(lat) / 2)) * R3857)
+    case 3035 => laeaForward(Grs80, lon, lat, 52.0, 10.0, 4321000.0, 3210000.0)
+    case z if z > 32600 && z <= 32660 =>
+      tmForward(Wgs84, lon, lat, (z - 32600) * 6.0 - 183.0, UtmK0, 500000.0, 0.0)
+    case z if z > 32700 && z <= 32760 =>
+      tmForward(Wgs84, lon, lat, (z - 32700) * 6.0 - 183.0, UtmK0, 500000.0, 10000000.0)
+    case other =>
+      throw new IllegalArgumentException(s"st_transform: unsupported CRS $other " +
+        "(supported: 4326, 3857, 3035, 326xx/327xx UTM)")
+  }
+}

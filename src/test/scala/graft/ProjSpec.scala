@@ -1,0 +1,110 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.geom.{Geodesic, Proj}
+
+/** CRS math: Krüger Transverse Mercator (UTM) and LAEA, property-tested
+ *  against independent references — the Karney geodesic solver for scale,
+ *  authalic sphere areas for equal-area, defining anchors for offsets. */
+class ProjSpec extends AnyFunSuite {
+
+  test("utm: natural origin anchor — (0N, lon0) -> (500000, 0); south FN") {
+    val (e, n) = Proj.tmForward(Proj.Wgs84, 3.0, 0.0, 3.0, Proj.UtmK0, 500000, 0)
+    assert(math.abs(e - 500000) < 1e-6 && math.abs(n) < 1e-6)
+    val (es, ns) = Proj.fromLonLat(32731, 3.0, -0.00001) // south zone 31
+    assert(math.abs(es - 500000) < 1e-3 && math.abs(ns - 10000000) < 1.2)
+  }
+
+  test("utm: round trip < 1e-9 degrees across zones, hemispheres, in-zone offsets") {
+    val rnd = new scala.util.Random(17)
+    (0 until 500).foreach { _ =>
+      val lat = rnd.nextDouble() * 160 - 80
+      val lon = rnd.nextDouble() * 358 - 179
+      val srid = Proj.utmSrid(lat, lon)
+      val (x, y) = Proj.fromLonLat(srid, lon, lat)
+      val (lon2, lat2) = Proj.toLonLat(srid, x, y)
+      assert(math.abs(lat2 - lat) < 1e-9 && math.abs(lon2 - lon) < 1e-9,
+        s"roundtrip drift at ($lat,$lon) srid=$srid")
+    }
+  }
+
+  test("utm: central-meridian scale equals k0 against the Karney solver") {
+    // ds(UTM)/ds(geodesic) along the central meridian must be exactly k0
+    for (lat <- Seq(-60.0, -20.0, 0.0, 35.0, 70.0)) {
+      val lon0 = 9.0 // zone 32
+      val d = 0.01
+      val (_, n1) = Proj.tmForward(Proj.Wgs84, lon0, lat, lon0, Proj.UtmK0, 500000, 0)
+      val (_, n2) = Proj.tmForward(Proj.Wgs84, lon0, lat + d, lon0, Proj.UtmK0, 500000, 0)
+      val geod = Geodesic.geodesic(lat, lon0, lat + d, lon0)
+      val k = (n2 - n1) / geod
+      assert(math.abs(k - Proj.UtmK0) < 1e-7, s"meridian scale $k at lat=$lat")
+    }
+  }
+
+  test("utm: in-zone point scale stays inside the TM envelope [k0, k0*sec-ish]") {
+    val rnd = new scala.util.Random(23)
+    (0 until 300).foreach { _ =>
+      val lat = rnd.nextDouble() * 140 - 70
+      val lonInZone = rnd.nextDouble() * 5.9 - 2.95 // within +-3 deg of lon0
+      val lon0 = 9.0
+      val lon = lon0 + lonInZone
+      val brg = rnd.nextDouble() * 360
+      val d = 0.002
+      val lat2 = lat + d * math.cos(math.toRadians(brg))
+      val lon2 = lon + d * math.sin(math.toRadians(brg)) / math.cos(math.toRadians(lat))
+      val (x1, y1) = Proj.tmForward(Proj.Wgs84, lon, lat, lon0, Proj.UtmK0, 500000, 0)
+      val (x2, y2) = Proj.tmForward(Proj.Wgs84, lon2, lat2, lon0, Proj.UtmK0, 500000, 0)
+      val ratio = math.hypot(x2 - x1, y2 - y1) / Geodesic.geodesic(lat, lon, lat2, lon2)
+      assert(ratio > 0.99955 && ratio < 1.0012, s"scale $ratio at ($lat,$lon)")
+    }
+  }
+
+  test("laea 3035: defining anchor (52N,10E) -> (4321000, 3210000) exactly") {
+    val (x, y) = Proj.fromLonLat(3035, 10.0, 52.0)
+    assert(math.abs(x - 4321000.0) < 1e-6 && math.abs(y - 3210000.0) < 1e-6)
+  }
+
+  test("laea 3035: round trip < 1e-9 degrees over the European window") {
+    val rnd = new scala.util.Random(29)
+    (0 until 300).foreach { _ =>
+      val lat = rnd.nextDouble() * 37 + 34  // 34..71
+      val lon = rnd.nextDouble() * 55 - 11  // -11..44
+      val (x, y) = Proj.fromLonLat(3035, lon, lat)
+      val (lon2, lat2) = Proj.toLonLat(3035, x, y)
+      assert(math.abs(lat2 - lat) < 1e-9 && math.abs(lon2 - lon) < 1e-9)
+    }
+  }
+
+  test("laea 3035: equal-area — projected quad area == authalic-sphere area") {
+    // LAEA on the ellipsoid preserves area exactly; the ellipsoidal area of a
+    // lon/lat box is (a^2/2) * dlam * (q(lat2) - q(lat1)) in closed form
+    // (Snyder's q). Shoelace the projected quad (small boxes, so edge
+    // curvature is negligible at the asserted tolerance).
+    val ell = Proj.Grs80
+    for ((lat, lon) <- Seq((40.0, 5.0), (55.0, 20.0), (65.0, 30.0), (48.0, -8.0))) {
+      val d = 0.02
+      val corners = Seq((lon, lat), (lon + d, lat), (lon + d, lat + d), (lon, lat + d))
+        .map { case (lo, la) => Proj.fromLonLat(3035, lo, la) }
+      var area = 0.0
+      (0 until 4).foreach { i =>
+        val (x1, y1) = corners(i); val (x2, y2) = corners((i + 1) % 4)
+        area += x1 * y2 - x2 * y1
+      }
+      area = math.abs(area) / 2
+      val exact = ell.a * ell.a / 2 * math.toRadians(d) *
+        (Proj.authalicQ(ell, math.sin(math.toRadians(lat + d))) -
+          Proj.authalicQ(ell, math.sin(math.toRadians(lat))))
+      assert(math.abs(area / exact - 1) < 2e-5, s"area ratio ${area / exact} at $lat")
+    }
+  }
+
+  test("transform dispatch: 3857 <-> UTM via the lon/lat hub; bad srid throws") {
+    val (mx, my) = Proj.fromLonLat(3857, 11.6, 48.1)
+    val (lon, lat) = Proj.toLonLat(3857, mx, my)
+    assert(math.abs(lon - 11.6) < 1e-12 && math.abs(lat - 48.1) < 1e-12)
+    assert(Proj.utmSrid(48.1, 11.6) == 32632)
+    assert(Proj.utmSrid(-33.9, 18.4) == 32734)
+    intercept[IllegalArgumentException](Proj.toLonLat(2154, 0, 0))
+  }
+}
