@@ -66,7 +66,7 @@ object Bench {
     val cmd = pin ++ Seq(javaBin) ++ jvmArgs ++
       Seq(s"-XX:ActiveProcessorCount=$cores",
         "-cp", System.getProperty("java.class.path"),
-        "graft.BenchPipeline", cores.toString, nPages.toString)
+        "graft.BenchPipeline", cores.toString, nPages.toString, "2")
     val proc = new ProcessBuilder(cmd.asJava).redirectErrorStream(true).start()
     val out = new String(proc.getInputStream.readAllBytes())
     proc.waitFor()
@@ -77,9 +77,12 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // 2.4M pages for the scaling pair: big enough that per-job fixed cost
+    // (planning + scheduling + broadcast build, ~0.5s) is noise against the
+    // 8-core runtime — at 1.2M it capped measurable efficiency at ~0.88
     val benchPages = sys.env.get("SPARK_GRAFT_BENCH_PAGES").map(_.toLong).getOrElse {
-      if (sfDir.contains("sf0.1")) 1200000L
-      else if (sfDir.contains("sf0.01")) 60000L else 10000L
+      if (sfDir.contains("sf0.1")) 2400000L
+      else if (sfDir.contains("sf0.01")) 120000L else 10000L
     }
 
     // part 1: scaling evidence, N=2 vs 4N=8 pinned cores, plus full-machine

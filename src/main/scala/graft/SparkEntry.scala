@@ -658,6 +658,34 @@ object SparkEntry {
         .toDF("nonempty", "counts_eq", "rows_eq")
     }),
 
+    "q_stream_window" -> ((s, dir) => {
+      // Structured Streaming end-to-end: the events table read as a file
+      // STREAM (AvailableNow), watermarked tumbling-window aggregation,
+      // memory sink — must equal the batch SQL over the same rows
+      // the file stream source wants a directory: stage the single parquet
+      // file behind a symlink in a temp dir
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stream-gate")
+      java.nio.file.Files.createSymbolicLink(
+        tmp.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema).parquet(tmp.toString)
+        // the parquet file carries TIMESTAMP_NTZ; watermarks need TIMESTAMP
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val agg = stream.withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(floor(col("value") * 100 + 0.5)).as("total_c"))
+        .select(col("window.start").cast("long").as("win_start"),
+          col("event_type"), col("cnt"), col("total_c"))
+      val sink = s"q_stream_window_${System.nanoTime()}"
+      val query = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s.table(sink)
+    }),
+
     // ============ rows-only checks (not SQL-expressible) ============
     "q_h3_cells" -> ((s, dir) => custPoints(s, dir).select(
       col("custkey"),
@@ -988,5 +1016,10 @@ object SparkEntry {
     "q_events_agg" ->
       """SELECT event_type, count(*) AS cnt,
         | sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS total_c,
-        | count(DISTINCT user_id) AS users FROM events GROUP BY event_type""".stripMargin)
+        | count(DISTINCT user_id) AS users FROM events GROUP BY event_type""".stripMargin,
+
+    "q_stream_window" ->
+      """SELECT CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS win_start, event_type,
+        | count(*) AS cnt, sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS total_c
+        |FROM events GROUP BY 1, 2""".stripMargin)
 }
