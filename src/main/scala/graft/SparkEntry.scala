@@ -362,12 +362,17 @@ object SparkEntry {
       // MinHash LSH: 16 hashes, 4 bands x 4 rows; identical text -> identical
       // signature -> collides in every band (complete for exact duplicates).
       // minhash_bands computes the signature once per row (not once per band).
-      // Pairing goes through SelfJoin.pairs (triangle-sharded hot buckets) —
-      // the tiny threshold forces the sharded path so the gate verifies it.
+      // The signature frame is persisted — census + both join sides read it
+      // once instead of re-hashing every document (the signature-table
+      // materialization a production LSH pipeline does anyway). Pairing goes
+      // through SelfJoin.pairs (triangle-sharded hot buckets) — the tiny
+      // threshold forces the sharded path so the gate verifies it.
       val bands = u.select(col("doc_id"), col("text"),
         posexplode(minhash_bands(col("text"), lit(3), lit(16), lit(4))))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      SelfJoin.pairs(bands, Seq("band", "bucket"), "doc_id", nShards = 4, hotThreshold = 50)
+        .persist()
+      SelfJoin.pairs(bands, Seq("band", "bucket"), "doc_id", nShards = 4,
+        hotThreshold = 50, censusSampleRate = 1.0)
         .filter(col("text_a") === col("text_b"))
         .select(col("doc_id_a").as("a_id"), col("doc_id_b").as("b_id")).distinct()
     }),
@@ -382,7 +387,9 @@ object SparkEntry {
       val bands = docs.select(col("doc_id"), col("text"),
         posexplode(minhash_bands(col("text"), lit(3), lit(32), lit(4))))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      SelfJoin.pairs(bands, Seq("band", "bucket"), "doc_id", nShards = 4, hotThreshold = 50)
+        .persist()
+      SelfJoin.pairs(bands, Seq("band", "bucket"), "doc_id", nShards = 4,
+        hotThreshold = 50, censusSampleRate = 1.0)
         .select(col("doc_id_a").as("a_id"), col("doc_id_b").as("b_id"),
           jaccard_shingles(col("text_a"), col("text_b"), lit(3)).as("jac"))
         .filter(col("jac") >= 0.8)
@@ -398,7 +405,8 @@ object SparkEntry {
       val e = eb.unionByName(eb.withColumn("vec_id", col("vec_id") + 100000L))
         .select(col("vec_id"), col("embedding"),
           cosine_lsh_bucket(col("embedding"), lit(8)).as("bucket"))
-      SelfJoin.pairs(e, Seq("bucket"), "vec_id", nShards = 4, hotThreshold = 50)
+      SelfJoin.pairs(e, Seq("bucket"), "vec_id", nShards = 4,
+        hotThreshold = 50, censusSampleRate = 1.0)
         .withColumn("cos", cosine_sim(col("embedding_a"), col("embedding_b")))
         .filter(col("cos") >= 0.95)
         .select(col("vec_id_a").as("a_id"), col("vec_id_b").as("b_id"),
