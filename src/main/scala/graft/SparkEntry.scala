@@ -666,6 +666,32 @@ object SparkEntry {
         .toDF("nonempty", "counts_eq", "rows_eq")
     }),
 
+    "q_geoarrow" -> ((s, dir) => {
+      // GeoArrow-style native nested encodings: WKB -> struct/array columns
+      // (coordinate access without WKB decode) and back, value-checked
+      val o = t(s, dir, "orders")
+        .withColumn("minx", (col("o_orderkey") % 100).cast("double"))
+        .withColumn("miny", (col("o_custkey") % 100).cast("double"))
+        .withColumn("w", (lit(1) + col("o_orderkey") % 7).cast("double"))
+        .withColumn("h", (lit(1) + col("o_custkey") % 5).cast("double"))
+      val box = st_makeBox(col("minx"), col("miny"),
+        col("minx") + col("w"), col("miny") + col("h"))
+      val nat = st_polygon_native(box)
+      val pnat = st_point_native(st_point(col("minx"), col("miny")))
+      val lnat = st_line_native(st_makeLine(col("minx"), col("miny"),
+        col("minx") + col("w"), col("miny") + col("h")))
+      o.select(col("o_orderkey"),
+        size(nat).as("n_rings"),
+        size(element_at(nat, 1)).as("shell_pts"),
+        element_at(element_at(nat, 1), 1).getField("x").as("v1x"),
+        element_at(element_at(nat, 1), 3).getField("y").as("v3y"),
+        pnat.getField("x").as("px"),
+        element_at(lnat, 2).getField("y").as("l2y"),
+        st_area(st_from_polygon_native(nat)).as("rt_area"),
+        st_x(st_from_point_native(pnat)).as("rt_px"),
+        round(st_length(st_from_line_native(lnat)), 6).as("rt_len"))
+    }),
+
     "q_stream_window" -> ((s, dir) => {
       // Structured Streaming end-to-end: the events table read as a file
       // STREAM (AvailableNow), watermarked tumbling-window aggregation,
@@ -1025,6 +1051,15 @@ object SparkEntry {
       """SELECT event_type, count(*) AS cnt,
         | sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS total_c,
         | count(DISTINCT user_id) AS users FROM events GROUP BY event_type""".stripMargin,
+
+    "q_geoarrow" ->
+      """SELECT o_orderkey, 1 AS n_rings, 5 AS shell_pts,
+        | minx AS v1x, miny + h AS v3y, minx AS px, miny + h AS l2y,
+        | w * h AS rt_area, minx AS rt_px, round(sqrt(w*w + h*h), 6) AS rt_len
+        |FROM (SELECT o_orderkey,
+        |  CAST(o_orderkey % 100 AS DOUBLE) AS minx, CAST(o_custkey % 100 AS DOUBLE) AS miny,
+        |  CAST(1 + o_orderkey % 7 AS DOUBLE) AS w, CAST(1 + o_custkey % 5 AS DOUBLE) AS h
+        | FROM orders)""".stripMargin,
 
     "q_stream_window" ->
       """SELECT CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS win_start, event_type,

@@ -206,6 +206,35 @@ object st {
     invoke(T, "cosineLshBucket", LongType, false,
       a -> ArrayType(FloatType), nBits -> IntegerType)
 
+  // ---------- GeoArrow-style native nested encodings ----------
+  private val GA = graft.geom.GeoArrow.getClass
+  private val xyStruct = StructType(Seq(
+    StructField("x", DoubleType, nullable = false),
+    StructField("y", DoubleType, nullable = false)))
+  private val lineType = ArrayType(xyStruct, containsNull = false)
+  private val polyType = ArrayType(lineType, containsNull = false)
+
+  /** WKB Point -> struct{x,y} (NULL for non-points). */
+  def st_point_native(wkb: Column): Column =
+    invoke(GA, "pointNative", xyStruct, true, wkb -> BinaryType)
+
+  /** WKB LineString -> array<struct{x,y}> (NULL otherwise). */
+  def st_line_native(wkb: Column): Column =
+    invoke(GA, "lineNative", lineType, true, wkb -> BinaryType)
+
+  /** WKB Polygon -> array<array<struct{x,y}>>, ring 0 = shell (NULL otherwise). */
+  def st_polygon_native(wkb: Column): Column =
+    invoke(GA, "polygonNative", polyType, true, wkb -> BinaryType)
+
+  def st_from_point_native(p: Column): Column =
+    invoke(GA, "pointFromNative", BinaryType, false, p -> xyStruct)
+
+  def st_from_line_native(l: Column): Column =
+    invoke(GA, "lineFromNative", BinaryType, false, l -> lineType)
+
+  def st_from_polygon_native(p: Column): Column =
+    invoke(GA, "polygonFromNative", BinaryType, false, p -> polyType)
+
   // ---------- multimodal: real JDK image codecs (PNG/BMP/GIF/JPEG) ----------
   private val M = graft.multimodal.ImageKernel.getClass
   private val imgStatsSchema = StructType(Seq(
