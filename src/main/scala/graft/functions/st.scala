@@ -206,6 +206,11 @@ object st {
     invoke(T, "cosineLshBucket", LongType, false,
       a -> ArrayType(FloatType), nBits -> IntegerType)
 
+  /** Query-side multi-probe bucket set (own bucket + Hamming<=maxHamming). */
+  def cosine_lsh_probes(a: Column, nBits: Column, maxHamming: Column): Column =
+    invoke(T, "cosineLshProbes", ArrayType(LongType, containsNull = false), false,
+      a -> ArrayType(FloatType), nBits -> IntegerType, maxHamming -> IntegerType)
+
   // ---------- GeoArrow-style native nested encodings ----------
   private val GA = graft.geom.GeoArrow.getClass
   private val xyStruct = StructType(Seq(

@@ -336,4 +336,31 @@ object TextKernel {
     }
     bucket
   }
+
+  /**
+   * Multi-probe SRP-LSH: the query-side bucket set — the vector's own bucket
+   * plus every bucket within Hamming distance `maxHamming` (1 or 2),
+   * FLIPPING THE CLOSEST HYPERPLANES FIRST semantics simplified to all
+   * flips (nBits is small). Probing only the query side keeps the data-side
+   * layout single-bucket: recall rises ~(nBits+1)x candidate coverage while
+   * the index stays one row per vector.
+   */
+  def cosineLshProbes(a: ArrayData, nBits: Int, maxHamming: Int): ArrayData = {
+    val own = cosineLshBucket(a, nBits)
+    val buf = new scala.collection.mutable.ArrayBuffer[Any](1 + nBits * nBits)
+    buf += own
+    if (maxHamming >= 1) {
+      var i = 0
+      while (i < nBits) { buf += (own ^ (1L << i)); i += 1 }
+    }
+    if (maxHamming >= 2) {
+      var i = 0
+      while (i < nBits) {
+        var j = i + 1
+        while (j < nBits) { buf += (own ^ (1L << i) ^ (1L << j)); j += 1 }
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.toArray)
+  }
 }
