@@ -341,19 +341,26 @@ object SparkEntry {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
       .select("keep_id", "n")),
 
-    "q_token_stats" -> ((s, dir) => t(s, dir, "documents").select(
-      col("doc_id"),
-      length(col("text")).cast("long").as("n_chars"),
-      (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
-        .cast("long").as("n_tokens"))),
+    // token/quality counters come from the single-pass text_stats kernel —
+    // one byte scan per document instead of a regexp_replace per class
+    "q_token_stats" -> ((s, dir) => {
+      val ts = text_stats(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        ts.getField("n_chars").as("n_chars"),
+        (ts.getField("n_spaces") + 1).as("n_tokens"))
+    }),
 
-    "q_quality" -> ((s, dir) => t(s, dir, "documents").select(
-      col("doc_id"),
-      length(regexp_replace(col("text"), "[^.!?]", "")).cast("long").as("punct"),
-      length(regexp_replace(col("text"), "[^A-Z]", "")).cast("long").as("uppers"),
-      length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("digits"),
-      round(length(regexp_replace(col("text"), "[^A-Z]", "")).cast("double") /
-        greatest(length(col("text")), lit(1)), 6).as("upper_ratio"))),
+    "q_quality" -> ((s, dir) => {
+      val ts = text_stats(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        ts.getField("punct").as("punct"),
+        ts.getField("uppers").as("uppers"),
+        ts.getField("digits").as("digits"),
+        round(ts.getField("uppers").cast("double") /
+          greatest(ts.getField("n_chars"), lit(1)), 6).as("upper_ratio"))
+    }),
 
     "q_lsh_dup_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))

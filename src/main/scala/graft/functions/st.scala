@@ -178,6 +178,17 @@ object st {
     invoke(T, "extractText", StringType, false, html -> BinaryType)
   def lang_id(text: Column): Column =
     invoke(T, "langId", StringType, false, text -> StringType)
+  private val textStatsSchema = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_spaces", LongType, nullable = false),
+    StructField("punct", LongType, nullable = false),
+    StructField("uppers", LongType, nullable = false),
+    StructField("digits", LongType, nullable = false)))
+
+  /** Single-pass per-document counters (chars/spaces/punct/uppers/digits). */
+  def text_stats(text: Column): Column =
+    invoke(T, "textStats", textStatsSchema, false, text -> StringType)
+
   def fingerprint64(text: Column): Column =
     invoke(T, "fnv64", LongType, false, text -> StringType)
   def minhash_band(text: Column, k: Column, numHashes: Column, band: Column,

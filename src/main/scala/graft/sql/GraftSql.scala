@@ -70,7 +70,20 @@ object GraftSql {
     "jaccard_shingles" -> (3, a => st.jaccard_shingles(a(0), a(1), a(2))),
     "cosine_sim" -> (2, a => st.cosine_sim(a(0), a(1))),
     "l2_norm" -> (1, a => st.l2_norm(a(0))),
-    "cosine_lsh_bucket" -> (2, a => st.cosine_lsh_bucket(a(0), a(1))))
+    "cosine_lsh_bucket" -> (2, a => st.cosine_lsh_bucket(a(0), a(1))),
+    "cosine_lsh_probes" -> (3, a => st.cosine_lsh_probes(a(0), a(1), a(2))),
+    "minhash_bands" -> (4, a => st.minhash_bands(a(0), a(1), a(2), a(3))),
+    "text_stats" -> (1, a => st.text_stats(a(0))),
+    "utm_srid" -> (2, a => st.utm_srid(a(0), a(1))),
+    "st_point_native" -> (1, a => st.st_point_native(a(0))),
+    "st_line_native" -> (1, a => st.st_line_native(a(0))),
+    "st_polygon_native" -> (1, a => st.st_polygon_native(a(0))),
+    "st_from_point_native" -> (1, a => st.st_from_point_native(a(0))),
+    "st_from_line_native" -> (1, a => st.st_from_line_native(a(0))),
+    "st_from_polygon_native" -> (1, a => st.st_from_polygon_native(a(0))),
+    "png_const" -> (5, a => st.png_const(a(0), a(1), a(2), a(3), a(4))),
+    "img_stats" -> (1, a => st.img_stats(a(0))),
+    "img_resize" -> (3, a => st.img_resize(a(0), a(1), a(2))))
 
   /** Register all functions into an existing session's catalog. */
   def register(spark: SparkSession): Unit =

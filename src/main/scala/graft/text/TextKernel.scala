@@ -153,6 +153,32 @@ object TextKernel {
     langResults(best)
   }
 
+  // ---------- quality / token stats (single pass) ----------
+
+  /**
+   * One scan over the UTF-8 bytes replaces a regexp_replace per character
+   * class (4 full string passes + pattern machinery) — this runs per
+   * document in the 100 TB quality-scoring path. ASCII classes are safe on
+   * raw bytes: UTF-8 continuation bytes are >= 0x80 and never match.
+   * Fields: n_chars (codepoints), n_spaces, punct [.!?], uppers [A-Z],
+   * digits [0-9].
+   */
+  def textStats(text: UTF8String): org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val n = text.numBytes
+    var spaces = 0L; var punct = 0L; var uppers = 0L; var digits = 0L
+    var i = 0
+    while (i < n) {
+      val c = text.getByte(i)
+      if (c == ' ') spaces += 1
+      else if (c == '.' || c == '!' || c == '?') punct += 1
+      else if (c >= 'A' && c <= 'Z') uppers += 1
+      else if (c >= '0' && c <= '9') digits += 1
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](text.numChars().toLong, spaces, punct, uppers, digits))
+  }
+
   // ---------- fingerprints ----------
 
   /** 64-bit FNV-1a — stable document fingerprint (rolling basis for shingles). */
