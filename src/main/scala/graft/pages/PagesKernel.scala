@@ -74,8 +74,27 @@ object PagesKernel {
       var i = 0
       while (i < s.length) { buf(len) = s.charAt(i).toByte; len += 1; i += 1 }
     }
-    def addLong(v: Long): Unit = add(java.lang.Long.toString(v))
-    def addUnsigned(v: Long): Unit = add(java.lang.Long.toUnsignedString(v))
+    // digits written straight into the buffer — Long.toString allocated a
+    // String per call in the per-page hot path (profiled: addLong +
+    // Long.getChars were top-10 leaf frames)
+    private val dig = new Array[Byte](20)
+    private def addDecimalUnsigned(v0: Long): Unit = {
+      var v = v0
+      if (v == 0) { ensure(1); buf(len) = '0'; len += 1; return }
+      var n = 0
+      while (v != 0) {
+        dig(n) = ('0' + java.lang.Long.remainderUnsigned(v, 10)).toByte
+        v = java.lang.Long.divideUnsigned(v, 10)
+        n += 1
+      }
+      ensure(n)
+      var i = n - 1
+      while (i >= 0) { buf(len) = dig(i); len += 1; i -= 1 }
+    }
+    def addLong(v: Long): Unit =
+      if (v < 0) { ensure(1); buf(len) = '-'; len += 1; addDecimalUnsigned(-v) }
+      else addDecimalUnsigned(v)
+    def addUnsigned(v: Long): Unit = addDecimalUnsigned(v)
     def result(): Array[Byte] = java.util.Arrays.copyOf(buf, len)
   }
 
@@ -109,14 +128,20 @@ object PagesKernel {
 
   /** Extract the gazetteer entity mention from extracted text (the geocoding
    *  entity-extraction step); NULL if no mention. */
+  private val nearMarker = UTF8String.fromString("near Entityville-")
+  private val nearLen = "near ".length
+  private val entityLen = "Entityville-0000".length
+
   def extractEntity(text: UTF8String): UTF8String = {
-    val s = text.toString
-    val i = s.indexOf("near Entityville-")
+    // byte-level search/slice on the UTF8String — toString copied the whole
+    // document per page before searching (profiled as a top UTF8String
+    // conversion site)
+    val i = text.indexOf(nearMarker, 0)
     if (i < 0) null
     else {
-      val start = i + "near ".length
-      val end = start + "Entityville-0000".length
-      if (end <= s.length) UTF8String.fromString(s.substring(start, end)) else null
+      val start = i + nearLen
+      val end = start + entityLen
+      if (end <= text.numChars()) text.substring(start, end) else null
     }
   }
 }
