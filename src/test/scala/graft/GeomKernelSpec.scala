@@ -56,6 +56,56 @@ class GeomKernelSpec extends AnyFunSuite {
     assert(stGeomType(gc) == GEOMETRYCOLLECTION)
   }
 
+  test("joinRefine fast path == naive truth table (property, incl. boundaries)") {
+    // the cached/point-parsing fast path must be indistinguishable from a
+    // direct JTS re-implementation of the reference dispatch
+    import org.locationtech.jts.geom._
+    import graft.geom.Wkb
+    def naive(lhs: Array[Byte], rhs: Array[Byte], pred: Int): Boolean =
+      (Wkb.read(lhs), Wkb.read(rhs)) match {
+        case (p: Point, poly: Polygon) => poly.contains(p)
+        case (poly: Polygon, p: Point) => poly.contains(p)
+        case (p: Point, poly: MultiPolygon) => poly.contains(p)
+        case (poly: MultiPolygon, p: Point) => poly.contains(p)
+        case (a: Polygon, b: Polygon) =>
+          if (pred == PRED_CONTAINS) a.contains(b) else a.intersects(b)
+        case (a: MultiPolygon, b: Polygon) =>
+          if (pred == PRED_CONTAINS) a.contains(b) else a.intersects(b)
+        case (a: Polygon, b: MultiPolygon) =>
+          if (pred == PRED_CONTAINS) false else a.intersects(b)
+        case (l: LineString, p: Point) => l.contains(p)
+        case (p: Point, l: LineString) => l.contains(p)
+        case (l: MultiLineString, p: Point) => l.contains(p)
+        case (p: Point, l: MultiLineString) => l.contains(p)
+        case _ => false
+      }
+    val rnd = new scala.util.Random(77)
+    val f = Wkb.factory
+    def wkt(s: String) = stGeomFromText(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    val polys: Seq[Array[Byte]] = (0 until 6).map { _ =>
+      val x = rnd.nextInt(20).toDouble; val y = rnd.nextInt(20).toDouble
+      stMakeBox(x, y, x + 1 + rnd.nextInt(10), y + 1 + rnd.nextInt(10))
+    } :+ wkt("MULTIPOLYGON(((0 0, 8 0, 8 8, 0 8, 0 0)), ((20 20, 25 20, 25 25, 20 25, 20 20)))")
+    val lines = Seq(
+      stMakeLine(0, 0, 10, 10),
+      wkt("MULTILINESTRING((0 0, 5 0), (7 7, 9 9))"))
+    // points: random interior/exterior + exact corners and edge midpoints
+    // (boundary-exclusive containment is the semantics under test)
+    val pts = (0 until 120).map(_ => stPoint(rnd.nextInt(30) - 2 + rnd.nextDouble() * 2,
+      rnd.nextInt(30) - 2 + rnd.nextDouble() * 2)) ++
+      Seq(stPoint(0, 0), stPoint(8, 8), stPoint(4, 0), stPoint(0, 4),
+        stPoint(5, 5), stPoint(10, 10), stPoint(2.5, 0), stPoint(5, 0))
+    val geoms = polys ++ lines ++ pts
+    for (a <- geoms; b <- polys ++ lines; pred <- Seq(PRED_INTERSECTS, PRED_CONTAINS)) {
+      assert(joinRefine(a, b, pred) == naive(a, b, pred),
+        s"fast path diverged: pred=$pred a=${Wkb.read(a)} b=${Wkb.read(b)}")
+    }
+    // repeated probes hit the cache — results must stay stable
+    val p0 = pts.head
+    val r0 = joinRefine(p0, polys.head, PRED_INTERSECTS)
+    (0 until 100).foreach(_ => assert(joinRefine(p0, polys.head, PRED_INTERSECTS) == r0))
+  }
+
   test("length: polygon uses exterior ring only (reference contract)") {
     // polygon with a hole: perimeter of hole must NOT count
     val wkt = "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"

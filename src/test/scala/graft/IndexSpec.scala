@@ -213,6 +213,23 @@ class IndexSpec extends AnyFunSuite {
     }
   }
 
+  test("h3: coverRect complete at finer res, polar and face-boundary rects") {
+    val rnd = new scala.util.Random(31)
+    val rects = Seq(
+      (3.0, -41.0, 7.0, -33.0), (48.0, 5.0, 52.0, 11.0),   // mid-lat
+      (62.0, -10.0, 66.0, 3.0), (-66.0, 100.0, -62.0, 111.0), // high-lat
+      (-1.5, 178.0, 1.5, 179.9))                            // dateline+equator
+    for ((la0, lo0, la1, lo1) <- rects; res <- Seq(5, 6, 7)) {
+      val cover = H3.coverRect(la0, lo0, la1, lo1, res).toSet
+      (0 until 800).foreach { _ =>
+        val la = la0 + rnd.nextDouble() * (la1 - la0)
+        val lo = lo0 + rnd.nextDouble() * (lo1 - lo0)
+        assert(cover.contains(H3.cell(la, lo, res)),
+          s"h3 uncovered ($la,$lo) res=$res rect=($la0,$lo0,$la1,$lo1)")
+      }
+    }
+  }
+
   // ---------------- Tile ----------------
 
   test("tile: known anchors at z=1 and packing round-trip") {
