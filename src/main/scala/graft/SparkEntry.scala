@@ -577,6 +577,33 @@ object SparkEntry {
             lit(4.0 / (1 << bits))).as("recall_gt_4x_random"))
     }),
 
+    "q_ivf_recall" -> ((s, dir) => {
+      // IVF coarse quantization (the second ANN scale path next to SRP-LSH):
+      // probing ALL k cells must reproduce brute-force top-1 exactly, and a
+      // 1-cell probe must beat the scanned-fraction baseline (1/k) by >2.5x
+      val e = t(s, dir, "embeddings")
+      val cs = graft.text.Ivf.fit(e, "embedding", k = 16, iters = 5, sampleN = 400)
+      val q = e.filter(col("vec_id") < 30)
+      val brute = e.crossJoin(broadcast(
+        q.select(col("vec_id").as("qid"), col("embedding").as("qe"))))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", cosine_sim(col("qe"), col("embedding")))
+        .groupBy("qid")
+        .agg(topk_by(col("cos"), col("vec_id"), 1, asc = false).as("tk"))
+        .select(col("qid"), element_at(col("tk"), 1).getField("payload").as("nn"))
+      val exhaustive = graft.text.Ivf.search(e, q, "vec_id", "embedding", cs,
+        nprobe = 16, kNn = 1).filter(col("rnk") === 1).select(col("qid"), col("nn"))
+      val probe1 = graft.text.Ivf.search(e, q, "vec_id", "embedding", cs,
+        nprobe = 1, kNn = 1).filter(col("rnk") === 1)
+        .select(col("qid"), col("nn").as("inn"))
+      val exact = exhaustive.except(brute).isEmpty && brute.except(exhaustive).isEmpty
+      val recall = brute.join(probe1, "qid")
+        .agg(avg(when(col("nn") === col("inn"), 1.0).otherwise(0.0)))
+        .collect()(0).getDouble(0)
+      s.createDataFrame(Seq((q.count(), exact, recall > 2.5 / 16)))
+        .toDF("n_queries", "exhaustive_exact", "probe1_recall_gt_2_5x")
+    }),
+
     "q_text_stable" -> ((s, dir) => {
       // byte-identical extracted text per url across parallelism levels
       // (north rule invariant): same generator, 2 vs 16 partitions
@@ -981,6 +1008,10 @@ object SparkEntry {
 
     "q_text_stable" ->
       "SELECT CAST(3000 AS BIGINT) AS n_urls, CAST(0 AS BIGINT) AS mismatches",
+
+    "q_ivf_recall" ->
+      """SELECT count(*) AS n_queries, TRUE AS exhaustive_exact,
+        | TRUE AS probe1_recall_gt_2_5x FROM embeddings WHERE vec_id < 30""".stripMargin,
 
     "q_snapshot_resume" ->
       """SELECT count(*) AS n_rows, TRUE AS resume_ok, TRUE AS rollback_ok,
