@@ -71,8 +71,10 @@ object st {
   def st_bounds(wkb: Column): Column = geom1("stBounds", boundsSchema, wkb)
   def st_length(wkb: Column): Column = geom1("stLength", DoubleType, wkb)
   def st_geodesicLength(wkb: Column, method: String): Column =
+    st_geodesicLength(wkb, lit(method))
+  def st_geodesicLength(wkb: Column, method: Column): Column =
     invoke(G, "stGeodesicLength", DoubleType, false,
-      wkb -> BinaryType, lit(method) -> StringType)
+      wkb -> BinaryType, method -> StringType)
   def st_exterior(wkb: Column): Column = geom1("stExterior", BinaryType, wkb, nullable = true)
   def st_geomType(wkb: Column): Column = geom1("stGeomType", IntegerType, wkb)
   def st_isEmpty(wkb: Column): Column = geom1("stIsEmpty", BooleanType, wkb)
