@@ -71,9 +71,34 @@ object TextKernel {
         out(o) = c; o += 1
       }
     }
+    // a plain run may carry interior single spaces (the overwhelmingly common
+    // shape of prose); it stops at markup/entity bytes, collapsible
+    // whitespace, or a space not followed by a plain byte — those fall back
+    // to the per-byte path above, so the output is byte-identical to it
+    @inline def stopByte(c: Byte): Boolean =
+      c == '<' || c == '&' || c == '\t' || c == '\n' || c == '\r'
     while (i < n) {
-      val c = html(i)
-      if (c == '<') {
+      val c0 = html(i)
+      if (!stopByte(c0) && c0 != ' ') {
+        var j = i + 1
+        var run = true
+        while (run && j < n) {
+          val c = html(j)
+          if (stopByte(c)) run = false
+          else if (c == ' ') {
+            // interior single space stays in the run; a space before a stop
+            // byte / another space / EOF must go through pendingSpace logic
+            if (j + 1 < n && !stopByte(html(j + 1)) && html(j + 1) != ' ') j += 2
+            else run = false
+          } else j += 1
+        }
+        if (pendingSpace && o > 0) { out(o) = ' '; o += 1 }
+        pendingSpace = false
+        System.arraycopy(html, i, out, o, j - i)
+        o += j - i
+        i = j
+      } else
+      if (c0 == '<') {
         var close = i + 1
         while (close < n && html(close) != '>') close += 1
         if (close >= n) { i = n } // malformed trailing tag: drop rest
@@ -91,7 +116,7 @@ object TextKernel {
           } else i = close + 1
           pendingSpace = true
         }
-      } else if (c == '&') {
+      } else if (c0 == '&') {
         // decode the entity set the corpus uses; unknown entities pass through
         if (regionEq(html, i, pAmp)) { emit('&'); i += 5 }
         else if (regionEq(html, i, pLt)) { emit('<'); i += 4 }
@@ -99,8 +124,8 @@ object TextKernel {
         else if (regionEq(html, i, pQuot)) { emit('"'); i += 6 }
         else if (regionEq(html, i, pApos)) { emit('\''); i += 5 }
         else if (regionEq(html, i, pNbsp)) { emit(' '); i += 6 }
-        else { emit(c); i += 1 }
-      } else { emit(c); i += 1 }
+        else { emit(c0); i += 1 }
+      } else { emit(c0); i += 1 }
     }
     UTF8String.fromBytes(out, 0, o)
   }
