@@ -22,6 +22,30 @@ object Drive {
       .queryExecution.executedPlan.toString
     println("PLAN_BNLJ=" + plan.contains("BroadcastNestedLoop") +
       " PLAN_BHJ=" + plan.contains("BroadcastHashJoin"))
+
+    // left join on the points fast path must be a single native left_outer
+    // broadcast hash join with NO row-id machinery
+    import org.apache.spark.sql.functions._
+    import graft.functions.st._
+    val pts = spark.range(100).select(col("id"),
+      st_point(col("id").cast("double") % 50, col("id").cast("double") % 30).as("geometry"))
+    val polys = spark.range(4).select(col("id").as("pid"),
+      st_makeBox(lit(0.0), lit(0.0), lit(25.0), lit(25.0)).as("geometry"))
+    val lj = graft.join.SpatialJoin.join(pts, polys,
+      graft.join.SpatialPredicate.Intersects, "left", cellLevel = 3, leftPointsOnly = true)
+    val ljPlan = lj.queryExecution.executedPlan.toString
+    println("LEFTJOIN_OUTER=" + ljPlan.contains("LeftOuter") +
+      " LEFTJOIN_NO_IDS=" + !ljPlan.contains("monotonically_increasing_id") +
+      s" LEFTJOIN_ROWS=${lj.count()}")
+
+    // kNN through the bounded aggregate: partial agg, no Window operator
+    val knnPlan = pts.crossJoin(broadcast(spark.range(2).select(col("id").as("qid"),
+        lit(1.0).as("qx"), lit(2.0).as("qy"))))
+      .withColumn("d", st_distance(col("geometry"), st_point(col("qx"), col("qy"))))
+      .groupBy("qid").agg(topk_by(col("d"), col("id"), 3).as("tk"))
+      .queryExecution.executedPlan.toString
+    println("KNN_NO_WINDOW=" + !knnPlan.contains("Window") +
+      " KNN_OBJ_AGG=" + knnPlan.contains("ObjectHashAggregate"))
     spark.stop()
   }
 }
