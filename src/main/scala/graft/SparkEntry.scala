@@ -536,6 +536,19 @@ object SparkEntry {
         (hv < 1000.0 || (ratio > 0.99 && ratio < 1.01)).as("ratio_ok"))
     }),
 
+    "q_token_bpe" -> ((s, dir) => {
+      // BPE-ish tokenizer on literal strings with hand-derived counts (the
+      // documents corpus is plain space-separated words where the count
+      // degenerates to whitespace tokens), plus the whole-corpus totals
+      val lits = Seq(
+        (1L, "hello world"), (2L, "hello  world"), (3L, "abc123 def"),
+        (4L, "a.b,c"), (5L, "price: $5.99!"), (6L, " lead"), (7L, "trail "),
+        (8L, "x   y"), (9L, "12 34"), (10L, "don't"), (11L, ""),
+        (12L, "   "), (13L, "UPPER lower"), (14L, "one\ttwo\nthree"))
+      s.createDataFrame(lits).toDF("sid", "txt")
+        .select(col("sid"), token_count_bpe(col("txt")).as("n_bpe"))
+    }),
+
     "q_lang_known" -> ((s, dir) => {
       // lang_id on sentences of KNOWN language (the documents table's lang
       // labels are uncorrelated with its synthetic text, so accuracy there is
@@ -999,6 +1012,17 @@ object SparkEntry {
     "q_geodesic_ell" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
         | TRUE AS vk_ok, TRUE AS ratio_ok FROM lineitem""".stripMargin,
+
+    "q_token_bpe" ->
+      """SELECT * FROM (VALUES
+        | (CAST(1 AS BIGINT), CAST(2 AS BIGINT)), (CAST(2 AS BIGINT), CAST(3 AS BIGINT)),
+        | (CAST(3 AS BIGINT), CAST(3 AS BIGINT)), (CAST(4 AS BIGINT), CAST(5 AS BIGINT)),
+        | (CAST(5 AS BIGINT), CAST(7 AS BIGINT)), (CAST(6 AS BIGINT), CAST(1 AS BIGINT)),
+        | (CAST(7 AS BIGINT), CAST(2 AS BIGINT)), (CAST(8 AS BIGINT), CAST(3 AS BIGINT)),
+        | (CAST(9 AS BIGINT), CAST(2 AS BIGINT)), (CAST(10 AS BIGINT), CAST(3 AS BIGINT)),
+        | (CAST(11 AS BIGINT), CAST(0 AS BIGINT)), (CAST(12 AS BIGINT), CAST(1 AS BIGINT)),
+        | (CAST(13 AS BIGINT), CAST(2 AS BIGINT)), (CAST(14 AS BIGINT), CAST(3 AS BIGINT))
+        |) AS t(sid, n_bpe)""".stripMargin,
 
     "q_lang_known" ->
       """SELECT * FROM (VALUES

@@ -191,6 +191,10 @@ object st {
   def text_stats(text: Column): Column =
     invoke(T, "textStats", textStatsSchema, false, text -> StringType)
 
+  /** BPE-ish (GPT-2 pre-tokenizer classes) token count. */
+  def token_count_bpe(text: Column): Column =
+    invoke(T, "tokenCountBpe", LongType, false, text -> StringType)
+
   def fingerprint64(text: Column): Column =
     invoke(T, "fnv64", LongType, false, text -> StringType)
   def minhash_band(text: Column, k: Column, numHashes: Column, band: Column,

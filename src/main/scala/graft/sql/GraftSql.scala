@@ -84,7 +84,8 @@ object GraftSql {
     "png_const" -> (5, a => st.png_const(a(0), a(1), a(2), a(3), a(4))),
     "img_stats" -> (1, a => st.img_stats(a(0))),
     "img_resize" -> (3, a => st.img_resize(a(0), a(1), a(2))),
-    "st_geodesiclength" -> (2, a => st.st_geodesicLength(a(0), a(1))))
+    "st_geodesiclength" -> (2, a => st.st_geodesicLength(a(0), a(1))),
+    "token_count_bpe" -> (1, a => st.token_count_bpe(a(0))))
 
   /** Register all functions into an existing session's catalog. */
   def register(spark: SparkSession): Unit =

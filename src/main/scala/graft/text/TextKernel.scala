@@ -204,6 +204,46 @@ object TextKernel {
       Array[Any](text.numChars().toLong, spaces, punct, uppers, digits))
   }
 
+  /**
+   * BPE-ish token count: a deterministic scanner over the GPT-2-style
+   * pre-tokenizer classes — ` ?letters+`, ` ?digits+`, ` ?other+`, and
+   * whitespace runs (a single whitespace attaches to the following token;
+   * longer runs contribute one whitespace token for the run minus the
+   * attached char; a trailing run is one token). "Letters" are ASCII
+   * [A-Za-z] plus any non-ASCII byte; contraction splits ('s, 'll, ...)
+   * are not special-cased. Deliberately NOT a byte-pair vocabulary — it
+   * counts pre-tokenizer pieces, the load-bearing number for length
+   * filtering in a training-data pipeline.
+   */
+  def tokenCountBpe(text: UTF8String): Long = {
+    val n = text.numBytes
+    var i = 0
+    var count = 0L
+    @inline def isWs(c: Byte): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\r'
+    @inline def cls(c: Byte): Int =
+      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || c < 0) 0 // letters
+      else if (c >= '0' && c <= '9') 1
+      else 2 // other (non-ws; ws handled separately)
+    while (i < n) {
+      val c = text.getByte(i)
+      if (isWs(c)) {
+        var j = i + 1
+        while (j < n && isWs(text.getByte(j))) j += 1
+        if (j == n) count += 1 // trailing whitespace run is one token
+        else if (j - i > 1) count += 1 // run minus the attaching char
+        i = j
+      } else {
+        val k = cls(c)
+        var j = i + 1
+        while (j < n && !isWs(text.getByte(j)) && cls(text.getByte(j)) == k) j += 1
+        count += 1
+        i = j
+      }
+    }
+    count
+  }
+
   // ---------- fingerprints ----------
 
   /** 64-bit FNV-1a — stable document fingerprint (rolling basis for shingles). */
