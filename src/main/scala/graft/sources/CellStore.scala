@@ -50,4 +50,21 @@ object CellStore {
     spark.read.parquet(path)
       .filter(col(PartCol).isin(parts.toIndexedSeq: _*))
   }
+
+  /**
+   * Bucketed catalog table on the fine cell: two tables bucketed the same
+   * way join with NO exchange on either side — the co-located-join layout
+   * for repeated large×large spatial joins at 100 TB (pay the shuffle once
+   * at write time, never again per query). Buckets + sort on `s2_cell`; the
+   * join key must be the bucket column.
+   */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    nBuckets: Int = 64): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(nBuckets, "s2_cell")
+      .sortBy("s2_cell")
+      .option("path", s"$path/$table")
+      .format("parquet")
+      .saveAsTable(table)
 }

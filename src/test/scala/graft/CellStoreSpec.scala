@@ -56,4 +56,29 @@ class CellStoreSpec extends SparkSpec {
     assert(scan.contains("ReadSchema") && !scan.contains("text"),
       "projection pruning failed: text column still read")
   }
+
+  test("bucketed tables join with zero exchanges (co-located join layout)") {
+    val wh = Files.createTempDirectory("bucketed_wh").toString
+    val geo = Pages.geocode(Pages.generate(spark, 1500, 42, 8), Pages.gazetteer(spark))
+      .select("url", "s2_cell")
+    CellStore.writeBucketed(geo, "pages_a", wh, nBuckets = 8)
+    CellStore.writeBucketed(geo.withColumnRenamed("url", "url_b"), "pages_b", wh, nBuckets = 8)
+    // force the join strategy that bucketing co-locates (tiny test tables
+    // would otherwise broadcast and bypass the bucketed layout entirely)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("pages_a").join(spark.table("pages_b"), "s2_cell")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"bucketed read not used:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // and the bucketed table round-trips all rows
+    assert(spark.table("pages_a").count() == geo.count())
+    spark.sql("DROP TABLE IF EXISTS pages_a")
+    spark.sql("DROP TABLE IF EXISTS pages_b")
+  }
 }
