@@ -720,6 +720,25 @@ object SparkEntry {
         .toDF("nonempty", "counts_eq", "rows_eq")
     }),
 
+    "q_tile_vector" -> ((s, dir) => {
+      // raster->vector: tile id back to lon/lat bounds and a box polygon the
+      // generating point sits inside (closed-open boundary semantics)
+      val o = t(s, dir, "orders")
+        .withColumn("lat", ((col("o_orderkey") % 110) - 55 + 0.25).cast("double"))
+        .withColumn("lon", ((col("o_custkey") % 350) - 175 + 0.25).cast("double"))
+      val tid = tile_id(col("lat"), col("lon"), lit(8))
+      val b = tile_bounds(tid)
+      o.select(col("o_orderkey"),
+        round(b.getField("west"), 6).as("west"),
+        round(b.getField("south"), 6).as("south"),
+        round(b.getField("east"), 6).as("east"),
+        round(b.getField("north"), 6).as("north"),
+        (col("lon") >= b.getField("west") && col("lon") < b.getField("east") &&
+          col("lat") > b.getField("south") && col("lat") <= b.getField("north"))
+          .as("inside"),
+        (st_area(tile_polygon(tid)) > 0).as("poly_ok"))
+    }),
+
     "q_geoarrow" -> ((s, dir) => {
       // GeoArrow-style native nested encodings: WKB -> struct/array columns
       // (coordinate access without WKB decode) and back, value-checked
@@ -1120,6 +1139,19 @@ object SparkEntry {
       """SELECT event_type, count(*) AS cnt,
         | sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS total_c,
         | count(DISTINCT user_id) AS users FROM events GROUP BY event_type""".stripMargin,
+
+    "q_tile_vector" ->
+      """SELECT o_orderkey,
+        | round(tx/256.0*360.0 - 180.0, 6) AS west,
+        | round(degrees(atan((exp(pi()*(1.0-2.0*(ty+1)/256.0)) - exp(-pi()*(1.0-2.0*(ty+1)/256.0)))/2.0)), 6) AS south,
+        | round((tx+1)/256.0*360.0 - 180.0, 6) AS east,
+        | round(degrees(atan((exp(pi()*(1.0-2.0*ty/256.0)) - exp(-pi()*(1.0-2.0*ty/256.0)))/2.0)), 6) AS north,
+        | TRUE AS inside, TRUE AS poly_ok
+        |FROM (SELECT o_orderkey,
+        |  floor((lon+180.0)/360.0*256) AS tx,
+        |  floor((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat)))/pi())/2.0*256) AS ty
+        | FROM (SELECT o_orderkey, CAST((o_orderkey % 110) - 55 + 0.25 AS DOUBLE) AS lat,
+        |   CAST((o_custkey % 350) - 175 + 0.25 AS DOUBLE) AS lon FROM orders))""".stripMargin,
 
     "q_geoarrow" ->
       """SELECT o_orderkey, 1 AS n_rings, 5 AS shell_pts,

@@ -170,6 +170,20 @@ object st {
   def tile_id(lat: Column, lon: Column, z: Column): Column =
     invoke(I, "tileId", LongType, false,
       lat -> DoubleType, lon -> DoubleType, z -> IntegerType)
+  private val tileBoundsSchema = StructType(Seq(
+    StructField("west", DoubleType, nullable = false),
+    StructField("south", DoubleType, nullable = false),
+    StructField("east", DoubleType, nullable = false),
+    StructField("north", DoubleType, nullable = false)))
+
+  /** Tile id -> lon/lat bounds (raster->vector, numeric form). */
+  def tile_bounds(id: Column): Column =
+    invoke(I, "tileBounds", tileBoundsSchema, false, id -> LongType)
+
+  /** Tile id -> WKB box polygon (raster->vector, geometry form). */
+  def tile_polygon(id: Column): Column =
+    invoke(I, "tilePolygon", BinaryType, false, id -> LongType)
+
   def tile_x(lon: Column, z: Column): Column =
     invoke(I, "tileX", LongType, false, lon -> DoubleType, z -> IntegerType)
   def tile_y(lat: Column, z: Column): Column =

@@ -13,4 +13,16 @@ object IndexKernel {
   def tileY(lat: Double, z: Int): Long = Tile.tileY(lat, z)
   def tileZoom(id: Long): Int = Tile.zoom(id)
   def tileParent(id: Long, z: Int): Long = Tile.parent(id, z)
+
+  /** Tile id -> lon/lat bounds struct (west, south, east, north). */
+  def tileBounds(id: Long): org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val (w, s, e, n) = Tile.bounds(id)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](w, s, e, n))
+  }
+
+  /** Tile id -> WKB box polygon — the raster->vector direction. */
+  def tilePolygon(id: Long): Array[Byte] = {
+    val (w, s, e, n) = Tile.bounds(id)
+    graft.geom.GeomKernel.stMakeBox(w, s, e, n)
+  }
 }
