@@ -85,7 +85,9 @@ object GraftSql {
     "img_stats" -> (1, a => st.img_stats(a(0))),
     "img_resize" -> (3, a => st.img_resize(a(0), a(1), a(2))),
     "st_geodesiclength" -> (2, a => st.st_geodesicLength(a(0), a(1))),
-    "token_count_bpe" -> (1, a => st.token_count_bpe(a(0))))
+    "token_count_bpe" -> (1, a => st.token_count_bpe(a(0))),
+    "tile_bounds" -> (1, a => st.tile_bounds(a(0))),
+    "tile_polygon" -> (1, a => st.tile_polygon(a(0))))
 
   /** Register all functions into an existing session's catalog. */
   def register(spark: SparkSession): Unit =
