@@ -34,8 +34,35 @@ object GeomKernel {
   final val MULTIPOLYGON = 6
   final val GEOMETRYCOLLECTION = 7
 
-  @inline private def g(wkb: Array[Byte]): Geometry = Wkb.read(wkb)
+  // one-entry per-thread decode memo: a multi-op projection (area + centroid
+  // + bounds + ... of the same geometry column) re-decodes identical WKB per
+  // op per row; consecutive equal-content calls reuse the parsed geometry.
+  // Kernels never mutate a decoded geometry (transform/affine copy() first),
+  // so sharing is safe. Tiny WKBs (points) decode directly — cheaper than
+  // the memo bookkeeping.
+  private val lastDecoded = new ThreadLocal[CachedGeom]
+  @inline private def g(wkb: Array[Byte]): Geometry = {
+    if (wkb.length <= 32) return Wkb.read(wkb)
+    val e = lastDecoded.get()
+    if (e != null && java.util.Arrays.equals(e.bytes, wkb)) e.geom
+    else {
+      val ne = new CachedGeom(wkb, Wkb.read(wkb))
+      lastDecoded.set(ne)
+      ne.geom
+    }
+  }
   @inline private def out(geom: Geometry): Array[Byte] = Wkb.write(geom)
+
+  /** 2-point XY LineString WKB: 41 bytes = order + type(2) + n(2) + 4 doubles. */
+  @inline private def isLine2Wkb(b: Array[Byte]): Boolean =
+    b.length == 41 && {
+      if (b(0) == 1)
+        b(1) == 2 && b(2) == 0 && b(3) == 0 && b(4) == 0 &&
+          b(5) == 2 && b(6) == 0 && b(7) == 0 && b(8) == 0
+      else
+        b(1) == 0 && b(2) == 0 && b(3) == 0 && b(4) == 2 &&
+          b(5) == 0 && b(6) == 0 && b(7) == 0 && b(8) == 2
+    }
 
   // ================= constructors =================
 
@@ -87,7 +114,15 @@ object GeomKernel {
   /** Planar length; Point/MultiPoint -> 0; Polygon -> exterior-ring length only
    *  (geoseries.rs:35-41: "For a Polygon it returns the length of the exterior
    *  ring"). */
-  def stLength(wkb: Array[Byte]): Double = lengthOf(g(wkb))
+  def stLength(wkb: Array[Byte]): Double = {
+    if (isLine2Wkb(wkb)) {
+      val le = wkb(0) == 1
+      val dx = wkbDouble(wkb, 9, le) - wkbDouble(wkb, 25, le)
+      val dy = wkbDouble(wkb, 17, le) - wkbDouble(wkb, 33, le)
+      return math.sqrt(dx * dx + dy * dy)
+    }
+    lengthOf(g(wkb))
+  }
 
   private def lengthOf(geom: Geometry): Double = geom match {
     case _: Point | _: MultiPoint => 0.0
@@ -111,6 +146,12 @@ object GeomKernel {
    *  "vincenty"} (geoseries.rs:52-58; py-geopolars/src/geo.rs:64-72). */
   def stGeodesicLength(wkb: Array[Byte], method: UTF8String): Double = {
     val m = method.toString.toLowerCase
+    // 2-point line fast path: segment distance straight from the raw WKB
+    if (isLine2Wkb(wkb)) {
+      val le = wkb(0) == 1
+      return segDist(m, wkbDouble(wkb, 17, le), wkbDouble(wkb, 9, le),
+        wkbDouble(wkb, 33, le), wkbDouble(wkb, 25, le))
+    }
     geodesicLengthOf(g(wkb), m)
   }
 
@@ -183,7 +224,18 @@ object GeomKernel {
   // ================= binary predicates / measures =================
 
   /** Row-wise cartesian distance in CRS units (geoseries.rs:141-146). */
-  def stDistance(a: Array[Byte], b: Array[Byte]): Double = g(a).distance(g(b))
+  def stDistance(a: Array[Byte], b: Array[Byte]): Double = {
+    // point-point fast path: straight hypot from the raw WKB doubles
+    if (isPointWkb(a) && isPointWkb(b)) {
+      val la = a(0) == 1; val lb = b(0) == 1
+      // sqrt(dx*dx+dy*dy) — bit-identical to JTS Point.distance (hypot is
+      // more accurate in the last ulp, which would perturb rank ties)
+      val dx = wkbDouble(a, 5, la) - wkbDouble(b, 5, lb)
+      val dy = wkbDouble(a, 13, la) - wkbDouble(b, 13, lb)
+      return math.sqrt(dx * dx + dy * dy)
+    }
+    g(a).distance(g(b))
+  }
 
   /** Boundary-exclusive containment — georust `Contains` semantics, which the
    *  reference join tests pin down (boundary points NOT contained:
