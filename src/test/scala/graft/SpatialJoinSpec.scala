@@ -176,4 +176,23 @@ class SpatialJoinSpec extends SparkSpec {
 
     assert(engine == oracle)
   }
+
+  test("left join keeps null-geometry left rows with null right columns") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.st._
+    val pts = Seq((1L, Some((5.0, 5.0))), (2L, None), (3L, Some((50.0, 50.0))))
+      .toDF("id", "xy")
+      .select(col("id"),
+        when(col("xy").isNotNull, st_point(col("xy._1"), col("xy._2")))
+          .otherwise(lit(null).cast("binary")).as("geometry"))
+    val polys = Seq(1L).toDF("pid")
+      .withColumn("geometry", st_makeBox(lit(0.0), lit(0.0), lit(10.0), lit(10.0)))
+    val out = SpatialJoin.join(pts, polys, SpatialPredicate.Intersects, "left",
+      cellLevel = 3, leftPointsOnly = true)
+      .select(col("id_left"), col("pid_right")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    // id 1 matches; ids 2 (null geometry) and 3 (outside) survive with nulls
+    assert(out == Set((1L, 1L), (2L, -1L), (3L, -1L)))
+  }
 }
