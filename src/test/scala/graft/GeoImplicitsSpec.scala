@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.GeoImplicits._
+import graft.functions.st._
+
+/** The GeoDataFrame-style `.geo` namespace (SURVEY §1.5 mapping). */
+class GeoImplicitsSpec extends SparkSpec {
+
+  private def boxes = {
+    import spark.implicits._
+    (1L to 10L).toDF("id")
+      .withColumn("geometry", st_makeBox(lit(0.0), lit(0.0),
+        col("id").cast("double"), lit(2.0)))
+  }
+
+  test("accessors append columns; transforms replace the geometry column") {
+    import spark.implicits._
+    val withArea = boxes.geo.area()
+    assert(withArea.columns.toSeq == Seq("id", "geometry", "area"))
+    assert(withArea.filter(col("id") === 5).select("area").as[Double].head() == 10.0)
+
+    val c = boxes.geo.centroid.geo.x().geo.y()
+    val row = c.filter(col("id") === 4).select("x", "y").as[(Double, Double)].head()
+    assert(row == ((2.0, 1.0)))
+
+    val buffered = boxes.geo.buffer(1.0).geo.area()
+    assert(buffered.filter(col("id") === 1).select("area").as[Double].head() > 2.0)
+  }
+
+  test("totalBounds, dissolve, explodeParts, toCrs") {
+    import spark.implicits._
+    assert(boxes.geo.totalBounds == ((0.0, 0.0, 10.0, 2.0)))
+
+    val grouped = boxes.withColumn("g", col("id") % 2)
+    val dis = grouped.geo.dissolve("g")
+    assert(dis.count() == 2 && dis.columns.toSeq == Seq("g", "geometry"))
+
+    val multi = boxes.limit(1)
+      .withColumn("geometry", st_union(
+        st_makeBox(lit(0.0), lit(0.0), lit(1.0), lit(1.0)),
+        st_makeBox(lit(5.0), lit(0.0), lit(6.0), lit(1.0))))
+    assert(multi.geo.explodeParts.count() == 2)
+
+    val rt = boxes.geo("geometry").toCrs(4326, 3857).geo.toCrs(3857, 4326).geo.area()
+    val a = rt.filter(col("id") === 3).select("area").as[Double].head()
+    assert(math.abs(a - 6.0) < 1e-6)
+  }
+
+  test("sjoin mirrors SpatialJoin with suffixed columns") {
+    import spark.implicits._
+    val pts = Seq((1L, 0.5, 0.5), (2L, 40.0, 40.0)).toDF("pid", "px", "py")
+      .withColumn("geometry", st_point(col("px"), col("py")))
+    val out = pts.geo.sjoin(boxes, cellLevel = 3, leftPointsOnly = true)
+    assert(out.columns.contains("pid_left") && out.columns.contains("id_right"))
+    assert(out.select("pid_left").distinct().count() == 1)
+  }
+}
