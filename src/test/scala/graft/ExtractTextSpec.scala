@@ -12,8 +12,11 @@ import graft.text.TextKernel
  *  carries the byte-identical-text-per-url invariant. */
 class ExtractTextSpec extends AnyFunSuite {
 
+  private def reference(html: Array[Byte]): String =
+    new String(referenceBytes(html), java.nio.charset.StandardCharsets.UTF_8)
+
   /** The round-1 per-byte reference scanner, kept verbatim as the oracle. */
-  private def reference(html: Array[Byte]): String = {
+  private def referenceBytes(html: Array[Byte]): Array[Byte] = {
     def regionEq(b: Array[Byte], i: Int, pat: Array[Byte]): Boolean = {
       if (i + pat.length > b.length) return false
       var k = 0
@@ -74,7 +77,7 @@ class ExtractTextSpec extends AnyFunSuite {
         else { emit(c); i += 1 }
       } else { emit(c); i += 1 }
     }
-    new String(out, 0, o, java.nio.charset.StandardCharsets.UTF_8)
+    java.util.Arrays.copyOf(out, o)
   }
 
   private def fast(b: Array[Byte]): String = TextKernel.extractText(b).toString
@@ -111,6 +114,17 @@ class ExtractTextSpec extends AnyFunSuite {
       val s = (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
       val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       assert(fast(b) == reference(b), s"fuzz #$k '${s.take(80)}' diverged")
+    }
+  }
+
+  test("identical on fully random bytes (incl. invalid UTF-8)") {
+    val rnd = new scala.util.Random(77)
+    (0 until 1500).foreach { k =>
+      val b = new Array[Byte](rnd.nextInt(200))
+      rnd.nextBytes(b)
+      // compare raw bytes — invalid UTF-8 must survive the scanner untouched
+      assert(java.util.Arrays.equals(TextKernel.extractText(b).getBytes,
+        referenceBytes(b)), s"raw fuzz #$k diverged")
     }
   }
 
