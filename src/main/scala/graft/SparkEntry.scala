@@ -834,14 +834,14 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        | sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS sum_qty_c,
-        | sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS sum_base_c,
-        | sum(CAST(floor(l_discount*10000 + 0.5) AS BIGINT)) AS sum_disc_c4,
+        | CAST(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        | CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_c,
+        | CAST(sum(CAST(floor(l_discount*10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_c4,
         | count(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "q3_revenue" ->
       """SELECT o_orderkey,
-        | sum(CAST(floor(l_extendedprice*(1.0-l_discount)*10000 + 0.5) AS BIGINT)) AS revenue_c4
+        | CAST(sum(CAST(floor(l_extendedprice*(1.0-l_discount)*10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c4
         |FROM customer JOIN orders ON c_custkey=o_custkey
         |JOIN lineitem ON o_orderkey=l_orderkey
         |WHERE c_mktsegment='BUILDING' GROUP BY o_orderkey""".stripMargin,
@@ -984,7 +984,9 @@ object SparkEntry {
 
     "q_utm" ->
       s"""SELECT custkey,
-         | CAST(floor((lon + 180.0) / 6.0) + 1 AS INTEGER) AS zone,
+         | CAST(floor(((CASE WHEN (lon % 360.0) >= 180.0 THEN (lon % 360.0) - 360.0
+         |   WHEN (lon % 360.0) < -180.0 THEN (lon % 360.0) + 360.0
+         |   ELSE (lon % 360.0) END) + 180.0) / 6.0) + 1 AS INTEGER) AS zone,
          | lat >= 0 AS north, TRUE AS rt_ok, TRUE AS scale_ok
          |FROM ($custPointsSql)""".stripMargin,
 
@@ -995,13 +997,14 @@ object SparkEntry {
          |   0.006694380022900787 AS e2, 0.08181919104281579 AS e,
          |   1.9955310874809387 AS qp, 6371007.1808835175 AS rq,
          |   0.7866706332158556 AS sinb0, 0.6173729139148921 AS cosb0,
+         |   1.0004253945280137 AS dd,
          |   sin(radians(lat)) AS s FROM p),
          | q AS (SELECT *, (1.0-e2) * (s/(1.0-e2*s*s) - (1.0/(2.0*e))*ln((1.0-e*s)/(1.0+e*s))) AS qq FROM c),
          | b AS (SELECT *, asin(qq/qp) AS beta FROM q),
          | g AS (SELECT *, rq * sqrt(2.0/(1.0 + sinb0*sin(beta) + cosb0*cos(beta)*cos(lam))) AS bb FROM b)
          |SELECT custkey,
-         | round(4321000.0 + bb*cos(beta)*sin(lam), 3) AS ex,
-         | round(3210000.0 + bb*(cosb0*sin(beta) - sinb0*cos(beta)*cos(lam)), 3) AS ey
+         | round(4321000.0 + bb*dd*cos(beta)*sin(lam), 3) AS ex,
+         | round(3210000.0 + (bb/dd)*(cosb0*sin(beta) - sinb0*cos(beta)*cos(lam)), 3) AS ey
          |FROM g""".stripMargin,
 
     "q_spatial_join_left" ->
@@ -1137,7 +1140,7 @@ object SparkEntry {
 
     "q_events_agg" ->
       """SELECT event_type, count(*) AS cnt,
-        | sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS total_c,
+        | CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS total_c,
         | count(DISTINCT user_id) AS users FROM events GROUP BY event_type""".stripMargin,
 
     "q_tile_vector" ->
@@ -1164,6 +1167,6 @@ object SparkEntry {
 
     "q_stream_window" ->
       """SELECT CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS win_start, event_type,
-        | count(*) AS cnt, sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS total_c
+        | count(*) AS cnt, CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS total_c
         |FROM events GROUP BY 1, 2""".stripMargin)
 }

@@ -128,7 +128,18 @@ object Proj {
       (1 / (2 * e)) * math.log((1 - e * sphi) / (1 + e * sphi)))
   }
 
-  /** LAEA forward; lat0/lon0 in degrees. */
+  /** Snyder's D (eq. 24-20): stretches x / compresses y so the oblique-aspect
+   *  map is exactly equal-area on the ellipsoid. D = a·m₀ / (Rq·cos β₀) with
+   *  m₀ = cos φ₀ / √(1 − e² sin² φ₀). ≈1.000425 for EPSG:3035 (lat0=52). */
+  private def laeaD(ell: Ellipsoid, lat0Deg: Double, beta0: Double, rq: Double): Double = {
+    val phi0 = math.toRadians(lat0Deg)
+    val s0 = math.sin(phi0)
+    val m0 = math.cos(phi0) / math.sqrt(1 - ell.e2 * s0 * s0)
+    ell.a * m0 / (rq * math.cos(beta0))
+  }
+
+  /** LAEA forward (Snyder 1987 eq. 24-17..24-20, oblique aspect);
+   *  lat0/lon0 in degrees. */
   def laeaForward(ell: Ellipsoid, lonDeg: Double, latDeg: Double,
                   lat0Deg: Double, lon0Deg: Double,
                   fe: Double, fn: Double): (Double, Double) = {
@@ -138,12 +149,13 @@ object Proj {
     val beta = math.asin(clamp1(q / qp))
     val beta0 = math.asin(clamp1(q0 / qp))
     val rq = ell.a * math.sqrt(qp / 2)
+    val d = laeaD(ell, lat0Deg, beta0, rq)
     val lam = math.toRadians(lonDeg - lon0Deg)
     val denom = 1 + math.sin(beta0) * math.sin(beta) +
       math.cos(beta0) * math.cos(beta) * math.cos(lam)
     val b = rq * math.sqrt(2 / denom)
-    val x = fe + b * math.cos(beta) * math.sin(lam)
-    val y = fn + b * (math.cos(beta0) * math.sin(beta) -
+    val x = fe + b * d * math.cos(beta) * math.sin(lam)
+    val y = fn + (b / d) * (math.cos(beta0) * math.sin(beta) -
       math.sin(beta0) * math.cos(beta) * math.cos(lam))
     (x, y)
   }
@@ -156,7 +168,9 @@ object Proj {
     val q0 = authalicQ(ell, math.sin(math.toRadians(lat0Deg)))
     val beta0 = math.asin(clamp1(q0 / qp))
     val rq = ell.a * math.sqrt(qp / 2)
-    val x = x0 - fe; val y = y0 - fn
+    val d = laeaD(ell, lat0Deg, beta0, rq)
+    // Snyder 24-28/24-29: undo D before the spherical-style inverse
+    val x = (x0 - fe) / d; val y = (y0 - fn) * d
     val rho = math.hypot(x, y)
     if (rho < 1e-12) return (lon0Deg, lat0Deg)
     val ce = 2 * math.asin(clamp1(rho / (2 * rq)))
@@ -189,9 +203,14 @@ object Proj {
 
   final val UtmK0 = 0.9996
 
-  /** UTM zone (1..60) containing a longitude. */
-  def utmZone(lonDeg: Double): Int =
-    math.min(60, math.max(1, (math.floor((lonDeg + 180.0) / 6.0) + 1).toInt))
+  /** UTM zone (1..60) containing a longitude. Longitude is first wrapped into
+   *  [-180, 180), so lon=180 lands in zone 1 (its wrapped value is -180) —
+   *  the same convention the oracle SQL mirrors. */
+  def utmZone(lonDeg: Double): Int = {
+    var lon = lonDeg % 360.0
+    if (lon >= 180.0) lon -= 360.0 else if (lon < -180.0) lon += 360.0
+    math.min(60, math.max(1, (math.floor((lon + 180.0) / 6.0) + 1).toInt))
+  }
 
   /** EPSG code of the WGS84 UTM zone containing a point. */
   def utmSrid(latDeg: Double, lonDeg: Double): Int =

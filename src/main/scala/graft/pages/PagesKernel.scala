@@ -135,15 +135,17 @@ object PagesKernel {
   def extractEntity(text: UTF8String): UTF8String = {
     // byte-level search/slice on the UTF8String — toString copied the whole
     // document per page before searching, and a numChars() bounds check
-    // re-scanned every byte to count codepoints (profiled at ~10% of the
-    // 32-core pipeline). substring() truncates at the end of input, so an
-    // O(1) byte-length check on the slice replaces the codepoint count: a
-    // complete ASCII entity slice has exactly entityLen bytes.
+    // re-scanned every byte of the DOCUMENT to count codepoints (profiled at
+    // ~10% of the 32-core pipeline). substring() truncates at the end of
+    // input, so counting chars on the <=16-char slice (O(entityLen), not
+    // O(document)) keeps the exact old semantics: a complete entity slice
+    // has exactly entityLen characters even when the tail holds multi-byte
+    // UTF-8 that would fool a byte-length check.
     val i = text.indexOf(nearMarker, 0)
     if (i < 0) null
     else {
       val slice = text.substring(i + nearLen, i + nearLen + entityLen)
-      if (slice.numBytes == entityLen) slice else null
+      if (slice.numChars == entityLen) slice else null
     }
   }
 }

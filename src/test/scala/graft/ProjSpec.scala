@@ -65,6 +65,17 @@ class ProjSpec extends AnyFunSuite {
     assert(math.abs(x - 4321000.0) < 1e-6 && math.abs(y - 3210000.0) < 1e-6)
   }
 
+  test("laea 3035: published IOGP GN7-2 sample (50N,5E) -> E 3962799.45 N 2999718.85") {
+    // Independent published coordinate (IOGP Guidance Note 7-2, Lambert
+    // Azimuthal Equal Area example, ETRS89-LAEA parameters). Pins the Snyder
+    // D factor (eq. 24-20): without D the easting is off by ~152 m here.
+    val (x, y) = Proj.fromLonLat(3035, 5.0, 50.0)
+    assert(math.abs(x - 3962799.45) < 0.01, s"E=$x")
+    assert(math.abs(y - 2999718.85) < 0.01, s"N=$y")
+    val (lon, lat) = Proj.toLonLat(3035, 3962799.45, 2999718.85)
+    assert(math.abs(lon - 5.0) < 1e-7 && math.abs(lat - 50.0) < 1e-7)
+  }
+
   test("laea 3035: round trip < 1e-9 degrees over the European window") {
     val rnd = new scala.util.Random(29)
     (0 until 300).foreach { _ =>
