@@ -793,6 +793,32 @@ object SparkEntry {
       s.table(sink)
     }),
 
+    "q_h3_props" -> ((s, dir) => {
+      // Driver-visible twin of q_s2_props: the H3 id's structural contract as
+      // per-row booleans the DuckDB oracle re-asserts as TRUE literals. The
+      // packed layout is digits at bits 0..44 (coarsest digit at 42..44, 3
+      // bits each), base cell 45..52, face 53..57, res 58..61, mode bit 62.
+      val c12 = h3_cell(col("lat"), col("lon"), lit(12))
+      val p5 = h3_parent(c12, lit(5))
+      val p9 = h3_parent(c12, lit(9))
+      // digits 0..4 occupy bits 3*(15-5)=30 .. 44
+      val digitMask5 = lit(((1L << 15) - 1) << 30)
+      val padMask5 = lit((1L << 30) - 1)
+      custPoints(s, dir).select(
+        col("custkey"),
+        (shiftrightunsigned(c12, 58).bitwiseAND(lit(15L)) === 12L).as("res12_ok"),
+        (shiftrightunsigned(p5, 58).bitwiseAND(lit(15L)) === 5L).as("res5_ok"),
+        // parent keeps the base-cell + face fields (bits 45..57) verbatim
+        (shiftrightunsigned(p5, 45).bitwiseAND(lit(0x1fffL)) ===
+          shiftrightunsigned(c12, 45).bitwiseAND(lit(0x1fffL))).as("base_ok"),
+        // parent is a digit-prefix of the child: digits 0..4 identical ...
+        (p5.bitwiseXOR(c12).bitwiseAND(digitMask5) === 0L).as("prefix_ok"),
+        // ... and every digit below res 5 reads the pad value 7
+        (p5.bitwiseAND(padMask5) === ((1L << 30) - 1)).as("pad_ok"),
+        // truncation is transitive: via res 9 equals direct to res 5
+        (h3_parent(p9, lit(5)) === p5).as("transitive_ok"))
+    }),
+
     // ============ rows-only checks (not SQL-expressible) ============
     "q_h3_cells" -> ((s, dir) => custPoints(s, dir).select(
       col("custkey"),
@@ -1029,6 +1055,11 @@ object SparkEntry {
 
     "q_s2_props" ->
       s"""SELECT custkey, TRUE AS prefix5_ok, TRUE AS prefix9_ok, TRUE AS transitive_ok
+         |FROM ($custPointsSql)""".stripMargin,
+
+    "q_h3_props" ->
+      s"""SELECT custkey, TRUE AS res12_ok, TRUE AS res5_ok, TRUE AS base_ok,
+         | TRUE AS prefix_ok, TRUE AS pad_ok, TRUE AS transitive_ok
          |FROM ($custPointsSql)""".stripMargin,
 
     "q_geodesic_ell" ->

@@ -195,15 +195,23 @@ object H3 {
   }
 
   /** Pack. Res-0 lattice coords (a,b) live in a small range on the face
-   *  (|a|,|b| <= ~3 at Size0=0.35); they're folded into the base-cell field. */
+   *  (|a|,|b| <= ~3 at Size0=0.35); they're folded into the base-cell field.
+   *
+   *  Layout (63 bits, bit 63 clear so ids stay positive longs):
+   *    bits  0..44  fifteen 3-bit digits, coarsest (d=0) highest; unused = 7
+   *    bits 45..52  res-0 lattice coords, (a0+4)<<4 | (b0+4)
+   *    bits 53..57  icosahedron face (0..19)
+   *    bits 58..61  resolution (0..15)
+   *    bit  62      mode bit (always 1 — distinguishes a cell id from 0/NULL)
+   *  Every field has its own bits: pack is injective per (face, a0, b0,
+   *  digits), so distinct cells can never share an id. */
   private def pack(face: Int, res: Int, digits: Array[Int], a0: Long, b0: Long): Long = {
-    // base field: face (5 bits) + res-0 coords a,b biased to 4 bits each.
     // Gnomonic face coords are bounded by the face circumradius (~0.77) so
     // |a0|,|b0| <= ceil(0.77/Size0/sin60) + 1 = 4; fail loudly, never corrupt.
     require(a0 >= -4 && a0 <= 4 && b0 >= -4 && b0 <= 4,
       s"h3 res-0 coord out of range: ($a0,$b0) face=$face")
     val ab = ((a0 + 4) << 4) | (b0 + 4)
-    var h = (1L << 59) | (res.toLong << 52) | (face.toLong << 46) | (ab << 38)
+    var h = (1L << 62) | (res.toLong << 58) | (face.toLong << 53) | (ab << 45)
     var d = 0
     while (d < MaxRes) {
       val digit = if (d < res) digits(d) else 7
@@ -213,15 +221,15 @@ object H3 {
     h
   }
 
-  def resolution(h: Long): Int = ((h >> 52) & 0xf).toInt
-  def face(h: Long): Int = ((h >> 46) & 0x3f).toInt
+  def resolution(h: Long): Int = ((h >> 58) & 0xf).toInt
+  def face(h: Long): Int = ((h >> 53) & 0x1f).toInt
 
   /** Parent at coarser `res`: digits below it become 7. Prefix property:
    *  a cell's packed id differs from its parent only in low digit bits. */
   def parent(h: Long, res: Int): Long = {
     val r = resolution(h)
     require(res <= r, s"parent res $res above cell res $r")
-    var out = (h & ~(0xfL << 52)) | (res.toLong << 52)
+    var out = (h & ~(0xfL << 58)) | (res.toLong << 58)
     var d = res
     while (d < MaxRes) {
       out |= 7L << (3 * (MaxRes - 1 - d))

@@ -154,6 +154,21 @@ class IndexSpec extends AnyFunSuite {
     }
   }
 
+  test("h3: packed fields are disjoint — digit slots read 0..6 below res, 7 at/above") {
+    // Guards the id layout itself: an overlap between the base-cell field and
+    // the digit region (the pre-fix layout OR'd ab<<38 across digits 0..2,
+    // making pack lossy) corrupts digit reads and lets distinct cells collide.
+    forAllPointsRes(15) { (lat, lon, res) =>
+      val h = H3.cell(lat, lon, res)
+      assert((h >>> 62) == 1L, s"mode/sign bits wrong: $h")
+      (0 until H3.MaxRes).foreach { d =>
+        val digit = (h >> (3 * (H3.MaxRes - 1 - d))) & 7
+        if (d < res) assert(digit <= 6, s"digit $d=$digit res=$res")
+        else assert(digit == 7, s"pad digit $d=$digit res=$res")
+      }
+    }
+  }
+
   test("h3: parent chain is consistent and prefix-monotone") {
     forAllPoints { (lat, lon) =>
       val h = H3.cell(lat, lon, 12)
