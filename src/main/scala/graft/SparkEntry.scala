@@ -701,6 +701,25 @@ object SparkEntry {
         s2.getField("mean_r").as("rmean_r"))
     }),
 
+    "q_audio_decode" -> ((s, dir) => {
+      // REAL audio decode (javax.sound.sampled): encode a square-wave WAV per
+      // row through the JDK's WAV writer, decode it back — sample rate, frame
+      // count, mean (exactly 0 for an even-length period-2 square), RMS and
+      // peak (exactly the amplitude) are all exact.
+      val c = t(s, dir, "customer").select(col("c_custkey").as("custkey"),
+        (lit(8000) + (col("c_custkey") % 3) * 4000).cast("int").as("sr"),
+        (lit(400) + (col("c_custkey") % 128) * 2).cast("int").as("n"),
+        (col("c_custkey") * 7 % 2000).cast("int").as("amp"))
+      val st = audio_stats(wav_square(col("sr"), col("n"), col("amp")))
+      c.select(col("custkey"),
+        st.getField("sample_rate").as("sample_rate"),
+        st.getField("channels").as("channels"),
+        st.getField("n_frames").as("n_frames"),
+        st.getField("mean").as("mean"),
+        st.getField("rms").as("rms"),
+        st.getField("peak").as("peak"))
+    }),
+
     "q_pipeline_consistency" -> ((s, dir) => {
       // two independent join strategies over the same geocoded pages —
       // broadcast fast path vs explicitly salted shuffle — must emit the
@@ -791,6 +810,39 @@ object SparkEntry {
         .start()
       query.awaitTermination()
       s.table(sink)
+    }),
+
+    "q_stream_sessions" -> ((s, dir) => {
+      // Sessionization end-to-end: flatMapGroupsWithState with event-time
+      // timeouts over the events FILE STREAM (AvailableNow). Closed sessions
+      // (gap islands > 2h, final island closed by the watermark) must equal
+      // DuckDB's batch lag/cumulative-sum island sessionization. Values
+      // travel as integer cents (already-rounded doubles) so the session
+      // total is an exact integer regardless of FP sum order; timestamps
+      // compare at the millisecond (getTime) granularity on both sides. The
+      // gap is deliberately NOT a whole second so `last + gap` can never tie
+      // exactly with another event's timestamp.
+      import s.implicits._
+      val gapMs = 7199500L
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stream-sess")
+      java.nio.file.Files.createSymbolicLink(
+        tmp.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema).parquet(tmp.toString)
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"), col("user_id"),
+          col("event_type"), floor(col("value") * 100 + 0.5).cast("double").as("value"))
+        .as[graft.streaming.Streams.Event]
+      val sess = graft.streaming.Streams.sessionize(stream, gapMs)
+      val sink = s"q_stream_sessions_${System.nanoTime()}"
+      val query = sess.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s.table(sink).select(col("user_id"), col("events"),
+        col("total").cast("long").as("total_c"),
+        unix_millis(col("firstTs")).as("first_ms"),
+        unix_millis(col("lastTs")).as("last_ms"))
     }),
 
     "q_h3_props" -> ((s, dir) => {
@@ -1116,6 +1168,16 @@ object SparkEntry {
         | CAST(c_custkey * 37 % 256 AS DOUBLE) AS rmean_r
         |FROM customer""".stripMargin,
 
+    "q_audio_decode" ->
+      """SELECT c_custkey AS custkey,
+        | CAST(8000 + (c_custkey % 3) * 4000 AS INTEGER) AS sample_rate,
+        | CAST(1 AS INTEGER) AS channels,
+        | CAST(400 + (c_custkey % 128) * 2 AS BIGINT) AS n_frames,
+        | CAST(0.0 AS DOUBLE) AS mean,
+        | CAST(c_custkey * 7 % 2000 AS DOUBLE) AS rms,
+        | CAST(c_custkey * 7 % 2000 AS INTEGER) AS peak
+        |FROM customer""".stripMargin,
+
     "q_pipeline_consistency" ->
       "SELECT TRUE AS nonempty, TRUE AS counts_eq, TRUE AS rows_eq",
 
@@ -1199,5 +1261,20 @@ object SparkEntry {
     "q_stream_window" ->
       """SELECT CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS win_start, event_type,
         | count(*) AS cnt, CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS total_c
-        |FROM events GROUP BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_stream_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS t,
+        |   CAST(floor(value*100 + 0.5) AS BIGINT) AS cents FROM events),
+        | o AS (SELECT user_id, t, cents,
+        |   lag(t) OVER (PARTITION BY user_id ORDER BY t) AS prev FROM e),
+        | s AS (SELECT user_id, t, cents,
+        |   sum(CASE WHEN prev IS NULL OR t - prev > 7199500 THEN 1 ELSE 0 END)
+        |     OVER (PARTITION BY user_id ORDER BY t
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM o),
+        | g AS (SELECT user_id, sid, count(*) AS events,
+        |   CAST(sum(cents) AS BIGINT) AS total_c,
+        |   min(t) AS first_ms, max(t) AS last_ms FROM s GROUP BY user_id, sid)
+        |SELECT user_id, events, total_c, first_ms, last_ms
+        |FROM g WHERE (SELECT max(t) FROM e) > last_ms + 7199500""".stripMargin)
 }

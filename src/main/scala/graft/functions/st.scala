@@ -293,4 +293,23 @@ object st {
   def img_resize(bytes: Column, w: Column, h: Column): Column =
     invoke(M, "imgResize", BinaryType, true,
       bytes -> BinaryType, w -> IntegerType, h -> IntegerType)
+
+  // ---------- multimodal: real JDK audio codec (WAV/AIFF PCM) ----------
+  private val AU = graft.multimodal.AudioKernel.getClass
+  private val audioStatsSchema = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("mean", DoubleType, nullable = false),
+    StructField("rms", DoubleType, nullable = false),
+    StructField("peak", IntegerType, nullable = false)))
+
+  /** Deterministic square-wave 16-bit PCM WAV (test/gate audio source). */
+  def wav_square(sampleRate: Column, nSamples: Column, amp: Column): Column =
+    invoke(AU, "wavSquare", BinaryType, false, sampleRate -> IntegerType,
+      nSamples -> IntegerType, amp -> IntegerType)
+
+  /** Decode WAV/AIFF PCM + sample stats; NULL for undecodable bytes. */
+  def audio_stats(bytes: Column): Column =
+    invoke(AU, "audioStats", audioStatsSchema, true, bytes -> BinaryType)
 }

@@ -9,10 +9,11 @@ import org.apache.spark.sql.functions._
  * feature-extraction runs partition-batched so a real codec (JNI or a
  * vectorized library) can amortize per-batch setup.
  *
- * Image decode is REAL: `ImageIoCodec` / `ImageKernel` ride the JDK's own
- * javax.imageio readers (PNG/BMP/GIF/JPEG). Audio/video decode remains a
- * STUB (`FakeCodec`, deterministic pseudo-features) because the JDK ships no
- * codec for them; the plumbing — schema, batch shape, partitioning,
+ * Image decode is REAL (`ImageIoCodec` / `ImageKernel` on javax.imageio:
+ * PNG/BMP/GIF/JPEG) and so is audio decode (`WavCodec` / `AudioKernel` on
+ * javax.sound.sampled: WAV/AIFF PCM). Video is the one modality the JDK
+ * ships no codec for, so it stays a STUB (`FakeCodec`, deterministic
+ * pseudo-features); the plumbing — schema, batch shape, partitioning,
  * null-safety — is identical either way, and swapping in a true codec is a
  * one-object change behind the `MediaCodec` interface.
  */
@@ -35,8 +36,9 @@ object Multimodal {
   }
 
   /**
-   * STUB codec: deterministic pseudo-features (splitmix64 over the bytes).
-   * Replace with a real decoder when the runtime has one; everything
+   * STUB codec for the video modality (the one with no JDK decoder):
+   * deterministic pseudo-features (splitmix64 over the bytes). Image uses
+   * the real `ImageIoCodec`, audio the real `WavCodec`; everything
    * downstream (schema, batching, tests) is codec-agnostic.
    */
   object FakeCodec extends MediaCodec {

@@ -30,10 +30,15 @@ object Streams {
                      firstTs: Timestamp, lastTs: Timestamp, closed: Boolean)
 
   /**
-   * Sessionization via flatMapGroupsWithState with EVENT-TIME timeouts: a
-   * session closes once the watermark passes `lastTs + gapMs`. Event-time
-   * state is deterministic (no wall clock) and the query quiesces between
-   * batches — processing-time timeouts would re-trigger batches forever.
+   * Sessionization via flatMapGroupsWithState with EVENT-TIME timeouts.
+   * Within a batch the user's events are sorted and split into gap islands
+   * (a new session starts when the inter-event gap exceeds `gapMs` STRICTLY)
+   * — a batch can span many sessions, so batch-boundary-only splitting would
+   * under-segment. Every island but the newest closes immediately; the
+   * newest becomes state and closes once the watermark passes
+   * `lastTs + gapMs`. Event-time state is deterministic (no wall clock) and
+   * the query quiesces between batches — processing-time timeouts would
+   * re-trigger batches forever.
    */
   def sessionize(events: Dataset[Event], gapMs: Long,
                  watermarkDelay: String = "0 seconds"): Dataset[Session] = {
@@ -49,21 +54,31 @@ object Streams {
             state.remove()
             Iterator(s.copy(closed = true))
           } else {
-            val evs = rows.toSeq
-            val prev = state.getOption
-            val first = prev.map(_.firstTs).getOrElse(
-              evs.map(_.ts).min(Ordering.by[Timestamp, Long](_.getTime)))
-            val last = {
-              val newest = evs.map(_.ts).max(Ordering.by[Timestamp, Long](_.getTime))
-              prev.map(_.lastTs).filter(_.getTime > newest.getTime).getOrElse(newest)
+            val evs = rows.toArray.sortBy(_.ts.getTime)
+            var closedOut = List.empty[Session]
+            var cur = state.getOption.orNull
+            var i = 0
+            while (i < evs.length) {
+              val e = evs(i)
+              if (cur == null) {
+                cur = Session(userId, 1L, e.value, e.ts, e.ts, closed = false)
+              } else if (e.ts.getTime - cur.lastTs.getTime > gapMs) {
+                closedOut ::= cur.copy(closed = true)
+                cur = Session(userId, 1L, e.value, e.ts, e.ts, closed = false)
+              } else {
+                cur = cur.copy(events = cur.events + 1, total = cur.total + e.value,
+                  firstTs = if (e.ts.getTime < cur.firstTs.getTime) e.ts else cur.firstTs,
+                  lastTs = if (e.ts.getTime > cur.lastTs.getTime) e.ts else cur.lastTs)
+              }
+              i += 1
             }
-            val merged = Session(userId,
-              prev.map(_.events).getOrElse(0L) + evs.size,
-              prev.map(_.total).getOrElse(0.0) + evs.map(_.value).sum,
-              first, last, closed = false)
-            state.update(merged)
-            state.setTimeoutTimestamp(last.getTime + gapMs)
-            Iterator.empty
+            // evs can be empty only on a watermark-advance no-data pass, in
+            // which case prior state exists; keep its timeout unchanged.
+            if (cur != null) {
+              state.update(cur)
+              state.setTimeoutTimestamp(cur.lastTs.getTime + gapMs)
+            }
+            closedOut.reverseIterator
           }
       }
   }
