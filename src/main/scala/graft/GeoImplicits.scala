@@ -37,6 +37,14 @@ object GeoImplicits {
   final class GeoOps private[GeoImplicits] (df: DataFrame, gcol: String) {
     private def gc: Column = col(gcol)
 
+    private def originMode(origin: String): Int = origin match {
+      case "center" => graft.geom.GeomKernel.ORIGIN_CENTER
+      case "centroid" => graft.geom.GeomKernel.ORIGIN_CENTROID
+      case "point" => graft.geom.GeomKernel.ORIGIN_POINT
+      case other => throw new IllegalArgumentException(
+        s"origin must be center|centroid|point, got $other")
+    }
+
     // ---- accessors: append a value column ----
     def area(as: String = "area"): DataFrame = df.withColumn(as, st_area(gc))
     def length(as: String = "length"): DataFrame = df.withColumn(as, st_length(gc))
@@ -60,6 +68,20 @@ object GeoImplicits {
       df.withColumn(gcol, st_buffer(gc, lit(distance)))
     def translate(dx: Double, dy: Double): DataFrame =
       df.withColumn(gcol, st_translate(gc, lit(dx), lit(dy)))
+    /** Rotate degrees CCW about "center" (bbox), "centroid", or a point. */
+    def rotate(angleDeg: Double, origin: String = "center",
+               point: (Double, Double) = (0.0, 0.0)): DataFrame =
+      df.withColumn(gcol, st_rotate(gc, lit(angleDeg), lit(originMode(origin)),
+        lit(point._1), lit(point._2)))
+    def scale(xf: Double, yf: Double, origin: String = "center",
+              point: (Double, Double) = (0.0, 0.0)): DataFrame =
+      df.withColumn(gcol, st_scale(gc, lit(xf), lit(yf), lit(originMode(origin)),
+        lit(point._1), lit(point._2)))
+    /** Shear by degree angles along x/y (the reference's skew). */
+    def skew(xsDeg: Double, ysDeg: Double, origin: String = "center",
+             point: (Double, Double) = (0.0, 0.0)): DataFrame =
+      df.withColumn(gcol, st_skew(gc, lit(xsDeg), lit(ysDeg), lit(originMode(origin)),
+        lit(point._1), lit(point._2)))
     def affine(a: Double, b: Double, d: Double, e: Double,
                xoff: Double, yoff: Double): DataFrame =
       df.withColumn(gcol, st_affine(gc, lit(a), lit(b), lit(d), lit(e), lit(xoff), lit(yoff)))
@@ -67,6 +89,16 @@ object GeoImplicits {
       df.withColumn(gcol, st_transform(gc, lit(fromSrid), lit(toSrid)))
     /** One row per geometry part (the reference's explode). */
     def explodeParts: DataFrame = df.withColumn(gcol, explode(st_dump(gc)))
+
+    // ---- binary accessors against another geometry expression ----
+    def distance(other: Column, as: String = "distance"): DataFrame =
+      df.withColumn(as, st_distance(gc, other))
+    def contains(other: Column, as: String = "contains"): DataFrame =
+      df.withColumn(as, st_contains(gc, other))
+    def intersects(other: Column, as: String = "intersects"): DataFrame =
+      df.withColumn(as, st_intersects(gc, other))
+    def within(other: Column, as: String = "within"): DataFrame =
+      df.withColumn(as, st_within(gc, other))
 
     // ---- frame-level operations ----
     /** (minx, miny, maxx, maxy) over the whole frame — an action. */

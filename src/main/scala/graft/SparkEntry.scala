@@ -173,10 +173,16 @@ object SparkEntry {
       val line = st_makeLine(col("l_quantity"), col("l_discount"),
         col("l_tax") * 10.0, col("l_extendedprice") / 1000.0)
       val b = st_bounds(line)
+      // st_envelope's own gate columns: the envelope of a diagonal 2-point
+      // line is the bbox rectangle (area |dx*dy|), degenerating to a
+      // LineString on axis-aligned lines and a Point when both ends coincide
+      val env = st_envelope(line)
       l.select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
         b.getField("minx").as("minx"), b.getField("miny").as("miny"),
         b.getField("maxx").as("maxx"), b.getField("maxy").as("maxy"),
-        round(st_length(line), 6).as("len"))
+        round(st_length(line), 6).as("len"),
+        round(st_area(env), 6).as("env_area"),
+        st_geomType(env).as("env_type"))
     }),
 
     "q_hull_area" -> ((s, dir) => {
@@ -895,12 +901,36 @@ object SparkEntry {
     "q_lang_id" -> ((s, dir) => t(s, dir, "documents").select(
       col("doc_id"), lang_id(col("text")).as("lang_guess"), col("lang"))),
 
-    "q_simhash" -> ((s, dir) => t(s, dir, "documents").select(
-      col("doc_id"), simhash64(col("text"), lit(3)).as("simhash"),
-      fingerprint64(col("text")).as("fp"))),
+    "q_simhash" -> ((s, dir) => {
+      // Fixed-string fingerprints with a recorded-literal oracle: pins the
+      // exact 64-bit simhash/FNV values across rounds (the determinism and
+      // byte-stability contract). sid 4 repeats sid 1's text, so the oracle
+      // itself asserts duplicate text -> identical hashes; the one-word edit
+      // (sid 2) must land within a small Hamming ball of sid 1 while the
+      // unrelated sid 3 lands far away — checked in SimhashGateSpec.
+      val a = "the quick brown fox jumps over the lazy dog near the river bank"
+      val a2 = "the quick brown fox jumps over the lazy cat near the river bank"
+      val b = "entirely unrelated maritime insurance boilerplate concerning claims"
+      s.createDataFrame(Seq((1L, a), (2L, a2), (3L, b), (4L, a))).toDF("sid", "stext")
+        .select(col("sid"), simhash64(col("stext"), lit(3)).as("simhash"),
+          fingerprint64(col("stext")).as("fp"))
+    }),
 
-    "q_cosine_lsh" -> ((s, dir) => t(s, dir, "embeddings").select(
-      col("vec_id"), cosine_lsh_bucket(col("embedding"), lit(12)).as("bucket"))),
+    "q_cosine_lsh" -> ((s, dir) => {
+      // SRP-LSH structural contract per embedding, as oracle-checkable
+      // booleans: bucket in [0, 2^12); negating the vector flips every sign
+      // bit (bucket XOR 0xfff); the multi-probe set contains the vector's
+      // own bucket and has exactly 1 + 12 entries at Hamming radius 1.
+      val eb = t(s, dir, "embeddings")
+      val bkt = cosine_lsh_bucket(col("embedding"), lit(12))
+      val neg = transform(col("embedding"), x => -x)
+      val probes = cosine_lsh_probes(col("embedding"), lit(12), lit(1))
+      eb.select(col("vec_id"),
+        (bkt >= 0L && bkt < 4096L).as("in_range"),
+        (cosine_lsh_bucket(neg, lit(12)) === bkt.bitwiseXOR(lit(4095L))).as("neg_flips"),
+        array_contains(probes, bkt).as("self_in_probes"),
+        (size(probes) === 13).as("probe_count_ok"))
+    }),
 
     "q_pages_pipeline" -> ((s, dir) => {
       val sf = if (dir.contains("0.1")) 20000L else 2000L
@@ -976,7 +1006,9 @@ object SparkEntry {
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
         | least(x1,x2) AS minx, least(y1,y2) AS miny,
         | greatest(x1,x2) AS maxx, greatest(y1,y2) AS maxy,
-        | round(sqrt((x1-x2)*(x1-x2)+(y1-y2)*(y1-y2)),6) AS len
+        | round(sqrt((x1-x2)*(x1-x2)+(y1-y2)*(y1-y2)),6) AS len,
+        | round(abs((x1-x2)*(y1-y2)),6) AS env_area,
+        | CASE WHEN x1=x2 AND y1=y2 THEN 0 WHEN x1=x2 OR y1=y2 THEN 1 ELSE 3 END AS env_type
         |FROM (SELECT l_orderkey, l_linenumber, l_quantity AS x1, l_discount AS y1,
         |  l_tax*10.0 AS x2, l_extendedprice/1000.0 AS y2 FROM lineitem)""".stripMargin,
 
@@ -1128,6 +1160,18 @@ object SparkEntry {
         | (CAST(11 AS BIGINT), CAST(0 AS BIGINT)), (CAST(12 AS BIGINT), CAST(1 AS BIGINT)),
         | (CAST(13 AS BIGINT), CAST(2 AS BIGINT)), (CAST(14 AS BIGINT), CAST(3 AS BIGINT))
         |) AS t(sid, n_bpe)""".stripMargin,
+
+    "q_simhash" ->
+      """SELECT * FROM (VALUES
+        | (CAST(1 AS BIGINT), CAST(1136889540549203160 AS BIGINT), CAST(-5683231688907763541 AS BIGINT)),
+        | (CAST(2 AS BIGINT), CAST(7423985058879021294 AS BIGINT), CAST(-901156390463725495 AS BIGINT)),
+        | (CAST(3 AS BIGINT), CAST(3446088770863765956 AS BIGINT), CAST(4429764121531777123 AS BIGINT)),
+        | (CAST(4 AS BIGINT), CAST(1136889540549203160 AS BIGINT), CAST(-5683231688907763541 AS BIGINT))
+        |) AS t(sid, simhash, fp)""".stripMargin,
+
+    "q_cosine_lsh" ->
+      """SELECT vec_id, TRUE AS in_range, TRUE AS neg_flips,
+        | TRUE AS self_in_probes, TRUE AS probe_count_ok FROM embeddings""".stripMargin,
 
     "q_lang_known" ->
       """SELECT * FROM (VALUES

@@ -48,6 +48,42 @@ class GeoImplicitsSpec extends SparkSpec {
     assert(math.abs(a - 6.0) < 1e-6)
   }
 
+  test("rotate/scale/skew replace geometry; origin modes match st_ functions") {
+    import spark.implicits._
+    // 90deg CCW about the bbox center maps a (w x 2) box to a (2 x w) box
+    val rot = boxes.geo.rotate(90.0).geo.area()
+    assert(rot.filter(col("id") === 5).select("area").as[Double].head() == 10.0)
+    val b = boxes.geo.rotate(90.0).geo("geometry").bounds()
+      .filter(col("id") === 4)
+      .select(col("bounds.maxx") - col("bounds.minx"),
+        col("bounds.maxy") - col("bounds.miny")).as[(Double, Double)].head()
+    assert(math.abs(b._1 - 2.0) < 1e-12 && math.abs(b._2 - 4.0) < 1e-12)
+
+    val sc = boxes.geo.scale(2.0, 3.0).geo.area()
+    assert(sc.filter(col("id") === 5).select("area").as[Double].head() == 60.0)
+    // scaling about an explicit point moves the far corner proportionally
+    val scp = boxes.geo.scale(2.0, 1.0, origin = "point", point = (0.0, 0.0))
+      .geo.bounds().filter(col("id") === 5).select("bounds.maxx").as[Double].head()
+    assert(scp == 10.0)
+    // skew preserves area (unit determinant shear about any origin)
+    val sk = boxes.geo.skew(30.0, 0.0, origin = "centroid").geo.area()
+    assert(math.abs(sk.filter(col("id") === 5).select("area").as[Double].head() - 10.0) < 1e-9)
+    intercept[IllegalArgumentException](boxes.geo.rotate(10.0, origin = "nope"))
+  }
+
+  test("distance/contains/intersects/within against another geometry column") {
+    import spark.implicits._
+    val withPt = boxes.withColumn("probe", st_point(lit(0.5), lit(1.0)))
+    val d = withPt.geo.distance(col("probe")).filter(col("id") === 1)
+      .select("distance").as[Double].head()
+    assert(d == 0.0) // point inside box 1
+    assert(withPt.geo.contains(col("probe")).filter(col("contains")).count() == 10)
+    assert(withPt.geo.intersects(col("probe")).filter(col("intersects")).count() == 10)
+    // a box is within the envelope of a larger box
+    val big = boxes.withColumn("hull", st_makeBox(lit(-1.0), lit(-1.0), lit(20.0), lit(3.0)))
+    assert(big.geo.within(col("hull")).filter(col("within")).count() == 10)
+  }
+
   test("sjoin mirrors SpatialJoin with suffixed columns") {
     import spark.implicits._
     val pts = Seq((1L, 0.5, 0.5), (2L, 40.0, 40.0)).toDF("pid", "px", "py")
