@@ -87,6 +87,9 @@ object GeoImplicits {
       df.withColumn(gcol, st_affine(gc, lit(a), lit(b), lit(d), lit(e), lit(xoff), lit(yoff)))
     def toCrs(fromSrid: Int, toSrid: Int): DataFrame =
       df.withColumn(gcol, st_transform(gc, lit(fromSrid), lit(toSrid)))
+    /** PROJ parameter-string / "EPSG:nnnn" variant (the reference's to_crs). */
+    def toCrs(fromCrs: String, toCrs: String): DataFrame =
+      df.withColumn(gcol, st_transform(gc, fromCrs, toCrs))
     /** One row per geometry part (the reference's explode). */
     def explodeParts: DataFrame = df.withColumn(gcol, explode(st_dump(gc)))
 

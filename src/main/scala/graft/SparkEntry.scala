@@ -475,6 +475,33 @@ object SparkEntry {
         (ratio > 0.9995 && ratio < 1.0011).as("scale_ok"))
     }),
 
+    "q_proj_params" -> ((s, dir) => {
+      // PROJ parameter-string to_crs (ops/proj.rs's generality without PROJ):
+      // ellipsoidal Mercator value-checked against the closed-form isometric
+      // latitude spelled out in the oracle SQL; a +proj=tmerc string spelling
+      // out UTM zone 32N must EXACTLY equal the EPSG:32632 code path; and a
+      // custom tmerc with nonzero lat_0 on the GRS80 ellipsoid round-trips.
+      val tmCustom = "+proj=tmerc +lat_0=12.5 +lon_0=33 +k=0.9999 " +
+        "+x_0=250000 +y_0=100000 +ellps=GRS80 +units=m +no_defs"
+      val p = custPoints(s, dir)
+      val pt = st_point(col("lon"), col("lat"))
+      val merc = st_transform(pt, "+proj=longlat +ellps=WGS84",
+        "+proj=merc +ellps=WGS84 +units=m +no_defs")
+      val utmP = st_transform(pt, "EPSG:4326",
+        "+proj=tmerc +lat_0=0 +lon_0=9 +k=0.9996 +x_0=500000 +y_0=0 +ellps=WGS84")
+      val utmC = st_transform(pt, lit(4326), lit(32632))
+      val back = st_transform(st_transform(pt, "EPSG:4326", tmCustom), tmCustom, "EPSG:4326")
+      p.select(col("custkey"),
+        round(st_x(merc), 3).as("mx"),
+        round(st_y(merc), 3).as("my"),
+        (st_x(utmP) === st_x(utmC) && st_y(utmP) === st_y(utmC)).as("utm_eq"),
+        // the Krüger series (like any TM) is only meaningful near its
+        // central meridian; assert the exact round trip inside +-25 degrees
+        (abs(col("lon") - 33.0) > 25.0 ||
+          (abs(st_x(back) - col("lon")) < 1e-9 && abs(st_y(back) - col("lat")) < 1e-9))
+          .as("rt_ok"))
+    }),
+
     "q_laea" -> ((s, dir) => {
       // EPSG:3035 easting/northing over the European window, value-checked
       // against the full Snyder formula spelled out in the oracle SQL
@@ -1099,6 +1126,14 @@ object SparkEntry {
          |   ELSE (lon % 360.0) END) + 180.0) / 6.0) + 1 AS INTEGER) AS zone,
          | lat >= 0 AS north, TRUE AS rt_ok, TRUE AS scale_ok
          |FROM ($custPointsSql)""".stripMargin,
+
+    "q_proj_params" ->
+      s"""SELECT custkey,
+         | round(6378137.0 * 1.0 * radians(lon), 3) AS mx,
+         | round(6378137.0 * 1.0 * (0.5*ln((1.0+s)/(1.0-s))
+         |   - 0.08181919084262149*(0.5*ln((1.0+0.08181919084262149*s)/(1.0-0.08181919084262149*s)))), 3) AS my,
+         | TRUE AS utm_eq, TRUE AS rt_ok
+         |FROM (SELECT custkey, lon, sin(radians(lat)) AS s FROM ($custPointsSql))""".stripMargin,
 
     "q_laea" ->
       s"""WITH p AS (SELECT custkey, lat, lon FROM ($custPointsSql)

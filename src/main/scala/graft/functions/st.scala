@@ -151,6 +151,11 @@ object st {
   def st_transform(wkb: Column, fromSrid: Column, toSrid: Column): Column =
     invoke(G, "stTransform", BinaryType, false,
       wkb -> BinaryType, fromSrid -> IntegerType, toSrid -> IntegerType)
+  /** Reproject between CRS given as PROJ parameter strings ("+proj=tmerc
+   *  +lat_0=... +ellps=GRS80") or authority form ("EPSG:nnnn"). */
+  def st_transform(wkb: Column, fromCrs: String, toCrs: String): Column =
+    invoke(G, "stTransformProj", BinaryType, false,
+      wkb -> BinaryType, lit(fromCrs) -> StringType, lit(toCrs) -> StringType)
 
   // ---------- spatial index ----------
   /** EPSG code of the WGS84 UTM zone containing a point. */

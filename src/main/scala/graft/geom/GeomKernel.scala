@@ -490,4 +490,22 @@ object GeomKernel {
 
   /** EPSG code of the WGS84 UTM zone containing a point. */
   def utmSrid(lat: Double, lon: Double): Int = Proj.utmSrid(lat, lon)
+
+  /** PROJ parameter-string / EPSG-authority to_crs, vertex-wise via the
+   *  lon/lat hub — the reference's general reprojection surface
+   *  (ops/proj.rs:33-70). Specs are parse-cached; per-vertex work is pure
+   *  projection math. */
+  def stTransformProj(wkb: Array[Byte], from: UTF8String, to: UTF8String): Array[Byte] = {
+    val fs = ProjString.parse(from.toString)
+    val ts = ProjString.parse(to.toString)
+    val geom = g(wkb).copy()
+    val filter: CoordinateFilter = { (c: Coordinate) =>
+      val (lon, lat) = ProjString.toLonLat(fs, c.x, c.y)
+      val (x, y) = ProjString.fromLonLat(ts, lon, lat)
+      c.x = x; c.y = y
+    }
+    geom.apply(filter)
+    geom.geometryChanged()
+    out(geom)
+  }
 }

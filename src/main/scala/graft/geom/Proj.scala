@@ -84,6 +84,24 @@ object Proj {
     (fe + k0 * ell.rectA * eta, fn + k0 * ell.rectA * xi)
   }
 
+  /** Newton-invert tau' = tan(conformal latitude) -> tau = tan(phi)
+   *  (Karney's exact inverse, shared by the TM and Mercator inverses). */
+  private def invTauP(ell: Ellipsoid, tauP: Double): Double = {
+    val e = ell.e
+    var tau = tauP
+    var i = 0
+    while (i < 6) {
+      val s = math.sinh(e * atanh(e * tau / math.hypot(1.0, tau)))
+      val tauPi = tau * math.hypot(1.0, s) - s * math.hypot(1.0, tau)
+      val dtau = (tauP - tauPi) * (1 + (1 - ell.e2) * tau * tau) /
+        ((1 - ell.e2) * math.hypot(1.0, tauPi) * math.hypot(1.0, tau))
+      tau += dtau
+      if (math.abs(dtau) < 1e-15 * math.max(1.0, math.abs(tau))) i = 6
+      i += 1
+    }
+    tau
+  }
+
   /** TM easting/northing -> lon/lat degrees. */
   def tmInverse(ell: Ellipsoid, x: Double, y: Double,
                 lon0Deg: Double, k0: Double, fe: Double, fn: Double): (Double, Double) = {
@@ -100,20 +118,27 @@ object Proj {
     val lam = math.atan2(math.sinh(etaP), math.cos(xiP))
     // tau' = tan(conformal latitude)
     val tauP = math.sin(xiP) / math.hypot(math.sinh(etaP), math.cos(xiP))
-    // Newton-invert tau' -> tau = tan(phi) (Karney's exact inverse)
-    val e = ell.e
-    var tau = tauP
-    var i = 0
-    while (i < 6) {
-      val s = math.sinh(e * atanh(e * tau / math.hypot(1.0, tau)))
-      val tauPi = tau * math.hypot(1.0, s) - s * math.hypot(1.0, tau)
-      val dtau = (tauP - tauPi) * (1 + (1 - ell.e2) * tau * tau) /
-        ((1 - ell.e2) * math.hypot(1.0, tauPi) * math.hypot(1.0, tau))
-      tau += dtau
-      if (math.abs(dtau) < 1e-15 * math.max(1.0, math.abs(tau))) i = 6
-      i += 1
-    }
-    (lon0Deg + math.toDegrees(lam), math.toDegrees(math.atan(tau)))
+    (lon0Deg + math.toDegrees(lam), math.toDegrees(math.atan(invTauP(ell, tauP))))
+  }
+
+  // ---------------- Mercator (ellipsoidal, Snyder §7) ----------------
+
+  /** lon/lat degrees -> ellipsoidal-Mercator easting/northing.
+   *  x = FE + a·k0·λ, y = FN + a·k0·ψ with ψ the isometric latitude. */
+  def mercForward(ell: Ellipsoid, lonDeg: Double, latDeg: Double,
+                  lon0Deg: Double, k0: Double, fe: Double, fn: Double): (Double, Double) = {
+    val phi = math.toRadians(latDeg)
+    val sphi = math.sin(phi)
+    val psi = atanh(sphi) - ell.e * atanh(ell.e * sphi)
+    (fe + ell.a * k0 * math.toRadians(lonDeg - lon0Deg), fn + ell.a * k0 * psi)
+  }
+
+  def mercInverse(ell: Ellipsoid, x: Double, y: Double,
+                  lon0Deg: Double, k0: Double, fe: Double, fn: Double): (Double, Double) = {
+    val psi = (y - fn) / (ell.a * k0)
+    val tau = invTauP(ell, math.sinh(psi))
+    (lon0Deg + math.toDegrees((x - fe) / (ell.a * k0)),
+      math.toDegrees(math.atan(tau)))
   }
 
   @inline private def atanh(x: Double): Double = 0.5 * math.log((1 + x) / (1 - x))
@@ -121,9 +146,11 @@ object Proj {
 
   // ---------------- Lambert Azimuthal Equal Area (Snyder §24) ----------------
 
-  /** Snyder's q (authalic-area function); q/qp = sin(authalic latitude). */
+  /** Snyder's q (authalic-area function); q/qp = sin(authalic latitude).
+   *  Spherical limit (e -> 0) is q = 2·sin(phi). */
   def authalicQ(ell: Ellipsoid, sphi: Double): Double = {
     val e = ell.e
+    if (e < 1e-12) return 2 * sphi
     (1 - ell.e2) * (sphi / (1 - ell.e2 * sphi * sphi) -
       (1 / (2 * e)) * math.log((1 - e * sphi) / (1 + e * sphi)))
   }

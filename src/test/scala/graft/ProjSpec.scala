@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.geom.{Geodesic, Proj}
+import graft.geom.{Geodesic, Proj, ProjString}
 
 /** CRS math: Krüger Transverse Mercator (UTM) and LAEA, property-tested
  *  against independent references — the Karney geodesic solver for scale,
@@ -108,6 +108,79 @@ class ProjSpec extends AnyFunSuite {
           Proj.authalicQ(ell, math.sin(math.toRadians(lat))))
       assert(math.abs(area / exact - 1) < 2e-5, s"area ratio ${area / exact} at $lat")
     }
+  }
+
+  test("proj-string: spherical merc on R=6378137 equals the EPSG:3857 kernel") {
+    val spec = ProjString.parse("+proj=merc +R=6378137 +units=m +no_defs")
+    for ((lat, lon) <- Seq((48.1, 11.6), (-33.9, 18.4), (0.0, 0.0), (70.0, -150.0))) {
+      val (x1, y1) = ProjString.fromLonLat(spec, lon, lat)
+      val (x2, y2) = Proj.fromLonLat(3857, lon, lat)
+      assert(math.abs(x1 - x2) < 1e-6 && math.abs(y1 - y2) < 1e-6,
+        s"merc sphere mismatch at ($lat,$lon): ($x1,$y1) vs ($x2,$y2)")
+    }
+  }
+
+  test("proj-string: ellipsoidal merc round trips; point scale is k0*sqrt(1-e2 s2)/cos(phi)") {
+    val spec = ProjString.parse("+proj=merc +ellps=WGS84")
+    val rnd = new scala.util.Random(31)
+    (0 until 200).foreach { _ =>
+      val lat = rnd.nextDouble() * 160 - 80
+      val lon = rnd.nextDouble() * 360 - 180
+      val (x, y) = ProjString.fromLonLat(spec, lon, lat)
+      val (lon2, lat2) = ProjString.toLonLat(spec, x, y)
+      assert(math.abs(lat2 - lat) < 1e-9 && math.abs(lon2 - lon) < 1e-9)
+    }
+    // local scale along a parallel vs the Karney geodesic
+    for (lat <- Seq(0.0, 30.0, 60.0)) {
+      val dLon = 0.01
+      val (x1, _) = ProjString.fromLonLat(spec, 10.0, lat)
+      val (x2, _) = ProjString.fromLonLat(spec, 10.0 + dLon, lat)
+      val ground = Geodesic.geodesic(lat, 10.0, lat, 10.0 + dLon)
+      val s = math.sin(math.toRadians(lat))
+      val expect = math.sqrt(1 - Proj.Wgs84.e2 * s * s) / math.cos(math.toRadians(lat))
+      assert(math.abs((x2 - x1) / ground / expect - 1) < 1e-6,
+        s"merc scale at lat=$lat: ${(x2 - x1) / ground} vs $expect")
+    }
+  }
+
+  test("proj-string: tmerc with lat_0 shifts northing by the rectifying northing") {
+    val withLat0 = ProjString.parse("+proj=tmerc +lat_0=12.5 +lon_0=33 +k=0.9999 +ellps=GRS80")
+    val noLat0 = ProjString.parse("+proj=tmerc +lat_0=0 +lon_0=33 +k=0.9999 +ellps=GRS80")
+    // the origin itself maps to (x_0, y_0)
+    val (ox, oy) = ProjString.fromLonLat(withLat0, 33.0, 12.5)
+    assert(math.abs(ox) < 1e-9 && math.abs(oy) < 1e-9)
+    // constant offset between the two, equal to northing(lat_0) in the
+    // unshifted system; and exact round trip
+    val (_, y0) = ProjString.fromLonLat(noLat0, 33.0, 12.5)
+    for ((lat, lon) <- Seq((10.0, 31.0), (40.0, 35.5), (-5.0, 33.0))) {
+      val (xa, ya) = ProjString.fromLonLat(withLat0, lon, lat)
+      val (xb, yb) = ProjString.fromLonLat(noLat0, lon, lat)
+      assert(math.abs(xa - xb) < 1e-9 && math.abs((yb - ya) - y0) < 1e-6)
+      val (lon2, lat2) = ProjString.toLonLat(withLat0, xa, ya)
+      assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9)
+    }
+  }
+
+  test("proj-string: laea params reproduce EPSG:3035; EPSG authority form works") {
+    val spec = ProjString.parse(
+      "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 +ellps=GRS80 +units=m +no_defs")
+    val (x, y) = ProjString.fromLonLat(spec, 5.0, 50.0)
+    val (xc, yc) = Proj.fromLonLat(3035, 5.0, 50.0)
+    assert(x == xc && y == yc, s"laea params ($x,$y) vs code ($xc,$yc)")
+    val epsg = ProjString.parse("EPSG:3857")
+    assert(ProjString.fromLonLat(epsg, 11.6, 48.1) == Proj.fromLonLat(3857, 11.6, 48.1))
+  }
+
+  test("proj-string: unknown parameters, projections, and datum shifts throw") {
+    intercept[IllegalArgumentException](ProjString.parse("+proj=robin +lon_0=0"))
+    intercept[IllegalArgumentException](ProjString.parse("+proj=merc +nadgrids=@null"))
+    intercept[IllegalArgumentException](ProjString.parse("+proj=merc +units=ft"))
+    intercept[IllegalArgumentException](
+      ProjString.parse("+proj=merc +ellps=WGS84 +towgs84=598.1,73.7,418.2"))
+    intercept[IllegalArgumentException](ProjString.parse("+proj=laea +lat_0=90 +ellps=WGS84"))
+    intercept[IllegalArgumentException](ProjString.parse("EPSG:2154"))
+    // the zero shift every exported WGS84 string carries is accepted
+    assert(ProjString.parse("+proj=merc +ellps=WGS84 +towgs84=0,0,0").proj == "merc")
   }
 
   test("transform dispatch: 3857 <-> UTM via the lon/lat hub; bad srid throws") {
