@@ -166,9 +166,8 @@ object H3 {
     throw new IllegalStateException(s"h3: no unit residue for ($a,$b)") // unreachable
   }
 
-  /** lat/lon degrees -> packed cell at `res` (0..15). */
-  def cell(latDeg: Double, lonDeg: Double, res: Int): Long = {
-    require(res >= 0 && res <= MaxRes, s"h3 res $res out of range")
+  /** lat/lon degrees -> (face, Eisenstein lattice coords) at `res`. */
+  private def lattice(latDeg: Double, lonDeg: Double, res: Int): (Int, Long, Long) = {
     val (x, y, z) = latLonToXyz(latDeg, lonDeg)
     val face = faceOf(latDeg, lonDeg)
     val (px, py) = toFace2d(face, x, y, z)
@@ -181,8 +180,13 @@ object H3 {
       re = nre; im = nim
       r += 1
     }
-    var (a, b) = eisensteinRound(re, im)
-    // digit extraction from finest to coarsest
+    val (a, b) = eisensteinRound(re, im)
+    (face, a, b)
+  }
+
+  /** Digit extraction + packing for a lattice point at `res` on `face`. */
+  private def packLattice(face: Int, aIn: Long, bIn: Long, res: Int): Long = {
+    var a = aIn; var b = bIn
     val digits = new Array[Int](res)
     var k = res - 1
     while (k >= 0) {
@@ -192,6 +196,39 @@ object H3 {
       k -= 1
     }
     pack(face, res, digits, a, b)
+  }
+
+  /** Cell center of lattice point (a,b) at `res` on `face` -> (lat, lon):
+   *  the exact inverse of `lattice` (plane coords, inverse gnomonic). */
+  private def latticeCenter(face: Int, a: Long, b: Long, res: Int): (Double, Double) = {
+    // (2+omega)^res as a complex number
+    var pr = 1.0; var pi = 0.0
+    var r = 0
+    while (r < res) {
+      val nr = pr * ApRe - pi * ApIm
+      val ni = pr * ApIm + pi * ApRe
+      pr = nr; pi = ni; r += 1
+    }
+    // plane coords = Size0 * (a + b*omega) / (2+omega)^res
+    val zx = a + b / 2.0
+    val zy = b * (math.sqrt(3.0) / 2.0)
+    val den = pr * pr + pi * pi
+    val re = (zx * pr + zy * pi) / den * Size0
+    val im = (zy * pr - zx * pi) / den * Size0
+    val c = faceCenters(face); val u = faceU(face); val v = faceV(face)
+    val p = normalize(Array(
+      c(0) + re * u(0) + im * v(0),
+      c(1) + re * u(1) + im * v(1),
+      c(2) + re * u(2) + im * v(2)))
+    (math.toDegrees(math.asin(math.max(-1.0, math.min(1.0, p(2))))),
+      math.toDegrees(math.atan2(p(1), p(0))))
+  }
+
+  /** lat/lon degrees -> packed cell at `res` (0..15). */
+  def cell(latDeg: Double, lonDeg: Double, res: Int): Long = {
+    require(res >= 0 && res <= MaxRes, s"h3 res $res out of range")
+    val (face, a, b) = lattice(latDeg, lonDeg, res)
+    packLattice(face, a, b, res)
   }
 
   /** Pack. Res-0 lattice coords (a,b) live in a small range on the face
@@ -246,27 +283,80 @@ object H3 {
     math.toDegrees(Size0 / math.pow(math.sqrt(7.0), res))
 
   /**
-   * Complete covering of a lat/lon rectangle at `res`: sample the rectangle
-   * (expanded by one hex radius) at half-hex pitch and collect cells. Points
-   * hex-round to a cell whose center is within one circumradius, so the
-   * expanded sampling is a superset of any cell containing a bbox point.
+   * Complete covering of a lat/lon rectangle at `res` by lattice flood fill —
+   * O(cells in the cover), not O((area/pitch)^2) point sampling. BFS runs in
+   * (face, a, b) lattice space: a node is a member when its cell center lies
+   * inside the rect expanded by one hex circumradius (any point's home cell
+   * has its center within one circumradius of the point, so members are a
+   * superset of every contained point's cell). Members whose center homes on
+   * a different face are re-seeded on that face's lattice, which stitches the
+   * search across icosahedron edges; a coarse seed grid (pitch below the
+   * face inradius) guarantees every face region the rect touches is reached.
    */
   def coverRect(minLat: Double, minLon: Double, maxLat: Double, maxLon: Double,
                 res: Int): Array[Long] = {
-    // pitch well under the hex inradius, with margin for gnomonic shrink near
-    // face edges (factor ~cos^2(37deg) ~ 0.64) and lat/lon anisotropy
-    val pitch = math.max(approxEdgeDeg(res) / 5.0, 1e-7)
-    val set = new scala.collection.mutable.HashSet[Long]
-    var la = minLat - pitch
-    while (la <= maxLat + pitch) {
-      var lo = minLon - pitch
-      while (lo <= maxLon + pitch) {
-        set += cell(math.max(-89.9999, math.min(89.9999, la)),
-          math.max(-179.9999, math.min(179.9999, lo)), res)
-        lo += pitch
-      }
-      la += pitch
+    val margin = approxEdgeDeg(res) * 1.5
+    val latLo = math.max(-90.0, minLat - margin)
+    val latHi = math.min(90.0, maxLat + margin)
+    // lon margin grows with latitude; near the pole accept every longitude
+    val maxAbsLat = math.min(89.99, math.max(math.abs(latLo), math.abs(latHi)))
+    val lonMargin = margin / math.max(0.01, math.cos(math.toRadians(maxAbsLat)))
+    val lonLo = minLon - lonMargin
+    val lonSpan = (maxLon + lonMargin) - lonLo
+    val allLons = lonSpan >= 360.0 || latHi >= 89.99 || latLo <= -89.99
+
+    def member(lat: Double, lon: Double): Boolean = {
+      if (lat < latLo || lat > latHi) return false
+      if (allLons) return true
+      // wrap-aware: normalize lon into [lonLo, lonLo + 360)
+      var d = (lon - lonLo) % 360.0
+      if (d < 0) d += 360.0
+      d <= lonSpan
     }
-    set.toArray
+
+    val emitted = new scala.collection.mutable.HashSet[Long]
+    val visited = new scala.collection.mutable.HashSet[(Int, Long, Long)]
+    val queue = new scala.collection.mutable.ArrayDeque[(Int, Long, Long)]
+
+    def push(node: (Int, Long, Long)): Unit =
+      if (visited.add(node)) queue.append(node)
+
+    // seed grid: pitch under the face inradius (~20 deg) so no face region
+    // intersecting the rect is missed; O(area/15^2) seeds, trivial
+    val latStep = math.max(1e-7, math.min(15.0, maxLat - minLat + 1e-9))
+    val lonStep = math.max(1e-7, math.min(15.0, maxLon - minLon + 1e-9))
+    var la = minLat
+    while (la <= maxLat + 1e-12) {
+      var lo = minLon
+      while (lo <= maxLon + 1e-12) {
+        push(lattice(math.max(-89.9999, math.min(89.9999, la)),
+          math.max(-179.9999, math.min(179.9999, lo)), res))
+        lo += lonStep
+      }
+      la += latStep
+    }
+
+    val neighbors = Array((1L, 0L), (-1L, 0L), (0L, 1L), (0L, -1L), (1L, -1L), (-1L, 1L))
+    while (queue.nonEmpty) {
+      val (f, a, b) = queue.removeHead()
+      val (clat, clon) = latticeCenter(f, a, b, res)
+      if (member(clat, clon)) {
+        // emit every member node: a point on THIS face near the seam can
+        // home to a lattice node whose center projects past the boundary, so
+        // home-face filtering would drop real cells. Extra seam-side ids are
+        // a harmless superset — coverings are candidate filters.
+        emitted += packLattice(f, a, b, res)
+        if (faceOf(clat, clon) != f) {
+          // center homes on another face: re-seed there (cross-edge stitch)
+          push(lattice(clat, clon, res))
+        }
+        var i = 0
+        while (i < 6) {
+          push((f, a + neighbors(i)._1, b + neighbors(i)._2))
+          i += 1
+        }
+      }
+    }
+    emitted.toArray
   }
 }

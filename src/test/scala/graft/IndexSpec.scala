@@ -245,6 +245,45 @@ class IndexSpec extends AnyFunSuite {
     }
   }
 
+  test("h3: coverRect flood fill is O(cells) — country-sized bbox at res 8") {
+    // the grid-sampling cover was O((area/pitch)^2): ~10^8 cell() calls for
+    // this bbox at res 8. The lattice BFS must finish quickly with a cover
+    // proportional to the cell count, and stay complete.
+    val (la0, lo0, la1, lo1) = (44.0, 2.0, 51.0, 12.0) // ~France-sized
+    val res = 8
+    val t0 = System.nanoTime()
+    val cover = H3.coverRect(la0, lo0, la1, lo1, res).toSet
+    val secs = (System.nanoTime() - t0) / 1e9
+    // expected cell count ~ area / hex area; allow a generous band
+    val hexEdge = H3.approxEdgeDeg(res)
+    val expected = (la1 - la0) * (lo1 - lo0) * math.cos(math.toRadians(47.5)) /
+      (2.598 * hexEdge * hexEdge / 4 * 3) // hex area = 3*sqrt(3)/2 * r^2
+    assert(cover.size > expected / 4 && cover.size < expected * 6,
+      s"cover=${cover.size} expected~$expected")
+    assert(secs < 30.0, s"coverRect took ${secs}s — not O(cells)")
+    val rnd = new scala.util.Random(17)
+    (0 until 2000).foreach { _ =>
+      val la = la0 + rnd.nextDouble() * (la1 - la0)
+      val lo = lo0 + rnd.nextDouble() * (lo1 - lo0)
+      assert(cover.contains(H3.cell(la, lo, res)), s"uncovered ($la,$lo)")
+    }
+  }
+
+  test("h3: coverRect complete on polar and pole-containing rects") {
+    val rnd = new scala.util.Random(41)
+    for ((la0, lo0, la1, lo1) <- Seq(
+      (84.0, -180.0, 90.0, 180.0), (-90.0, -180.0, -85.0, 180.0),
+      (86.0, 10.0, 88.0, 60.0)); res <- Seq(4, 5)) {
+      val cover = H3.coverRect(la0, lo0, la1, lo1, res).toSet
+      (0 until 500).foreach { _ =>
+        val la = math.min(89.9999, la0 + rnd.nextDouble() * (la1 - la0))
+        val lo = lo0 + rnd.nextDouble() * (lo1 - lo0)
+        assert(cover.contains(H3.cell(la, lo, res)),
+          s"h3 polar uncovered ($la,$lo) res=$res rect=($la0,$lo0,$la1,$lo1)")
+      }
+    }
+  }
+
   // ---------------- Tile ----------------
 
   test("tile: known anchors at z=1 and packing round-trip") {
