@@ -154,8 +154,11 @@ object st {
   /** Reproject between CRS given as PROJ parameter strings ("+proj=tmerc
    *  +lat_0=... +ellps=GRS80") or authority form ("EPSG:nnnn"). */
   def st_transform(wkb: Column, fromCrs: String, toCrs: String): Column =
+    st_transform_crs(wkb, lit(fromCrs), lit(toCrs))
+  /** Column-typed CRS-string variant (SQL surface: st_transform_crs). */
+  def st_transform_crs(wkb: Column, fromCrs: Column, toCrs: Column): Column =
     invoke(G, "stTransformProj", BinaryType, false,
-      wkb -> BinaryType, lit(fromCrs) -> StringType, lit(toCrs) -> StringType)
+      wkb -> BinaryType, fromCrs -> StringType, toCrs -> StringType)
 
   // ---------- spatial index ----------
   /** EPSG code of the WGS84 UTM zone containing a point. */

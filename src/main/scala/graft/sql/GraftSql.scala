@@ -87,7 +87,10 @@ object GraftSql {
     "st_geodesiclength" -> (2, a => st.st_geodesicLength(a(0), a(1))),
     "token_count_bpe" -> (1, a => st.token_count_bpe(a(0))),
     "tile_bounds" -> (1, a => st.tile_bounds(a(0))),
-    "tile_polygon" -> (1, a => st.tile_polygon(a(0))))
+    "tile_polygon" -> (1, a => st.tile_polygon(a(0))),
+    "st_transform_crs" -> (3, a => st.st_transform_crs(a(0), a(1), a(2))),
+    "wav_square" -> (3, a => st.wav_square(a(0), a(1), a(2))),
+    "audio_stats" -> (1, a => st.audio_stats(a(0))))
 
   /** Register all functions into an existing session's catalog. */
   def register(spark: SparkSession): Unit =

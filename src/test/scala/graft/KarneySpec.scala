@@ -6,8 +6,11 @@ import graft.geom.{Geodesic, Karney}
 class KarneySpec extends AnyFunSuite {
 
   test("karney: known values (GeographicLib-checked anchors)") {
-    // equator quarter circumference
-    assert(math.abs(Karney.distance(0, 0, 0, 90) - 10018754.17) < 1.0)
+    // the equator is itself a geodesic: distance = a * dLambda EXACTLY
+    // (closed form, engine-independent) — a quarter is 10018754.171394622 m
+    assert(math.abs(Karney.distance(0, 0, 0, 90) - 6378137.0 * math.Pi / 2) < 1e-3)
+    assert(math.abs(Karney.distance(0, -10, 0, 35) -
+      6378137.0 * math.toRadians(45.0)) < 1e-3)
     // quarter meridian (equator to pole) = 10001965.729 m on WGS84
     assert(math.abs(Karney.distance(0, 0, 90, 0) - 10001965.729) < 0.01)
     // same point

@@ -41,6 +41,20 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(row.getDouble(13) == 5.0)
   }
 
+  test("st_transform_crs and audio functions work from SQL") {
+    GraftSql.register(spark)
+    val row = spark.sql(
+      """SELECT
+        | st_x(st_transform_crs(st_point(11.6D, 48.1D), 'EPSG:4326',
+        |   '+proj=merc +R=6378137')) AS mx,
+        | audio_stats(wav_square(8000, 400, 250)).rms AS rms,
+        | audio_stats(wav_square(8000, 400, 250)).n_frames AS n
+        |""".stripMargin).collect()(0)
+    assert(math.abs(row.getDouble(0) - 6378137.0 * math.toRadians(11.6)) < 1e-6)
+    assert(row.getDouble(1) == 250.0)
+    assert(row.getLong(2) == 400L)
+  }
+
   test("st_union_agg works from SQL (group dissolve)") {
     GraftSql.register(spark)
     spark.sql(
