@@ -196,6 +196,18 @@ object st {
     invoke(I, "tileX", LongType, false, lon -> DoubleType, z -> IntegerType)
   def tile_y(lat: Column, z: Column): Column =
     invoke(I, "tileY", LongType, false, lat -> DoubleType, z -> IntegerType)
+  def tile_zoom(id: Column): Column =
+    invoke(I, "tileZoom", IntegerType, false, id -> LongType)
+  def tile_parent(id: Column, z: Column): Column =
+    invoke(I, "tileParent", LongType, false, id -> LongType, z -> IntegerType)
+
+  // id introspection (debugging/partition design: which level is this key?)
+  def s2_level(cell: Column): Column =
+    invoke(I, "s2Level", IntegerType, false, cell -> LongType)
+  def h3_res(cell: Column): Column =
+    invoke(I, "h3Resolution", IntegerType, false, cell -> LongType)
+  def h3_face(cell: Column): Column =
+    invoke(I, "h3Face", IntegerType, false, cell -> LongType)
 
   // ---------- text / dedup / embeddings ----------
   def extract_text(html: Column): Column =

@@ -491,13 +491,28 @@ object GeomKernel {
   /** EPSG code of the WGS84 UTM zone containing a point. */
   def utmSrid(lat: Double, lon: Double): Int = Proj.utmSrid(lat, lon)
 
+  // CRS strings arrive as column literals — Catalyst evaluates a Literal to
+  // the SAME UTF8String instance every row, so an identity memo removes the
+  // per-row toString + cache lookup entirely (falls through to the parse
+  // cache for non-literal CRS columns).
+  private val projMemo = new ThreadLocal[Array[AnyRef]] {
+    override def initialValue(): Array[AnyRef] = new Array[AnyRef](4)
+  }
+  private def projSpec(s: UTF8String, slot: Int): ProjString.Spec = {
+    val m = projMemo.get()
+    if (m(slot) eq s) return m(slot + 1).asInstanceOf[ProjString.Spec]
+    val spec = ProjString.parse(s.toString)
+    m(slot) = s; m(slot + 1) = spec
+    spec
+  }
+
   /** PROJ parameter-string / EPSG-authority to_crs, vertex-wise via the
    *  lon/lat hub — the reference's general reprojection surface
    *  (ops/proj.rs:33-70). Specs are parse-cached; per-vertex work is pure
    *  projection math. */
   def stTransformProj(wkb: Array[Byte], from: UTF8String, to: UTF8String): Array[Byte] = {
-    val fs = ProjString.parse(from.toString)
-    val ts = ProjString.parse(to.toString)
+    val fs = projSpec(from, 0)
+    val ts = projSpec(to, 2)
     val geom = g(wkb).copy()
     val filter: CoordinateFilter = { (c: Coordinate) =>
       val (lon, lat) = ProjString.toLonLat(fs, c.x, c.y)

@@ -8,6 +8,7 @@ object IndexKernel {
   def h3Cell(lat: Double, lon: Double, res: Int): Long = H3.cell(lat, lon, res)
   def h3Parent(cell: Long, res: Int): Long = H3.parent(cell, res)
   def h3Resolution(cell: Long): Int = H3.resolution(cell)
+  def h3Face(cell: Long): Int = H3.face(cell)
   def tileId(lat: Double, lon: Double, z: Int): Long = Tile.tileId(lat, lon, z)
   def tileX(lon: Double, z: Int): Long = Tile.tileX(lon, z)
   def tileY(lat: Double, z: Int): Long = Tile.tileY(lat, z)

@@ -90,7 +90,12 @@ object GraftSql {
     "tile_polygon" -> (1, a => st.tile_polygon(a(0))),
     "st_transform_crs" -> (3, a => st.st_transform_crs(a(0), a(1), a(2))),
     "wav_square" -> (3, a => st.wav_square(a(0), a(1), a(2))),
-    "audio_stats" -> (1, a => st.audio_stats(a(0))))
+    "audio_stats" -> (1, a => st.audio_stats(a(0))),
+    "tile_zoom" -> (1, a => st.tile_zoom(a(0))),
+    "tile_parent" -> (2, a => st.tile_parent(a(0), a(1))),
+    "s2_level" -> (1, a => st.s2_level(a(0))),
+    "h3_res" -> (1, a => st.h3_res(a(0))),
+    "h3_face" -> (1, a => st.h3_face(a(0))))
 
   /** Register all functions into an existing session's catalog. */
   def register(spark: SparkSession): Unit =

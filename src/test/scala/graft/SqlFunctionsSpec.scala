@@ -55,6 +55,21 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(row.getLong(2) == 400L)
   }
 
+  test("id introspection functions: levels, resolutions, faces, tile zoom/parent") {
+    GraftSql.register(spark)
+    val row = spark.sql(
+      """SELECT
+        | s2_level(s2_cell(48.85D, 2.35D, 9)) AS lvl,
+        | h3_res(h3_cell(48.85D, 2.35D, 9)) AS res,
+        | h3_face(h3_cell(48.85D, 2.35D, 9)) AS face,
+        | tile_zoom(tile_id(48.85D, 2.35D, 8)) AS z,
+        | tile_parent(tile_id(48.85D, 2.35D, 8), 4) = tile_id(48.85D, 2.35D, 4) AS tp
+        |""".stripMargin).collect()(0)
+    assert(row.getInt(0) == 9 && row.getInt(1) == 9)
+    assert(row.getInt(2) >= 0 && row.getInt(2) < 20)
+    assert(row.getInt(3) == 8 && row.getBoolean(4))
+  }
+
   test("st_union_agg works from SQL (group dissolve)") {
     GraftSql.register(spark)
     spark.sql(
