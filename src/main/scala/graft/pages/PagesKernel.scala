@@ -74,6 +74,13 @@ object PagesKernel {
       var i = 0
       while (i < s.length) { buf(len) = s.charAt(i).toByte; len += 1; i += 1 }
     }
+    // constant template fragments arrive pre-encoded: one arraycopy instead
+    // of a per-char loop (the add(String) loop was ~9% of pipeline samples)
+    def add(b: Array[Byte]): Unit = {
+      ensure(b.length)
+      System.arraycopy(b, 0, buf, len, b.length)
+      len += b.length
+    }
     // digits written straight into the buffer — Long.toString allocated a
     // String per call in the per-page hot path (profiled: addLong +
     // Long.getChars were top-10 leaf frames)
@@ -98,26 +105,40 @@ object PagesKernel {
     def result(): Array[Byte] = java.util.Arrays.copyOf(buf, len)
   }
 
+  // template fragments pre-encoded once (same bytes as the string literals
+  // they replace — the byte-identical-text invariant is untouched)
+  private val tHead = "<html><head><title>Report ".getBytes
+  private val tHeadEnd =
+    "</title><style>body{margin:0}</style><script>var x=1;</script></head><body>".getBytes
+  private val tH1 = "<h1>Dispatch &amp; notes from near ".getBytes
+  private val tH1End = "</h1>".getBytes
+  private val tP = "<p>".getBytes
+  private val tSeg = " segment ".getBytes
+  private val tPEnd = "</p>".getBytes
+  private val tEnd = "</body></html>".getBytes
+  private val entityNameBytes: Array[Array[Byte]] = entityNames.map(_.getBytes)
+  private val fillerBytes: Array[Array[Byte]] = langs.map(l => langFiller(l).getBytes)
+
   /** The html template. Tags + entities exercise extractText; the
    *  "near <Entity>" marker is the geocoding hook. */
   def html(id: Long, seed: Long): Array[Byte] = {
     val idx = entityIndex(id, seed)
-    val lang = langOf(id, seed)
-    val filler = langFiller(lang)
+    // same lang pick as langOf(id, seed), without the string->filler map hop
+    val langIdx = java.lang.Long.remainderUnsigned(mix64(id * 31 + seed), langs.length).toInt
+    val filler = fillerBytes(langIdx)
     val h = mix64(id * 2654435761L + seed)
     val nPara = 1 + java.lang.Long.remainderUnsigned(h, 4).toInt
     val sb = new ByteSink(640)
-    sb.add("<html><head><title>Report "); sb.addLong(id)
-    sb.add("</title><style>body{margin:0}</style>")
-    sb.add("<script>var x=1;</script></head><body>")
-    sb.add("<h1>Dispatch &amp; notes from near "); sb.add(entityName(idx)); sb.add("</h1>")
+    sb.add(tHead); sb.addLong(id)
+    sb.add(tHeadEnd)
+    sb.add(tH1); sb.add(entityNameBytes(idx)); sb.add(tH1End)
     var p = 0
     while (p < nPara) {
-      sb.add("<p>"); sb.add(filler); sb.add(" segment ")
-      sb.addUnsigned(mix64(h + p)); sb.add("</p>")
+      sb.add(tP); sb.add(filler); sb.add(tSeg)
+      sb.addUnsigned(mix64(h + p)); sb.add(tPEnd)
       p += 1
     }
-    sb.add("</body></html>")
+    sb.add(tEnd)
     sb.result()
   }
 

@@ -55,6 +55,14 @@ object TextKernel {
     -1
   }
 
+  // run-stop bytes ('<', '&', '\t', '\n', '\r' — NOT space) as a 256-entry
+  // table: one load beats five compares in the per-byte run scan
+  private val stopTable: Array[Boolean] = {
+    val t = new Array[Boolean](256)
+    Seq('<', '&', '\t', '\n', '\r').foreach(c => t(c.toInt) = true)
+    t
+  }
+
   def extractText(html: Array[Byte]): UTF8String = {
     // byte-level single pass: this is the per-page hot path, and UTF-8
     // multibyte sequences pass through untouched (all markup is ASCII)
@@ -75,8 +83,7 @@ object TextKernel {
     // shape of prose); it stops at markup/entity bytes, collapsible
     // whitespace, or a space not followed by a plain byte — those fall back
     // to the per-byte path above, so the output is byte-identical to it
-    @inline def stopByte(c: Byte): Boolean =
-      c == '<' || c == '&' || c == '\t' || c == '\n' || c == '\r'
+    @inline def stopByte(c: Byte): Boolean = stopTable(c & 0xff)
     while (i < n) {
       val c0 = html(i)
       if (!stopByte(c0) && c0 != ' ') {
