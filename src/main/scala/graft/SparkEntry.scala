@@ -882,6 +882,54 @@ object SparkEntry {
         unix_millis(col("lastTs")).as("last_ms"))
     }),
 
+    "q_stream_dedup" -> ((s, dir) => {
+      // Streaming exact dedup — the training-pipeline op run as a stream:
+      // documents file-stream, dropDuplicates on the 128-bit content key
+      // (same key discipline as q_dedup_exact: the text itself never becomes
+      // shuffle/state payload). AvailableNow + unbounded dedup state is fine
+      // for a bounded gate corpus; an unbounded production stream uses the
+      // watermarked variant gated in q_stream_dedup_wm.
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
+      java.nio.file.Files.createSymbolicLink(
+        tmp.resolve("documents.parquet"), java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val dedup = s.readStream.schema(schema).parquet(tmp.toString)
+        .select(fingerprint64(col("text")).as("fp"), xxhash64(col("text")).as("fp2"))
+        .dropDuplicates("fp", "fp2")
+      val sink = s"q_stream_dedup_${System.nanoTime()}"
+      val query = dedup.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s.table(sink).agg(count(lit(1)).as("uniq"))
+    }),
+
+    "q_stream_dedup_wm" -> ((s, dir) => {
+      // Watermark-bounded streaming dedup (dropDuplicatesWithinWatermark):
+      // the events stream unioned with itself — every event arrives exactly
+      // twice inside the watermark window — must come out exactly once.
+      // This is the state-bounded shape an unbounded 100-TB ingest needs:
+      // state for an event is dropped once the watermark passes its ts.
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stream-dedup-wm")
+      java.nio.file.Files.createSymbolicLink(
+        tmp.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      def src = s.readStream.schema(schema).parquet(tmp.toString)
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"))
+      val dedup = src.unionByName(src)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+      val sink = s"q_stream_dedup_wm_${System.nanoTime()}"
+      val query = dedup.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s.table(sink).agg(count(lit(1)).as("uniq"),
+        countDistinct(col("event_id")).as("uniq_ids"))
+    }),
+
     "q_h3_props" -> ((s, dir) => {
       // Driver-visible twin of q_s2_props: the H3 id's structural contract as
       // per-row booleans the DuckDB oracle re-asserts as TRUE literals. The
@@ -1184,6 +1232,13 @@ object SparkEntry {
       s"""SELECT custkey, TRUE AS res12_ok, TRUE AS res5_ok, TRUE AS base_ok,
          | TRUE AS prefix_ok, TRUE AS pad_ok, TRUE AS transitive_ok
          |FROM ($custPointsSql)""".stripMargin,
+
+    "q_stream_dedup" ->
+      "SELECT CAST(count(DISTINCT text) AS BIGINT) AS uniq FROM documents",
+
+    "q_stream_dedup_wm" ->
+      """SELECT CAST(count(DISTINCT event_id) AS BIGINT) AS uniq,
+        | CAST(count(DISTINCT event_id) AS BIGINT) AS uniq_ids FROM events""".stripMargin,
 
     "q_geodesic_ell" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
