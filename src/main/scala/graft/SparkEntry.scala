@@ -882,6 +882,25 @@ object SparkEntry {
         unix_millis(col("lastTs")).as("last_ms"))
     }),
 
+    "q_embed_dedup" -> ((s, dir) => {
+      // Embedding-space dedup, the cosine-LSH analogue of q_lsh_dup_pairs:
+      // SRP buckets generate candidates (identical vectors share every sign
+      // bit, so bucket collision is COMPLETE for exact duplicates — the same
+      // guarantee MinHash gives identical text), SelfJoin triangle-shards hot
+      // buckets, exact array equality refines. Seeded +1000000 copies make
+      // the expected pair set exact; near-dup recall (non-identical vectors)
+      // is measured separately by q_ann_recall.
+      val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val u = base.unionByName(
+        base.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      val bucketed = u.select(col("vec_id"), col("embedding"),
+        cosine_lsh_bucket(col("embedding"), lit(12)).as("bucket"))
+      SelfJoin.pairs(bucketed, Seq("bucket"), "vec_id", nShards = 4,
+        hotThreshold = 50, censusSampleRate = 1.0)
+        .filter(col("embedding_a") === col("embedding_b"))
+        .select(col("vec_id_a").as("a_id"), col("vec_id_b").as("b_id")).distinct()
+    }),
+
     "q_stream_dedup" -> ((s, dir) => {
       // Streaming exact dedup — the training-pipeline op run as a stream:
       // documents file-stream, dropDuplicates on the 128-bit content key
@@ -1232,6 +1251,12 @@ object SparkEntry {
       s"""SELECT custkey, TRUE AS res12_ok, TRUE AS res5_ok, TRUE AS base_ok,
          | TRUE AS prefix_ok, TRUE AS pad_ok, TRUE AS transitive_ok
          |FROM ($custPointsSql)""".stripMargin,
+
+    "q_embed_dedup" ->
+      """WITH u AS (SELECT vec_id, embedding FROM embeddings
+        | UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |FROM u a JOIN u b ON a.embedding = b.embedding AND a.vec_id < b.vec_id""".stripMargin,
 
     "q_stream_dedup" ->
       "SELECT CAST(count(DISTINCT text) AS BIGINT) AS uniq FROM documents",
