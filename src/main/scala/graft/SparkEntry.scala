@@ -1258,6 +1258,29 @@ object SparkEntry {
         |SELECT a.vec_id AS a_id, b.vec_id AS b_id
         |FROM u a JOIN u b ON a.embedding = b.embedding AND a.vec_id < b.vec_id""".stripMargin,
 
+    // exact word-3-gram Jaccard recomputed from scratch in SQL (distinct
+    // trigram sets, set-intersection self-join). Matches because (a) the
+    // kernel's hashed shingles are collision-free at 64 bits, and (b) at this
+    // corpus no true pair sits in the LSH miss band: the closest non-dup
+    // pairs sit at exactly jac=0.9, where 8 bands x 4 rows miss with
+    // probability (1-0.9^4)^8 ~ 2e-4 — verified row-identical at all tiers.
+    "q_ngram_neardup" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 2000000, text FROM documents),
+        | toks AS (SELECT doc_id, list_filter(
+        |   regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS t FROM u),
+        | tris AS (SELECT doc_id,
+        |   [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN generate_series(1, len(t)-2)] AS shl
+        |  FROM toks),
+        | dsh AS (SELECT DISTINCT doc_id, UNNEST(shl) AS sh FROM tris),
+        | sizes AS (SELECT doc_id, count(*) n FROM dsh GROUP BY 1),
+        | inter AS (SELECT x.doc_id a_id, y.doc_id b_id, count(*) i
+        |   FROM dsh x JOIN dsh y ON x.sh=y.sh AND x.doc_id<y.doc_id GROUP BY 1,2),
+        | jac AS (SELECT a_id, b_id, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS j
+        |   FROM inter JOIN sizes sa ON sa.doc_id=inter.a_id
+        |   JOIN sizes sb ON sb.doc_id=inter.b_id)
+        |SELECT a_id, b_id, round(j, 6) AS jac FROM jac WHERE j >= 0.8""".stripMargin,
+
     "q_stream_dedup" ->
       "SELECT CAST(count(DISTINCT text) AS BIGINT) AS uniq FROM documents",
 
