@@ -882,6 +882,21 @@ object SparkEntry {
         unix_millis(col("lastTs")).as("last_ms"))
     }),
 
+    "q_dwithin_join" -> ((s, dir) => {
+      // distance (range) join: points within 2.3 planar units of the box
+      // layer. Candidates come from the radius-expanded bbox covering, so the
+      // point side keeps exactly one cell (zero-exchange broadcast shape);
+      // the radius is off the quarter-degree lattice of the data so the
+      // boundary can never tie in FP between engines.
+      val pts = custPoints(s, dir)
+        .select(col("custkey"), st_point(col("lon"), col("lat")).as("geometry"))
+      val boxes = s.createDataFrame(
+        joinBoxes.take(2).map { case (id, a, b, c, d) => (id, boxWkb(a, b, c, d)) })
+        .toDF("box_id", "geometry")
+      SpatialJoin.joinWithin(pts, boxes, 2.3, "inner", cellLevel = 4)
+        .select(col("custkey_left").as("custkey"), col("box_id_right").as("box_id"))
+    }),
+
     "q_embed_dedup" -> ((s, dir) => {
       // Embedding-space dedup, the cosine-LSH analogue of q_lsh_dup_pairs:
       // SRP buckets generate candidates (identical vectors share every sign
@@ -1251,6 +1266,17 @@ object SparkEntry {
       s"""SELECT custkey, TRUE AS res12_ok, TRUE AS res5_ok, TRUE AS base_ok,
          | TRUE AS prefix_ok, TRUE AS pad_ok, TRUE AS transitive_ok
          |FROM ($custPointsSql)""".stripMargin,
+
+    // point-to-rectangle planar distance in closed form: the outside gap per
+    // axis is max(min-x, x-max, 0); inside the box both gaps are 0
+    "q_dwithin_join" ->
+      s"""WITH b(box_id, minx, miny, maxx, maxy) AS (VALUES $joinBoxes2SqlValues),
+         | p AS ($custPointsSql)
+         |SELECT p.custkey, b.box_id FROM p, b
+         |WHERE sqrt(
+         |   greatest(b.minx - p.lon, p.lon - b.maxx, 0.0) * greatest(b.minx - p.lon, p.lon - b.maxx, 0.0)
+         | + greatest(b.miny - p.lat, p.lat - b.maxy, 0.0) * greatest(b.miny - p.lat, p.lat - b.maxy, 0.0)
+         |) <= 2.3""".stripMargin,
 
     "q_embed_dedup" ->
       """WITH u AS (SELECT vec_id, embedding FROM embeddings

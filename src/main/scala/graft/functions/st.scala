@@ -89,6 +89,9 @@ object st {
     invoke(G, "stContains", BooleanType, false, a -> BinaryType, b -> BinaryType)
   def st_intersects(a: Column, b: Column): Column =
     invoke(G, "stIntersects", BooleanType, false, a -> BinaryType, b -> BinaryType)
+  /** True when the planar distance between a and b is <= d (ST_DWithin). */
+  def st_dwithin(a: Column, b: Column, d: Column): Column =
+    st_distance(a, b) <= d
   def st_within(a: Column, b: Column): Column =
     invoke(G, "stWithin", BooleanType, false, a -> BinaryType, b -> BinaryType)
   def st_bboxIntersects(a: Column, b: Column): Column =

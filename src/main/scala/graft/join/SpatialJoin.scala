@@ -125,6 +125,40 @@ object SpatialJoin {
   }
 
   /**
+   * Distance (range) join — ST_DWithin as a join: points within `radius`
+   * (planar units, the same metric as ST_Distance) of right geometries.
+   * Candidate cells come from the RIGHT bbox expanded by the radius, so the
+   * point side still carries exactly one cell: no explode, no dedupe, no row
+   * ids, and inner/left are both a single (broadcast) hash equi-join with
+   * the exact distance test folded into the join condition — the same
+   * zero-exchange shape as the point-fast-path predicate join. The radius
+   * expansion is planar degrees on both axes (consistent with the planar
+   * ST_Distance it refines); bboxes crossing the dateline are not wrapped,
+   * matching the base join's bbox covering contract.
+   */
+  def joinWithin(left: DataFrame, right: DataFrame, radius: Double,
+                 joinType: String = "inner",
+                 lSuffix: String = "_left", rSuffix: String = "_right",
+                 cellLevel: Int = DefaultCellLevel,
+                 broadcastRight: Boolean = true): DataFrame = {
+    require(radius >= 0, "radius must be >= 0")
+    require(joinType == "inner" || joinType == "left",
+      s"join type '$joinType' not supported")
+    val l = suffixed(left, lSuffix)
+    val r = suffixed(right, rSuffix)
+    val lg = col("geometry" + lSuffix)
+    val rg = col("geometry" + rSuffix)
+    val lCells = l.withColumn("__cell", pointCell(lg, cellLevel))
+    val rCellsBase = r.withColumn("__cell_r",
+      explode(cellsForExpanded(rg, radius, cellLevel)))
+    val rCells = if (broadcastRight) broadcast(rCellsBase) else rCellsBase
+    val cond = col("__cell") === col("__cell_r") &&
+      st.st_distance(lg, rg) <= radius
+    val jt = if (joinType == "left") "left_outer" else "inner"
+    lCells.join(rCells, cond, jt).drop("__cell", "__cell_r")
+  }
+
+  /**
    * Large×large points-vs-polygons join with explicit skew salting
    * (BASELINE.json:6). Hot cells — more point rows than `skewThreshold` —
    * split into `nSalts` shards: point rows pick a deterministic shard by
@@ -182,15 +216,27 @@ object SpatialJoin {
 
   /** Covering cells of an arbitrary geometry via its bbox (complete superset;
    *  refinement removes false positives). Points yield exactly one cell. */
-  def cellsFor(geomWkb: Column, level: Int): Column = {
+  def cellsFor(geomWkb: Column, level: Int): Column =
+    cellsForExpanded(geomWkb, 0.0, level)
+
+  /** Covering cells of a geometry's bbox expanded by `radius` planar degrees
+   *  on every side (clamped to the lat/lon domain) — the candidate set for
+   *  distance joins: any point within planar distance `radius` of the
+   *  geometry lies inside the expanded bbox, so its (single) cell is in
+   *  this covering. */
+  def cellsForExpanded(geomWkb: Column, radius: Double, level: Int): Column = {
     import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
     import org.apache.spark.sql.graftbridge.Bridge
     import org.apache.spark.sql.types._
     val b = st.st_bounds(geomWkb)
+    def clamp(c: Column, lo: Double, hi: Double): Column =
+      least(greatest(c, lit(lo)), lit(hi))
     Bridge.column(StaticInvoke(JoinKernel.getClass,
       ArrayType(LongType, containsNull = false), "coverBounds",
-      Seq(Bridge.expression(b.getField("miny")), Bridge.expression(b.getField("minx")),
-        Bridge.expression(b.getField("maxy")), Bridge.expression(b.getField("maxx")),
+      Seq(Bridge.expression(clamp(b.getField("miny") - radius, -90, 90)),
+        Bridge.expression(clamp(b.getField("minx") - radius, -180, 180)),
+        Bridge.expression(clamp(b.getField("maxy") + radius, -90, 90)),
+        Bridge.expression(clamp(b.getField("maxx") + radius, -180, 180)),
         Bridge.expression(lit(level))),
       Seq(DoubleType, DoubleType, DoubleType, DoubleType, IntegerType),
       propagateNull = true, returnNullable = false))

@@ -93,6 +93,7 @@ object GraftSql {
     "audio_stats" -> (1, a => st.audio_stats(a(0))),
     "tile_zoom" -> (1, a => st.tile_zoom(a(0))),
     "tile_parent" -> (2, a => st.tile_parent(a(0), a(1))),
+    "st_dwithin" -> (3, a => st.st_dwithin(a(0), a(1), a(2))),
     "s2_level" -> (1, a => st.s2_level(a(0))),
     "h3_res" -> (1, a => st.h3_res(a(0))),
     "h3_face" -> (1, a => st.h3_face(a(0))))

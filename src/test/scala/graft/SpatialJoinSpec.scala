@@ -195,4 +195,30 @@ class SpatialJoinSpec extends SparkSpec {
     // id 1 matches; ids 2 (null geometry) and 3 (outside) survive with nulls
     assert(out == Set((1L, 1L), (2L, -1L), (3L, -1L)))
   }
+
+  test("joinWithin: distance join equals JTS brute force, incl. cross-cell radii") {
+    val rnd = new scala.util.Random(53)
+    val pts = (0 until 400).map(i =>
+      (pointWkb(rnd.nextDouble() * 80 - 40, rnd.nextDouble() * 60 - 30), i.toLong))
+    val ptsDf = spark.createDataFrame(pts).toDF("geometry", "pid")
+    val layer = spark.createDataFrame(Seq(
+      (polyWkb((0.0, 0.0), (10.0, 0.0), (10.0, 8.0), (0.0, 8.0)), 1L),
+      (polyWkb((-30.0, -20.0), (-20.0, -20.0), (-20.0, -10.0), (-30.0, -10.0)), 2L),
+      (pointWkb(25.0, 15.0), 3L))) // a point geometry on the right side works too
+      .toDF("geometry", "gid")
+    for (radius <- Seq(0.5, 3.7, 12.0)) {
+      val got = SpatialJoin.joinWithin(ptsDf, layer, radius, cellLevel = 5)
+        .select("pid_left", "gid_right").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expect = (for {
+        (pw, pid) <- pts
+        (gw, gid) <- layer.collect().map(r => (r.getAs[Array[Byte]](0), r.getLong(1)))
+        if GeomKernel.stDistance(pw, gw) <= radius
+      } yield (pid, gid)).toSet
+      assert(got == expect, s"radius=$radius got=${got.size} expect=${expect.size}")
+    }
+    // left variant keeps unmatched points with null gid
+    val left = SpatialJoin.joinWithin(ptsDf, layer, 0.5, joinType = "left", cellLevel = 5)
+    assert(left.select("pid_left").distinct().count() == 400)
+  }
 }
