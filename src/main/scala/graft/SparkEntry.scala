@@ -882,6 +882,21 @@ object SparkEntry {
         unix_millis(col("lastTs")).as("last_ms"))
     }),
 
+    "q_asof_join" -> ((s, dir) => {
+      // backward as-of join: every event picks up the user's latest purchase
+      // at-or-before its timestamp (DuckDB ASOF LEFT JOIN is the oracle).
+      // One key-partitioned sort, carried forward with last(ignoreNulls) —
+      // no range-join explosion. Values travel as integer cents.
+      val ev = t(s, dir, "events").withColumn("ts", col("ts").cast("timestamp"))
+      val snaps = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          floor(col("value") * 100 + 0.5).as("snap_c"),
+          unix_millis(col("ts")).as("snap_ms"))
+      graft.join.AsofJoin.join(ev.select("event_id", "user_id", "ts"), snaps,
+        "user_id", "ts", Seq("snap_c", "snap_ms"))
+        .select(col("event_id"), col("snap_c"), col("snap_ms"))
+    }),
+
     "q_dwithin_join" -> ((s, dir) => {
       // distance (range) join: points within 2.3 planar units of the box
       // layer. Candidates come from the radius-expanded bbox covering, so the
@@ -1266,6 +1281,13 @@ object SparkEntry {
       s"""SELECT custkey, TRUE AS res12_ok, TRUE AS res5_ok, TRUE AS base_ok,
          | TRUE AS prefix_ok, TRUE AS pad_ok, TRUE AS transitive_ok
          |FROM ($custPointsSql)""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH snaps AS (SELECT user_id, ts, CAST(floor(value*100+0.5) AS BIGINT) AS snap_c,
+        |   epoch_ms(ts) AS snap_ms FROM events WHERE event_type='purchase')
+        |SELECT e.event_id, s.snap_c, s.snap_ms
+        |FROM events e ASOF LEFT JOIN snaps s
+        |ON e.user_id = s.user_id AND e.ts >= s.ts""".stripMargin,
 
     // point-to-rectangle planar distance in closed form: the outside gap per
     // axis is max(min-x, x-max, 0); inside the box both gaps are 0
