@@ -882,6 +882,20 @@ object SparkEntry {
         unix_millis(col("lastTs")).as("last_ms"))
     }),
 
+    "q_heavy_hitters" -> ((s, dir) => {
+      // Misra-Gries heavy-hitters sketch in its exact regime (k exceeds the
+      // distinct-user cardinality, so no decrement ever fires): the sketch
+      // must reproduce the exact per-user counts through map-side partials
+      // and the mergeable-summaries merge. The approximate regime's
+      // n/(k+1) bound is pinned in FreqAggSpec. This is the bounded census
+      // primitive: at 10^12 rows it ships <= k counters per partition where
+      // an exact census shuffles every distinct key.
+      t(s, dir, "events")
+        .agg(graft.expr.FreqAgg.freq_items(col("user_id"), 4096).as("f"))
+        .select(explode(col("f")).as("e"))
+        .select(col("e.item").as("user_id"), col("e.count").as("cnt"))
+    }),
+
     "q_asof_join" -> ((s, dir) => {
       // backward as-of join: every event picks up the user's latest purchase
       // at-or-before its timestamp (DuckDB ASOF LEFT JOIN is the oracle).
@@ -1281,6 +1295,9 @@ object SparkEntry {
       s"""SELECT custkey, TRUE AS res12_ok, TRUE AS res5_ok, TRUE AS base_ok,
          | TRUE AS prefix_ok, TRUE AS pad_ok, TRUE AS transitive_ok
          |FROM ($custPointsSql)""".stripMargin,
+
+    "q_heavy_hitters" ->
+      "SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id",
 
     "q_asof_join" ->
       """WITH snaps AS (SELECT user_id, ts, CAST(floor(value*100+0.5) AS BIGINT) AS snap_c,
