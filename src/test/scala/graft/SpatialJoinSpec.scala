@@ -220,5 +220,14 @@ class SpatialJoinSpec extends SparkSpec {
     // left variant keeps unmatched points with null gid
     val left = SpatialJoin.joinWithin(ptsDf, layer, 0.5, joinType = "left", cellLevel = 5)
     assert(left.select("pid_left").distinct().count() == 400)
+    // the shuffled (non-broadcast) path returns identical rows
+    val shuffled = SpatialJoin.joinWithin(ptsDf, layer, 3.7, cellLevel = 5,
+      broadcastRight = false)
+      .select("pid_left", "gid_right").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bcast = SpatialJoin.joinWithin(ptsDf, layer, 3.7, cellLevel = 5)
+      .select("pid_left", "gid_right").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(shuffled == bcast)
   }
 }
