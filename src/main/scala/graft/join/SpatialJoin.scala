@@ -171,7 +171,8 @@ object SpatialJoin {
                  cellLevel: Int = DefaultCellLevel,
                  nSalts: Int = 8,
                  skewThreshold: Long = DefaultSkewThreshold,
-                 lSuffix: String = "_left", rSuffix: String = "_right"): DataFrame = {
+                 lSuffix: String = "_left", rSuffix: String = "_right",
+                 censusSketchK: Int = 0): DataFrame = {
     // no row ids / dedupe here: the left side is points by contract, so each
     // point carries exactly one (cell, salt) key and meets each polygon
     // replica set at most once — a dedupe would add a full-width shuffle
@@ -182,10 +183,24 @@ object SpatialJoin {
 
     val lCells = l.withColumn("__cell", pointCell(lg, cellLevel))
 
-    // hot-cell census: partial-aggregated count over the point side only
-    val hot = lCells.groupBy("__cell").count()
-      .filter(col("count") > skewThreshold)
-      .select(col("__cell").as("__hot_cell"))
+    // hot-cell census over the point side only. Exact mode is a groupBy whose
+    // shuffle carries one row per DISTINCT cell; with censusSketchK > 0 the
+    // census is a Misra-Gries sketch instead — one <= k-counter buffer per
+    // partition regardless of cell cardinality. The sketch under-counts by
+    // at most n/(k+1), so the filter runs at threshold/2 and the caller
+    // sizes k >= 2n/threshold: every truly hot cell then surfaces, and a
+    // borderline-cold extra only costs a little replication — the hot SET
+    // never affects output rows, only the shuffle layout.
+    val hot = if (censusSketchK > 0) {
+      lCells.agg(graft.expr.FreqAgg.freq_items(col("__cell"), censusSketchK).as("f"))
+        .select(explode(col("f")).as("e"))
+        .filter(col("e.count") > skewThreshold / 2)
+        .select(col("e.item").as("__hot_cell"))
+    } else {
+      lCells.groupBy("__cell").count()
+        .filter(col("count") > skewThreshold)
+        .select(col("__cell").as("__hot_cell"))
+    }
 
     val lSalted = lCells
       .join(broadcast(hot), lCells("__cell") === hot("__hot_cell"), "left")

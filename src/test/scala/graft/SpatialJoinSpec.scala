@@ -146,6 +146,13 @@ class SpatialJoinSpec extends SparkSpec {
       .select("v_left", "poly_id_right").collect()
       .map(r => (r.getDouble(0), r.getLong(1))).sorted
     assert(salted.length == bcast.length && salted.sameElements(bcast))
+    // sketch census (bounded Misra-Gries instead of exact groupBy): the hot
+    // SET is correctness-neutral, so rows must be identical
+    val sketchSalted = SpatialJoin.joinSalted(pts, layer, SpatialPredicate.Intersects,
+      nSalts = 4, skewThreshold = 500, censusSketchK = 64)
+      .select("v_left", "poly_id_right").collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).sorted
+    assert(sketchSalted.sameElements(bcast))
     // every hot point is in poly 1; cold points i=0..29 fall in poly 2
     // (i=30 lands on the lon=-120 boundary, excluded by contains semantics)
     assert(salted.length == 2000 + 30)
