@@ -38,10 +38,29 @@ object GenProbe {
       }
       (reps.toLong * 4096) / ((System.nanoTime() - t0) / 1e9)
     }
+    def entityRound(): Double = {
+      val texts = Array.tabulate(4096)(i =>
+        graft.text.TextKernel.extractText(graft.pages.PagesKernel.html(i.toLong, 42)))
+      val reps = (n / 4096).toInt
+      val t0 = System.nanoTime()
+      var r = 0
+      while (r < reps) {
+        var i = 0
+        while (i < 4096) {
+          val e = graft.pages.PagesKernel.extractEntity(texts(i))
+          if (e != null) sink += e.numBytes
+          i += 1
+        }
+        r += 1
+      }
+      (reps.toLong * 4096) / ((System.nanoTime() - t0) / 1e9)
+    }
     val gen = (0 until rounds).map(_ => genRound())
     val ext = (0 until rounds).map(_ => extractRound())
+    val ent = (0 until rounds).map(_ => entityRound())
     println(f"GEN best ${gen.max}%.0f pages/s  all ${gen.map(v => f"$v%.0f").mkString(",")}")
     println(f"EXT best ${ext.max}%.0f pages/s  all ${ext.map(v => f"$v%.0f").mkString(",")}")
+    println(f"ENT best ${ent.max}%.0f pages/s  all ${ent.map(v => f"$v%.0f").mkString(",")}")
     println(s"sink $sink")
   }
 }

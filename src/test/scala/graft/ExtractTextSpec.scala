@@ -134,4 +134,48 @@ class ExtractTextSpec extends AnyFunSuite {
     val b = TextKernel.extractText(html)
     assert(java.util.Arrays.equals(a.getBytes, b.getBytes))
   }
+
+  test("extractEntity raw-byte search is identical to the indexOf/substring reference") {
+    // the old implementation, kept verbatim as the differential reference
+    val marker = org.apache.spark.unsafe.types.UTF8String.fromString("near Entityville-")
+    def reference(text: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+      val i = text.indexOf(marker, 0)
+      if (i < 0) null
+      else {
+        val slice = text.substring(i + 5, i + 5 + 16)
+        if (slice.numChars == 16) slice else null
+      }
+    }
+    def check(s: String): Unit = {
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      val got = PagesKernel.extractEntity(u)
+      val exp = reference(u)
+      assert((got == null) == (exp == null) && (got == null || got.equals(exp)),
+        s"mismatch on '$s': got=$got exp=$exp")
+    }
+    // crafted edges: absent, exact fit, truncated tails, multibyte tails,
+    // marker at start/end, repeated markers, continuation-byte noise
+    Seq(
+      "no mention at all", "", "near Entity", "near Entityville-",
+      "x near Entityville-0042 y", "near Entityville-0042",
+      "near Entityville-004", "near Entityville-00é", "near Entityville-12é",
+      "near Entityville-12é3", "tail near Entityville-é042 and more",
+      "near Entityville-0042 near Entityville-9999",
+      "ünïcödé before near Entityville-0007 after",
+      "nnnnear Entityville-1234", "near near Entityville-5678").foreach(check)
+    // fuzz: random ASCII+multibyte soup with markers spliced at random spots
+    val rnd = new scala.util.Random(61)
+    val alphabet = "abc néüé中 xyz0123-"
+    (0 until 3000).foreach { _ =>
+      val sb = new StringBuilder
+      (0 until rnd.nextInt(60)).foreach(_ => sb.append(alphabet(rnd.nextInt(alphabet.length))))
+      if (rnd.nextBoolean()) {
+        sb.append("near Entityville-")
+        (0 until rnd.nextInt(6)).foreach(_ => sb.append(alphabet(rnd.nextInt(alphabet.length))))
+      }
+      (0 until rnd.nextInt(20)).foreach(_ => sb.append(alphabet(rnd.nextInt(alphabet.length))))
+      check(sb.toString)
+    }
+  }
 }
