@@ -63,6 +63,16 @@ object TextKernel {
     t
   }
 
+  // SWAR word scan (little-endian hosts): 0x80 marker in every byte of `w`
+  // equal to `c` — the standard haszero(x ^ c*0x01…) trick, exact for all
+  // byte values including >= 0x80
+  private val swarOk =
+    java.nio.ByteOrder.nativeOrder() == java.nio.ByteOrder.LITTLE_ENDIAN
+  @inline private def eqMask(w: Long, c: Long): Long = {
+    val y = w ^ (c * 0x0101010101010101L)
+    (y - 0x0101010101010101L) & ~y & 0x8080808080808080L
+  }
+
   def extractText(html: Array[Byte]): UTF8String = {
     // byte-level single pass: this is the per-page hot path, and UTF-8
     // multibyte sequences pass through untouched (all markup is ASCII)
@@ -90,14 +100,40 @@ object TextKernel {
         var j = i + 1
         var run = true
         while (run && j < n) {
-          val c = html(j)
-          if (stopByte(c)) run = false
-          else if (c == ' ') {
-            // interior single space stays in the run; a space before a stop
-            // byte / another space / EOF must go through pendingSpace logic
-            if (j + 1 < n && !stopByte(html(j + 1)) && html(j + 1) != ' ') j += 2
-            else run = false
-          } else j += 1
+          // SWAR fast path: swallow plain bytes 8 at a time. An EVENT — the
+          // thing the scalar loop must adjudicate — is a stop byte, or a
+          // space whose follower is a stop byte or another space (the scalar
+          // loop ends the run AT such a space, so it must not be skipped).
+          // On an event the clean prefix is consumed (first event byte index
+          // = ntz(mask)/8) and the scalar loop takes over at the event; a
+          // trailing space whose follower is outside the word advances 7 so
+          // it is re-examined with its follower.
+          if (swarOk) {
+            var fast = true
+            while (fast && j + 8 <= n) {
+              val w = org.apache.spark.unsafe.Platform.getLong(
+                html, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + j)
+              val mStop = eqMask(w, '<') | eqMask(w, '&') |
+                eqMask(w, '\t') | eqMask(w, '\n') | eqMask(w, '\r')
+              val mSp = eqMask(w, ' ')
+              val events = mStop | (mSp & ((mStop | mSp) >>> 8))
+              if (events != 0L) {
+                j += java.lang.Long.numberOfTrailingZeros(events) >> 3
+                fast = false
+              } else if ((mSp & 0x8000000000000000L) != 0L) j += 7
+              else j += 8
+            }
+          }
+          if (j < n) {
+            val c = html(j)
+            if (stopByte(c)) run = false
+            else if (c == ' ') {
+              // interior single space stays in the run; a space before a stop
+              // byte / another space / EOF must go through pendingSpace logic
+              if (j + 1 < n && !stopByte(html(j + 1)) && html(j + 1) != ' ') j += 2
+              else run = false
+            } else j += 1
+          } else run = false
         }
         if (pendingSpace && o > 0) { out(o) = ' '; o += 1 }
         pendingSpace = false
