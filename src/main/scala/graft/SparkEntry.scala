@@ -45,6 +45,34 @@ object SparkEntry {
       | CAST((c_custkey * 37) % 340 - 170 + 0.5 AS DOUBLE) AS lon,
       | CAST((c_custkey * 17) % 116 - 58 + 0.5 AS DOUBLE) AS lat FROM customer""".stripMargin
 
+  // Streaming gate plumbing: the file-stream source wants a DIRECTORY, so
+  // the single parquet file is staged behind a symlink in a temp dir. The
+  // dir is keyed by (query, sf dir) and REUSED across invocations, so
+  // repeated gate/bench runs in one JVM don't accumulate temp dirs (both
+  // entries are also removed on JVM exit). The memory sink name is likewise
+  // stable per query, with any previous registration dropped before the run.
+  private def streamStageDir(name: String, dir: String, table: String): String = {
+    val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-stream-$name-${Integer.toHexString(dir.hashCode)}")
+    val link = base.resolve(s"$table.parquet")
+    if (!java.nio.file.Files.isSymbolicLink(link)) {
+      java.nio.file.Files.createDirectories(base)
+      java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(s"$dir/$table.parquet"))
+      base.toFile.deleteOnExit(); link.toFile.deleteOnExit()
+    }
+    base.toString
+  }
+
+  private def runToMemorySink(s: SparkSession, df: DataFrame, name: String,
+                              mode: String): DataFrame = {
+    s.catalog.dropTempView(name)
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
   // the spatial-join polygon layer: 6 literal lon/lat boxes
   private val joinBoxes = Seq(
     (1L, -170.0, -58.0, -100.0, -10.0), (2L, -100.0, -10.0, -30.0, 40.0),
@@ -319,6 +347,25 @@ object SparkEntry {
         .select(col("custkey_left").as("custkey"), col("box_id_right").as("box_id"))
     }),
 
+    "q_spatial_join_prepared" -> ((s, dir) => {
+      // prepared-index reuse (the reference's precomputed SpatialIndex via
+      // SpatialJoinArgs, spatial_index.rs:20-21; reuse test :558-624): the
+      // polygon covering is materialized ONCE with prepare(), the join runs
+      // against it, and the rows must equal the fresh-join output (identical
+      // oracle to q_spatial_join). PreparedJoinSpec additionally asserts the
+      // reused join's plan contains no Generate (covering not recomputed)
+      // and that a SECOND join against the same PreparedCover is row-equal.
+      val pts = custPoints(s, dir)
+        .select(col("custkey"), st_point(col("lon"), col("lat")).as("geometry"))
+      val boxes = s.createDataFrame(
+        joinBoxes.map { case (id, a, b, c, d) => (id, boxWkb(a, b, c, d)) })
+        .toDF("box_id", "geometry")
+      val prep = SpatialJoin.prepare(boxes, cellLevel = 4)
+      SpatialJoin.join(pts, prep, SpatialPredicate.Intersects, "inner",
+        "_left", broadcastRight = true, leftPointsOnly = true)
+        .select(col("custkey_left").as("custkey"), col("box_id_right").as("box_id"))
+    }),
+
     "q_knn_points" -> ((s, dir) => {
       // scale-safe kNN: bounded topk_by aggregate (map-side combine) instead
       // of a global window — shuffle volume O(partitions*k), not O(corpus)
@@ -416,9 +463,13 @@ object SparkEntry {
 
     "q_ann_lsh" -> ((s, dir) => {
       // scale path for similarity search: LSH-bucketed candidate generation
-      // (sign-random-projection) + exact cosine rerank inside buckets
+      // (sign-random-projection) + exact cosine rerank inside buckets. The
+      // oracle-checkable projection keeps the SEEDED pairs (i, i+100000):
+      // identical vectors share every sign bit, so SRP bucket collision is
+      // COMPLETE for them — the oracle (one pair per embedding, cos 1.0)
+      // fails if LSH ever drops one. Near-dup (non-identical) recall is
+      // measured by the oracle-gated q_ann_recall.
       val eb = t(s, dir, "embeddings")
-      // seed exact duplicates (vec_id+100000) so the check always has rows
       val e = eb.unionByName(eb.withColumn("vec_id", col("vec_id") + 100000L))
         .select(col("vec_id"), col("embedding"),
           cosine_lsh_bucket(col("embedding"), lit(8)).as("bucket"))
@@ -429,6 +480,7 @@ object SparkEntry {
         .select(col("vec_id_a").as("a_id"), col("vec_id_b").as("b_id"),
           round(col("cos"), 6).as("cos"))
         .distinct()
+        .filter(col("b_id") === col("a_id") + 100000L && col("a_id") < 100000L)
     }),
 
     // ============ embeddings: similarity search ============
@@ -487,6 +539,23 @@ object SparkEntry {
       // custom tmerc with nonzero lat_0 on the GRS80 ellipsoid round-trips.
       val tmCustom = "+proj=tmerc +lat_0=12.5 +lon_0=33 +k=0.9999 " +
         "+x_0=250000 +y_0=100000 +ellps=GRS80 +units=m +no_defs"
+      // the same UTM 32N conversion as PROJJSON (the reference Python
+      // wrapper's CRS interchange format, geoseries.py:257-261) — must be
+      // bit-equal to the EPSG:32632 numeric code path
+      val projJson =
+        """{"type":"ProjectedCRS","name":"WGS 84 / UTM zone 32N",
+          |"base_crs":{"type":"GeographicCRS","name":"WGS 84",
+          |"datum":{"type":"GeodeticReferenceFrame","name":"World Geodetic System 1984",
+          |"ellipsoid":{"name":"WGS 84","semi_major_axis":6378137,"inverse_flattening":298.257223563}}},
+          |"conversion":{"name":"UTM zone 32N",
+          |"method":{"name":"Transverse Mercator","id":{"authority":"EPSG","code":9807}},
+          |"parameters":[
+          |{"name":"Latitude of natural origin","value":0,"unit":"degree"},
+          |{"name":"Longitude of natural origin","value":9,"unit":"degree"},
+          |{"name":"Scale factor at natural origin","value":0.9996,"unit":"unity"},
+          |{"name":"False easting","value":500000,"unit":"metre"},
+          |{"name":"False northing","value":0,"unit":"metre"}]},
+          |"id":{"authority":"EPSG","code":32632}}""".stripMargin
       val p = custPoints(s, dir)
       val pt = st_point(col("lon"), col("lat"))
       val merc = st_transform(pt, "+proj=longlat +ellps=WGS84",
@@ -494,11 +563,13 @@ object SparkEntry {
       val utmP = st_transform(pt, "EPSG:4326",
         "+proj=tmerc +lat_0=0 +lon_0=9 +k=0.9996 +x_0=500000 +y_0=0 +ellps=WGS84")
       val utmC = st_transform(pt, lit(4326), lit(32632))
+      val utmJ = st_transform(pt, "EPSG:4326", projJson)
       val back = st_transform(st_transform(pt, "EPSG:4326", tmCustom), tmCustom, "EPSG:4326")
       p.select(col("custkey"),
         round(st_x(merc), 3).as("mx"),
         round(st_y(merc), 3).as("my"),
         (st_x(utmP) === st_x(utmC) && st_y(utmP) === st_y(utmC)).as("utm_eq"),
+        (st_x(utmJ) === st_x(utmC) && st_y(utmJ) === st_y(utmC)).as("pj_eq"),
         // the Krüger series (like any TM) is only meaningful near its
         // central meridian; assert the exact round trip inside +-25 degrees
         (abs(col("lon") - 33.0) > 25.0 ||
@@ -809,6 +880,27 @@ object SparkEntry {
       val pnat = st_point_native(st_point(col("minx"), col("miny")))
       val lnat = st_line_native(st_makeLine(col("minx"), col("miny"),
         col("minx") + col("w"), col("miny") + col("h")))
+      // Multi* round trips (reference read-path parity, geoseries.py:170-214):
+      // the triple-nested MultiPolygon native is CONSTRUCTED column-side (two
+      // disjoint boxes), written to WKB, and read back — both directions
+      // value-checked without depending on overlay component ordering
+      def xyN(x: Column, y: Column) = struct(x.as("x"), y.as("y"))
+      def ringN(ax: Column, ay: Column, bx: Column, by: Column) = array(
+        xyN(ax, ay), xyN(bx, ay), xyN(bx, by), xyN(ax, by), xyN(ax, ay))
+      val box2x = col("minx") + col("w") + 1.0
+      val mpNat = array(
+        array(ringN(col("minx"), col("miny"),
+          col("minx") + col("w"), col("miny") + col("h"))),
+        array(ringN(box2x, col("miny"), box2x + 2.0, col("miny") + 1.0)))
+      val mpWkb = st_from_multipolygon_native(mpNat)
+      val mpRt = st_multipolygon_native(mpWkb)
+      val mptWkb = st_from_multipoint_native(array(
+        xyN(col("minx"), col("miny")),
+        xyN(col("minx") + col("w"), col("miny") + col("h"))))
+      val mlWkb = st_from_multiline_native(array(
+        array(xyN(col("minx"), col("miny")), xyN(col("minx") + col("w"), col("miny"))),
+        array(xyN(col("minx"), col("miny") + col("h")),
+          xyN(col("minx") + col("w"), col("miny") + col("h")))))
       o.select(col("o_orderkey"),
         size(nat).as("n_rings"),
         size(element_at(nat, 1)).as("shell_pts"),
@@ -818,7 +910,16 @@ object SparkEntry {
         element_at(lnat, 2).getField("y").as("l2y"),
         st_area(st_from_polygon_native(nat)).as("rt_area"),
         st_x(st_from_point_native(pnat)).as("rt_px"),
-        round(st_length(st_from_line_native(lnat)), 6).as("rt_len"))
+        round(st_length(st_from_line_native(lnat)), 6).as("rt_len"),
+        size(mpRt).as("mp_n"),
+        st_area(mpWkb).as("mp_area"),
+        st_geomType(mpWkb).as("mp_type"),
+        element_at(element_at(element_at(mpRt, 2), 1), 1).getField("x").as("mp_v2x"),
+        element_at(st_multipoint_native(mptWkb), 2).getField("x").as("mpt2x"),
+        st_geomType(mptWkb).as("mpt_type"),
+        element_at(element_at(st_multiline_native(mlWkb), 2), 1)
+          .getField("y").as("ml2y"),
+        round(st_length(mlWkb), 6).as("ml_len"))
     }),
 
     "q_stream_window" -> ((s, dir) => {
@@ -827,11 +928,9 @@ object SparkEntry {
       // memory sink — must equal the batch SQL over the same rows
       // the file stream source wants a directory: stage the single parquet
       // file behind a symlink in a temp dir
-      val tmp = java.nio.file.Files.createTempDirectory("graft-stream-gate")
-      java.nio.file.Files.createSymbolicLink(
-        tmp.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(schema).parquet(tmp.toString)
+      val stream = s.readStream.schema(schema)
+        .parquet(streamStageDir("window", dir, "events"))
         // the parquet file carries TIMESTAMP_NTZ; watermarks need TIMESTAMP
         .withColumn("ts", col("ts").cast("timestamp"))
       val agg = stream.withWatermark("ts", "10 minutes")
@@ -840,13 +939,7 @@ object SparkEntry {
           sum(floor(col("value") * 100 + 0.5)).as("total_c"))
         .select(col("window.start").cast("long").as("win_start"),
           col("event_type"), col("cnt"), col("total_c"))
-      val sink = s"q_stream_window_${System.nanoTime()}"
-      val query = agg.writeStream.format("memory").queryName(sink)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
-      s.table(sink)
+      runToMemorySink(s, agg, "q_stream_window_sink", "complete")
     }),
 
     "q_stream_sessions" -> ((s, dir) => {
@@ -861,22 +954,15 @@ object SparkEntry {
       // exactly with another event's timestamp.
       import s.implicits._
       val gapMs = 7199500L
-      val tmp = java.nio.file.Files.createTempDirectory("graft-stream-sess")
-      java.nio.file.Files.createSymbolicLink(
-        tmp.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(schema).parquet(tmp.toString)
+      val stream = s.readStream.schema(schema)
+        .parquet(streamStageDir("sess", dir, "events"))
         .select(col("event_id"), col("ts").cast("timestamp").as("ts"), col("user_id"),
           col("event_type"), floor(col("value") * 100 + 0.5).cast("double").as("value"))
         .as[graft.streaming.Streams.Event]
       val sess = graft.streaming.Streams.sessionize(stream, gapMs)
-      val sink = s"q_stream_sessions_${System.nanoTime()}"
-      val query = sess.writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
-      s.table(sink).select(col("user_id"), col("events"),
+      runToMemorySink(s, sess.toDF(), "q_stream_sessions_sink", "append")
+        .select(col("user_id"), col("events"),
         col("total").cast("long").as("total_c"),
         unix_millis(col("firstTs")).as("first_ms"),
         unix_millis(col("lastTs")).as("last_ms"))
@@ -908,6 +994,22 @@ object SparkEntry {
           unix_millis(col("ts")).as("snap_ms"))
       graft.join.AsofJoin.join(ev.select("event_id", "user_id", "ts"), snaps,
         "user_id", "ts", Seq("snap_c", "snap_ms"))
+        .select(col("event_id"), col("snap_c"), col("snap_ms"))
+    }),
+
+    "q_asof_bucketed" -> ((s, dir) => {
+      // skew-safe two-pass as-of (window keyed by (user, 6h bucket) +
+      // boundary carry) must reproduce the plain as-of rows exactly — same
+      // DuckDB native ASOF oracle as q_asof_join. AsofJoinSpec additionally
+      // runs it on a deliberately hyper-hot key.
+      val ev = t(s, dir, "events").withColumn("ts", col("ts").cast("timestamp"))
+      val snaps = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          floor(col("value") * 100 + 0.5).as("snap_c"),
+          unix_millis(col("ts")).as("snap_ms"))
+      graft.join.AsofJoin.joinBucketed(ev.select("event_id", "user_id", "ts"), snaps,
+        "user_id", "ts", Seq("snap_c", "snap_ms"),
+        ts => floor(ts.cast("long") / 21600L).cast("long"))
         .select(col("event_id"), col("snap_c"), col("snap_ms"))
     }),
 
@@ -952,20 +1054,13 @@ object SparkEntry {
       // shuffle/state payload). AvailableNow + unbounded dedup state is fine
       // for a bounded gate corpus; an unbounded production stream uses the
       // watermarked variant gated in q_stream_dedup_wm.
-      val tmp = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
-      java.nio.file.Files.createSymbolicLink(
-        tmp.resolve("documents.parquet"), java.nio.file.Paths.get(s"$dir/documents.parquet"))
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
-      val dedup = s.readStream.schema(schema).parquet(tmp.toString)
+      val dedup = s.readStream.schema(schema)
+        .parquet(streamStageDir("dedup", dir, "documents"))
         .select(fingerprint64(col("text")).as("fp"), xxhash64(col("text")).as("fp2"))
         .dropDuplicates("fp", "fp2")
-      val sink = s"q_stream_dedup_${System.nanoTime()}"
-      val query = dedup.writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
-      s.table(sink).agg(count(lit(1)).as("uniq"))
+      runToMemorySink(s, dedup, "q_stream_dedup_sink", "append")
+        .agg(count(lit(1)).as("uniq"))
     }),
 
     "q_stream_dedup_wm" -> ((s, dir) => {
@@ -974,23 +1069,16 @@ object SparkEntry {
       // twice inside the watermark window — must come out exactly once.
       // This is the state-bounded shape an unbounded 100-TB ingest needs:
       // state for an event is dropped once the watermark passes its ts.
-      val tmp = java.nio.file.Files.createTempDirectory("graft-stream-dedup-wm")
-      java.nio.file.Files.createSymbolicLink(
-        tmp.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      def src = s.readStream.schema(schema).parquet(tmp.toString)
+      val staged = streamStageDir("dedup-wm", dir, "events")
+      def src = s.readStream.schema(schema).parquet(staged)
         .select(col("event_id"), col("ts").cast("timestamp").as("ts"))
       val dedup = src.unionByName(src)
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("event_id")
-      val sink = s"q_stream_dedup_wm_${System.nanoTime()}"
-      val query = dedup.writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
-      s.table(sink).agg(count(lit(1)).as("uniq"),
-        countDistinct(col("event_id")).as("uniq_ids"))
+      runToMemorySink(s, dedup, "q_stream_dedup_wm_sink", "append")
+        .agg(count(lit(1)).as("uniq"),
+          countDistinct(col("event_id")).as("uniq_ids"))
     }),
 
     "q_h3_props" -> ((s, dir) => {
@@ -1019,8 +1107,14 @@ object SparkEntry {
         (h3_parent(p9, lit(5)) === p5).as("transitive_ok"))
     }),
 
-    // ============ rows-only checks (not SQL-expressible) ============
-    "q_h3_cells" -> ((s, dir) => custPoints(s, dir).select(
+    // ============ recorded-literal cell-id pins ============
+    // Raw cell ids on the first 64 lattice points (custkey 1..64 exists at
+    // every sf tier) with recorded-literal VALUES oracles — the q_simhash
+    // pattern: pins cross-round byte stability of the self-defined H3/S2
+    // packings. The FULL lattice's structural contracts stay oracle-gated by
+    // q_s2_props / q_h3_props over every row.
+    "q_h3_cells" -> ((s, dir) => custPoints(s, dir)
+      .filter(col("custkey") <= 64).select(
       col("custkey"),
       h3_cell(col("lat"), col("lon"), lit(6)).as("cell6"),
       h3_cell(col("lat"), col("lon"), lit(9)).as("cell9"),
@@ -1032,7 +1126,8 @@ object SparkEntry {
       (h3_parent(h3_cell(col("lat"), col("lon"), lit(9)), lit(3)) ===
         h3_parent(h3_cell(col("lat"), col("lon"), lit(12)), lit(3))).as("parent_ok"))),
 
-    "q_s2_cells" -> ((s, dir) => custPoints(s, dir).select(
+    "q_s2_cells" -> ((s, dir) => custPoints(s, dir)
+      .filter(col("custkey") <= 64).select(
       col("custkey"),
       s2_cell(col("lat"), col("lon"), lit(5)).as("cell5"),
       s2_cell(col("lat"), col("lon"), lit(9)).as("cell9"),
@@ -1040,8 +1135,19 @@ object SparkEntry {
       (s2_parent(s2_cell(col("lat"), col("lon"), lit(12)), lit(5)) ===
         s2_cell(col("lat"), col("lon"), lit(5))).as("prefix_ok"))),
 
-    "q_lang_id" -> ((s, dir) => t(s, dir, "documents").select(
-      col("doc_id"), lang_id(col("text")).as("lang_guess"), col("lang"))),
+    "q_lang_id" -> ((s, dir) => {
+      // lang_id over every document, as oracle-checkable structural booleans
+      // (the table's lang labels are uncorrelated with its synthetic text —
+      // see q_lang_known for the recorded-literal accuracy pin): the guess
+      // is always non-null and always lands in the detector's closed
+      // vocabulary {de,en,es,fr,it,und}.
+      val g = lang_id(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        coalesce(g.isin("de", "en", "es", "fr", "it", "und"), lit(false))
+          .as("guess_known"),
+        g.isNotNull.as("guess_nonnull"))
+    }),
 
     "q_simhash" -> ((s, dir) => {
       // Fixed-string fingerprints with a recorded-literal oracle: pins the
@@ -1075,10 +1181,24 @@ object SparkEntry {
     }),
 
     "q_pages_pipeline" -> ((s, dir) => {
-      val sf = if (dir.contains("0.1")) 20000L else 2000L
-      GeoPipeline.run(s, sf, seed = 42, numPartitions = 16).joined
-        .select(col("url_left").as("url"), col("s2_cell_left").as("s2_cell"),
-          col("tile_z8_left").as("tile_z8"), col("admin_id_right").as("admin_id"))
+      // End-to-end pipeline gate: per-admin census at FIXED 2000 pages (the
+      // pipeline is purely synthetic, so the output is sf-independent) with
+      // recorded-literal census values — pins geocode -> spatial join ->
+      // tile assignment across rounds — plus a structural in-box boolean
+      // (every page point inside its admin rectangle) the oracle re-asserts.
+      val j = GeoPipeline.run(s, 2000L, seed = 42, numPartitions = 16).joined
+      val x = st_x(col("geometry_left")); val y = st_y(col("geometry_left"))
+      val ai = floor(col("admin_id_right") / 8).cast("double")
+      val aj = (col("admin_id_right") % 8).cast("double")
+      val minLon = lit(-180.0) + ai * 22.5
+      val minLat = lit(-60.0) + aj * 15.0
+      val inBox = x >= minLon && x <= minLon + 22.5 &&
+        y >= minLat && y <= minLat + 15.0
+      j.groupBy(col("admin_id_right").as("admin_id"))
+        .agg(count(lit(1)).as("pages"),
+          sum(pmod(col("s2_cell_left"), lit(1000003L))).as("cell_census"),
+          sum(pmod(col("tile_z8_left"), lit(1000003L))).as("tile_census"),
+          min(inBox).as("in_box_ok"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -1234,6 +1354,12 @@ object SparkEntry {
          |SELECT p.custkey, b.box_id FROM p, b
          |WHERE p.lon > b.minx AND p.lon < b.maxx AND p.lat > b.miny AND p.lat < b.maxy""".stripMargin,
 
+    "q_spatial_join_prepared" ->
+      s"""WITH b(box_id, minx, miny, maxx, maxy) AS (VALUES $joinBoxesSqlValues),
+         | p AS ($custPointsSql)
+         |SELECT p.custkey, b.box_id FROM p, b
+         |WHERE p.lon > b.minx AND p.lon < b.maxx AND p.lat > b.miny AND p.lat < b.maxy""".stripMargin,
+
     "q_utm" ->
       s"""SELECT custkey,
          | CAST(floor(((CASE WHEN (lon % 360.0) >= 180.0 THEN (lon % 360.0) - 360.0
@@ -1247,7 +1373,7 @@ object SparkEntry {
          | round(6378137.0 * 1.0 * radians(lon), 3) AS mx,
          | round(6378137.0 * 1.0 * (0.5*ln((1.0+s)/(1.0-s))
          |   - 0.08181919084262149*(0.5*ln((1.0+0.08181919084262149*s)/(1.0-0.08181919084262149*s)))), 3) AS my,
-         | TRUE AS utm_eq, TRUE AS rt_ok
+         | TRUE AS utm_eq, TRUE AS pj_eq, TRUE AS rt_ok
          |FROM (SELECT custkey, lon, sin(radians(lat)) AS s FROM ($custPointsSql))""".stripMargin,
 
     "q_laea" ->
@@ -1291,6 +1417,17 @@ object SparkEntry {
       s"""SELECT custkey, TRUE AS prefix5_ok, TRUE AS prefix9_ok, TRUE AS transitive_ok
          |FROM ($custPointsSql)""".stripMargin,
 
+    "q_s2_cells" -> RecordedOracles.s2CellsSql,
+    "q_h3_cells" -> RecordedOracles.h3CellsSql,
+    "q_pages_pipeline" -> RecordedOracles.pagesPipelineSql,
+
+    "q_lang_id" ->
+      "SELECT doc_id, lang, TRUE AS guess_known, TRUE AS guess_nonnull FROM documents",
+
+    "q_ann_lsh" ->
+      """SELECT vec_id AS a_id, vec_id + 100000 AS b_id, CAST(1.0 AS DOUBLE) AS cos
+        |FROM embeddings""".stripMargin,
+
     "q_h3_props" ->
       s"""SELECT custkey, TRUE AS res12_ok, TRUE AS res5_ok, TRUE AS base_ok,
          | TRUE AS prefix_ok, TRUE AS pad_ok, TRUE AS transitive_ok
@@ -1300,6 +1437,13 @@ object SparkEntry {
       "SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id",
 
     "q_asof_join" ->
+      """WITH snaps AS (SELECT user_id, ts, CAST(floor(value*100+0.5) AS BIGINT) AS snap_c,
+        |   epoch_ms(ts) AS snap_ms FROM events WHERE event_type='purchase')
+        |SELECT e.event_id, s.snap_c, s.snap_ms
+        |FROM events e ASOF LEFT JOIN snaps s
+        |ON e.user_id = s.user_id AND e.ts >= s.ts""".stripMargin,
+
+    "q_asof_bucketed" ->
       """WITH snaps AS (SELECT user_id, ts, CAST(floor(value*100+0.5) AS BIGINT) AS snap_c,
         |   epoch_ms(ts) AS snap_ms FROM events WHERE event_type='purchase')
         |SELECT e.event_id, s.snap_c, s.snap_ms
@@ -1503,7 +1647,9 @@ object SparkEntry {
     "q_geoarrow" ->
       """SELECT o_orderkey, 1 AS n_rings, 5 AS shell_pts,
         | minx AS v1x, miny + h AS v3y, minx AS px, miny + h AS l2y,
-        | w * h AS rt_area, minx AS rt_px, round(sqrt(w*w + h*h), 6) AS rt_len
+        | w * h AS rt_area, minx AS rt_px, round(sqrt(w*w + h*h), 6) AS rt_len,
+        | 2 AS mp_n, w * h + 2.0 AS mp_area, 6 AS mp_type, minx + w + 1.0 AS mp_v2x,
+        | minx + w AS mpt2x, 4 AS mpt_type, miny + h AS ml2y, round(2*w, 6) AS ml_len
         |FROM (SELECT o_orderkey,
         |  CAST(o_orderkey % 100 AS DOUBLE) AS minx, CAST(o_custkey % 100 AS DOUBLE) AS miny,
         |  CAST(1 + o_orderkey % 7 AS DOUBLE) AS w, CAST(1 + o_custkey % 5 AS DOUBLE) AS h

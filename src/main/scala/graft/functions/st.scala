@@ -158,6 +158,15 @@ object st {
    *  +lat_0=... +ellps=GRS80") or authority form ("EPSG:nnnn"). */
   def st_transform(wkb: Column, fromCrs: String, toCrs: String): Column =
     st_transform_crs(wkb, lit(fromCrs), lit(toCrs))
+  /** `to_crs_with_options` analogue (reference: geoseries.rs:259-266 +
+   *  ops/proj.rs:15-18, whose only option redirects CRS resolution through
+   *  extra search paths): here the options carry an extra NAMED-CRS registry
+   *  — alias -> EPSG:nnnn / PROJ string / PROJJSON — resolved driver-side
+   *  before the literal reaches the kernel (CRS args are literals, so
+   *  resolution is a plan-time rewrite, not a per-row branch). */
+  def st_transform(wkb: Column, fromCrs: String, toCrs: String,
+                   options: graft.geom.ProjOptions): Column =
+    st_transform_crs(wkb, lit(options.resolve(fromCrs)), lit(options.resolve(toCrs)))
   /** Column-typed CRS-string variant (SQL surface: st_transform_crs). */
   def st_transform_crs(wkb: Column, fromCrs: Column, toCrs: Column): Column =
     invoke(G, "stTransformProj", BinaryType, false,
@@ -293,6 +302,40 @@ object st {
 
   def st_from_polygon_native(p: Column): Column =
     invoke(GA, "polygonFromNative", BinaryType, false, p -> polyType)
+
+  // Multi* native encodings — the reference READ path reconstructs all six
+  // types incl. triple-nested MultiPolygon (geoseries.py:170-214); its write
+  // path raises on Multi*, so these extend parity on the read side.
+  private val multiPolyType = ArrayType(polyType, containsNull = false)
+  // from-native INPUT types keep fields nullable: a caller-constructed
+  // array(struct(...)) column has nullable fields, and Catalyst refuses to
+  // cast nullable -> NOT NULL (values are still read as doubles either way)
+  private val xyStructN = StructType(Seq(
+    StructField("x", DoubleType), StructField("y", DoubleType)))
+  private val lineTypeN = ArrayType(xyStructN)
+  private val polyTypeN = ArrayType(lineTypeN)
+  private val multiPolyTypeN = ArrayType(polyTypeN)
+
+  /** WKB MultiPoint -> array<struct{x,y}> (NULL otherwise). */
+  def st_multipoint_native(wkb: Column): Column =
+    invoke(GA, "multiPointNative", lineType, true, wkb -> BinaryType)
+
+  /** WKB MultiLineString -> array<array<struct{x,y}>> (NULL otherwise). */
+  def st_multiline_native(wkb: Column): Column =
+    invoke(GA, "multiLineNative", polyType, true, wkb -> BinaryType)
+
+  /** WKB MultiPolygon -> array<array<array<struct{x,y}>>> (NULL otherwise). */
+  def st_multipolygon_native(wkb: Column): Column =
+    invoke(GA, "multiPolygonNative", multiPolyType, true, wkb -> BinaryType)
+
+  def st_from_multipoint_native(p: Column): Column =
+    invoke(GA, "multiPointFromNative", BinaryType, false, p -> lineTypeN)
+
+  def st_from_multiline_native(l: Column): Column =
+    invoke(GA, "multiLineFromNative", BinaryType, false, l -> polyTypeN)
+
+  def st_from_multipolygon_native(p: Column): Column =
+    invoke(GA, "multiPolygonFromNative", BinaryType, false, p -> multiPolyTypeN)
 
   // ---------- multimodal: real JDK image codecs (PNG/BMP/GIF/JPEG) ----------
   private val M = graft.multimodal.ImageKernel.getClass

@@ -3,7 +3,7 @@ package graft.geom
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.locationtech.jts.geom.{Coordinate, LineString, Point, Polygon}
+import org.locationtech.jts.geom.{Coordinate, LineString, MultiLineString, MultiPoint, MultiPolygon, Point, Polygon}
 
 /**
  * GeoArrow-style NATIVE nested encodings alongside the WKB contract surface
@@ -53,6 +53,42 @@ object GeoArrow {
     case _ => null
   }
 
+  private def polygonData(p: Polygon): GenericArrayData = {
+    val rings = new Array[Any](1 + p.getNumInteriorRing)
+    rings(0) = ringData(p.getExteriorRing.getCoordinates)
+    var i = 0
+    while (i < p.getNumInteriorRing) {
+      rings(i + 1) = ringData(p.getInteriorRingN(i).getCoordinates)
+      i += 1
+    }
+    new GenericArrayData(rings)
+  }
+
+  /** WKB MultiPoint -> array<struct{x,y}> (reference read path reconstructs
+   *  all six native encodings, geoseries.py:170-214; its WRITE path raises on
+   *  Multi*, so these three are read-parity extensions). NULL otherwise. */
+  def multiPointNative(wkb: Array[Byte]): GenericArrayData = Wkb.read(wkb) match {
+    case mp: MultiPoint => ringData(mp.getCoordinates)
+    case _ => null
+  }
+
+  /** WKB MultiLineString -> array<array<struct{x,y}>>; NULL otherwise. */
+  def multiLineNative(wkb: Array[Byte]): GenericArrayData = Wkb.read(wkb) match {
+    case ml: MultiLineString =>
+      new GenericArrayData(Array.tabulate[Any](ml.getNumGeometries)(i =>
+        ringData(ml.getGeometryN(i).getCoordinates)))
+    case _ => null
+  }
+
+  /** WKB MultiPolygon -> array<array<array<struct{x,y}>>> (triple-nested,
+   *  the deepest reference encoding, geoseries.py:193-214); NULL otherwise. */
+  def multiPolygonNative(wkb: Array[Byte]): GenericArrayData = Wkb.read(wkb) match {
+    case mp: MultiPolygon =>
+      new GenericArrayData(Array.tabulate[Any](mp.getNumGeometries)(i =>
+        polygonData(mp.getGeometryN(i).asInstanceOf[Polygon])))
+    case _ => null
+  }
+
   /** struct{x,y} -> WKB Point. */
   def pointFromNative(row: InternalRow): Array[Byte] =
     Wkb.write(Wkb.factory.createPoint(new Coordinate(row.getDouble(0), row.getDouble(1))))
@@ -80,4 +116,28 @@ object GeoArrow {
     }
     Wkb.write(Wkb.factory.createPolygon(shell, holes))
   }
+
+  private def jtsPolygon(arr: ArrayData): Polygon = {
+    val shell = Wkb.factory.createLinearRing(closedRing(coords(arr.getArray(0))))
+    val holes = Array.tabulate(arr.numElements() - 1) { i =>
+      Wkb.factory.createLinearRing(closedRing(coords(arr.getArray(i + 1))))
+    }
+    Wkb.factory.createPolygon(shell, holes)
+  }
+
+  /** array<struct{x,y}> -> WKB MultiPoint. */
+  def multiPointFromNative(arr: ArrayData): Array[Byte] =
+    Wkb.write(Wkb.factory.createMultiPoint(
+      coords(arr).map(Wkb.factory.createPoint)))
+
+  /** array<array<struct{x,y}>> -> WKB MultiLineString. */
+  def multiLineFromNative(arr: ArrayData): Array[Byte] =
+    Wkb.write(Wkb.factory.createMultiLineString(
+      Array.tabulate(arr.numElements())(i =>
+        Wkb.factory.createLineString(coords(arr.getArray(i))))))
+
+  /** array<array<array<struct{x,y}>>> -> WKB MultiPolygon. */
+  def multiPolygonFromNative(arr: ArrayData): Array[Byte] =
+    Wkb.write(Wkb.factory.createMultiPolygon(
+      Array.tabulate(arr.numElements())(i => jtsPolygon(arr.getArray(i)))))
 }

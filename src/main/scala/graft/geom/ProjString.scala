@@ -21,6 +21,27 @@ import java.util.concurrent.ConcurrentHashMap
  * +datum=WGS84, all-zero +towgs84). Anything else throws — a CRS must never
  * be silently misinterpreted.
  */
+/**
+ * Options for `to_crs`-style transforms — the analogue of the reference's
+ * `ProjOptions` (geopolars-geo/src/ops/proj.rs:15-18; second entry point
+ * geoseries.rs:259-266). The reference's only option widens CRS resolution
+ * (extra PROJ search paths); PROJ's database does not ship offline, so the
+ * equivalent here is an extra named-CRS registry: alias -> any definition
+ * `ProjString.parse` accepts (EPSG:nnnn, +proj= string, PROJJSON). Lookup
+ * is case-sensitive, one level deep (an alias must map to a concrete
+ * definition, not another alias), and unknown names pass through to the
+ * normal parser unchanged.
+ */
+final case class ProjOptions(extraCrs: Map[String, String] = Map.empty) {
+  def resolve(crs: String): String = extraCrs.get(crs) match {
+    case Some(defn) =>
+      require(!extraCrs.contains(defn),
+        s"ProjOptions: alias '$crs' maps to another alias '$defn'")
+      defn
+    case None => crs
+  }
+}
+
 object ProjString {
 
   final case class Spec(proj: String, ell: Proj.Ellipsoid,
@@ -54,6 +75,7 @@ object ProjString {
 
   private def doParse(raw: String): Spec = {
     val s = raw.trim
+    if (s.startsWith("{")) return parseProjJson(s)
     if (s.toLowerCase.startsWith("epsg:")) {
       val srid = try s.substring(5).trim.toInt catch {
         case _: NumberFormatException => fail(s, "bad EPSG code")
@@ -107,6 +129,12 @@ object ProjString {
     val x0 = num("x_0", 0.0)
     val y0 = num("y_0", 0.0)
 
+    mkSpec(s, proj, ell, lat0, lon0, k0, x0, y0)
+  }
+
+  private def mkSpec(s: String, proj: String, ell: Proj.Ellipsoid,
+                     lat0: Double, lon0: Double, k0: Double,
+                     x0: Double, y0: Double): Spec =
     proj match {
       case "longlat" => Spec(proj, ell, lat0, lon0, k0, x0, y0, 0, 0)
       case "merc" => Spec(proj, ell, lat0, lon0, k0, x0, y0, 0, 0)
@@ -120,6 +148,201 @@ object ProjString {
         if (math.abs(lat0) > 89.9999) fail(s, "polar-aspect laea not implemented")
         Spec(proj, ell, lat0, lon0, k0, x0, y0, 0, 0)
       case other => fail(s, s"unsupported +proj=$other")
+    }
+
+  // ---------- PROJJSON (the reference Python wrapper's CRS interchange:
+  // py-geopolars/python/geopolars/internals/geoseries.py:257-261 serializes
+  // pyproj CRS objects to PROJJSON and hands the string down) ----------
+
+  /** Minimal recursive-descent JSON parser — objects as Map[String, Any],
+   *  arrays as List[Any], numbers as Double. No dependencies by design
+   *  (the build allows none); PROJJSON payloads are tiny and arrive as
+   *  cached column literals, so parser speed is irrelevant. */
+  private object Json {
+    def parse(s: String): Any = {
+      val p = new P(s); val v = p.value(); p.ws()
+      if (!p.eof) throw new IllegalArgumentException("trailing JSON content")
+      v
+    }
+    private final class P(s: String) {
+      private var i = 0
+      def eof: Boolean = i >= s.length
+      def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+      private def expect(c: Char): Unit = {
+        if (eof || s.charAt(i) != c)
+          throw new IllegalArgumentException(s"expected '$c' at $i")
+        i += 1
+      }
+      def value(): Any = {
+        ws()
+        if (eof) throw new IllegalArgumentException("unexpected end of JSON")
+        s.charAt(i) match {
+          case '{' => obj()
+          case '[' => arr()
+          case '"' => str()
+          case 't' => lit("true", java.lang.Boolean.TRUE)
+          case 'f' => lit("false", java.lang.Boolean.FALSE)
+          case 'n' => lit("null", null)
+          case _ => num()
+        }
+      }
+      private def lit(word: String, v: Any): Any = {
+        if (!s.startsWith(word, i))
+          throw new IllegalArgumentException(s"bad literal at $i")
+        i += word.length; v
+      }
+      private def obj(): Map[String, Any] = {
+        expect('{'); ws()
+        if (!eof && s.charAt(i) == '}') { i += 1; return Map.empty }
+        val b = Map.newBuilder[String, Any]
+        var done = false
+        while (!done) {
+          ws(); val k = str(); ws(); expect(':')
+          b += (k -> value()); ws()
+          if (!eof && s.charAt(i) == ',') i += 1
+          else { expect('}'); done = true }
+        }
+        b.result()
+      }
+      private def arr(): List[Any] = {
+        expect('['); ws()
+        if (!eof && s.charAt(i) == ']') { i += 1; return Nil }
+        val b = List.newBuilder[Any]
+        var done = false
+        while (!done) {
+          b += value(); ws()
+          if (!eof && s.charAt(i) == ',') i += 1
+          else { expect(']'); done = true }
+        }
+        b.result()
+      }
+      private def str(): String = {
+        expect('"')
+        val sb = new StringBuilder
+        while (!eof && s.charAt(i) != '"') {
+          val c = s.charAt(i)
+          if (c == '\\') {
+            i += 1
+            if (eof) throw new IllegalArgumentException("bad escape")
+            s.charAt(i) match {
+              case '"' => sb.append('"'); case '\\' => sb.append('\\')
+              case '/' => sb.append('/'); case 'b' => sb.append('\b')
+              case 'f' => sb.append('\f'); case 'n' => sb.append('\n')
+              case 'r' => sb.append('\r'); case 't' => sb.append('\t')
+              case 'u' =>
+                sb.append(Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar)
+                i += 4
+              case o => throw new IllegalArgumentException(s"bad escape \\$o")
+            }
+          } else sb.append(c)
+          i += 1
+        }
+        expect('"'); sb.result()
+      }
+      private def num(): Double = {
+        val start = i
+        while (i < s.length && "+-0123456789.eE".indexOf(s.charAt(i)) >= 0) i += 1
+        try s.substring(start, i).toDouble catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(s"bad number at $start")
+        }
+      }
+    }
+  }
+
+  /** EPSG conversion-method codes -> this repo's projection kernels. */
+  private val projJsonMethods: Map[Int, String] = Map(
+    9807 -> "tmerc", // Transverse Mercator
+    9804 -> "merc",  // Mercator (variant A)
+    1024 -> "webmerc", // Popular Visualisation Pseudo Mercator
+    9820 -> "laea")  // Lambert Azimuthal Equal Area
+  private val projJsonMethodNames: Map[String, String] = Map(
+    "transverse mercator" -> "tmerc",
+    "mercator (variant a)" -> "merc",
+    "popular visualisation pseudo mercator" -> "webmerc",
+    "lambert azimuthal equal area" -> "laea")
+
+  private def parseProjJson(raw: String): Spec = {
+    def fail(why: String): Nothing =
+      throw new IllegalArgumentException(s"to_crs: unsupported PROJJSON ($why)")
+    val root = Json.parse(raw) match {
+      case m: Map[String @unchecked, Any @unchecked] => m
+      case _ => fail("root is not an object")
+    }
+    def objField(m: Map[String, Any], k: String): Map[String, Any] = m.get(k) match {
+      case Some(o: Map[String @unchecked, Any @unchecked]) => o
+      case _ => fail(s"missing object field '$k'")
+    }
+    def ellipsoidOf(crs: Map[String, Any]): Proj.Ellipsoid = {
+      // modern PROJJSON nests the ellipsoid under datum OR datum_ensemble
+      val datum = crs.get("datum").orElse(crs.get("datum_ensemble")) match {
+        case Some(d: Map[String @unchecked, Any @unchecked]) => d
+        case _ => fail("base CRS has no datum/datum_ensemble")
+      }
+      val e = objField(datum, "ellipsoid")
+      (e.get("semi_major_axis"), e.get("inverse_flattening"),
+        e.get("semi_minor_axis"), e.get("radius")) match {
+        case (Some(a: Double), Some(rf: Double), _, _) =>
+          Proj.Ellipsoid(a, if (rf == 0.0) 0.0 else 1.0 / rf)
+        case (Some(a: Double), None, Some(b: Double), _) =>
+          Proj.Ellipsoid(a, (a - b) / a)
+        case (_, _, _, Some(r: Double)) => Proj.Ellipsoid(r, 0.0)
+        case _ => fail("ellipsoid needs semi_major_axis + inverse_flattening" +
+          "/semi_minor_axis, or radius")
+      }
+    }
+    root.get("type") match {
+      case Some("GeographicCRS") =>
+        mkSpec(raw, "longlat", ellipsoidOf(root), 0, 0, 1, 0, 0)
+      case Some("ProjectedCRS") =>
+        val ell = ellipsoidOf(objField(root, "base_crs"))
+        val conv = objField(root, "conversion")
+        val method = objField(conv, "method")
+        val byCode = method.get("id") match {
+          case Some(id: Map[String @unchecked, Any @unchecked])
+            if id.get("authority").contains("EPSG") =>
+            id.get("code").collect { case c: Double => c.toInt }
+              .flatMap(projJsonMethods.get)
+          case _ => None
+        }
+        val proj = byCode
+          .orElse(method.get("name").collect { case n: String => n }
+            .flatMap(n => projJsonMethodNames.get(n.toLowerCase)))
+          .getOrElse(fail(s"unsupported conversion method ${method.get("name")}"))
+        var lat0 = 0.0; var lon0 = 0.0; var k0 = 1.0; var x0 = 0.0; var y0 = 0.0
+        conv.get("parameters") match {
+          case Some(ps: List[Any @unchecked]) => ps.foreach {
+            case p: Map[String @unchecked, Any @unchecked] =>
+              val v = p.get("value") match {
+                case Some(d: Double) => d
+                case _ => fail("parameter without numeric value")
+              }
+              val unitName = p.get("unit") match {
+                case Some(u: String) => u
+                case Some(u: Map[String @unchecked, Any @unchecked]) =>
+                  u.get("name").collect { case n: String => n }.getOrElse("")
+                case _ => ""
+              }
+              if (!Set("degree", "metre", "unity").contains(unitName.toLowerCase))
+                fail(s"unsupported parameter unit '$unitName'")
+              p.get("name").collect { case n: String => n.toLowerCase } match {
+                case Some("latitude of natural origin") => lat0 = v
+                case Some("longitude of natural origin") => lon0 = v
+                case Some("scale factor at natural origin") => k0 = v
+                case Some("false easting") => x0 = v
+                case Some("false northing") => y0 = v
+                case Some(other) => fail(s"unsupported parameter '$other'")
+                case None => fail("parameter without name")
+              }
+            case _ => fail("non-object parameter entry")
+          }
+          case _ => fail("conversion has no parameters list")
+        }
+        if (proj == "webmerc")
+          // pseudo-mercator: spherical formulas on the base semi-major axis
+          mkSpec(raw, "merc", Proj.Ellipsoid(ell.a, 0.0), lat0, lon0, k0, x0, y0)
+        else mkSpec(raw, proj, ell, lat0, lon0, k0, x0, y0)
+      case other => fail(s"unsupported CRS type $other")
     }
   }
 

@@ -16,6 +16,25 @@ object SpatialPredicate {
 }
 
 /**
+ * A materialized polygon-covering index, built once by [[SpatialJoin.prepare]]
+ * and reusable across many [[SpatialJoin.join]] calls — the Spark shape of the
+ * reference's precomputed `SpatialIndex` handed in via `SpatialJoinArgs`
+ * (geopolars/src/spatial_index.rs:20-21; reuse proven by test :558-624).
+ * `cells` holds the suffixed right columns + pinned `__ridx` + one row per
+ * (polygon, covering `__cell_r`), persisted and forced at build time.
+ */
+final class PreparedCover private[join](
+    private[join] val cells: DataFrame,
+    val cellLevel: Int,
+    val rSuffix: String,
+    private[join] val rightCols: Seq[String]) {
+  /** Number of (polygon, cell) covering rows materialized. */
+  def coveringRows: Long = cells.count()
+  /** Release the persisted covering blocks. */
+  def unpersist(): Unit = { cells.unpersist(); () }
+}
+
+/**
  * Distributed spatial join with the reference's row-level semantics
  * (geopolars/src/spatial_index.rs:37-204):
  *
@@ -60,6 +79,60 @@ object SpatialJoin {
            cellLevel: Int = DefaultCellLevel,
            broadcastRight: Boolean = true,
            leftPointsOnly: Boolean = false): DataFrame = {
+    val r = suffixed(right, rSuffix).withColumn("__ridx", monotonically_increasing_id())
+    val rCells = r.withColumn("__cell_r",
+      explode(cellsFor(col("geometry" + rSuffix), cellLevel)))
+    joinImpl(left, rCells, right.columns.toSeq, predicate, joinType,
+      lSuffix, rSuffix, cellLevel, broadcastRight, leftPointsOnly)
+  }
+
+  /**
+   * Join against a covering prepared once with [[prepare]] — the analogue of
+   * the reference's precomputed-index reuse: `SpatialJoinArgs` accepts
+   * `l_index`/`r_index` built ahead of time and its suite proves one index
+   * serves many joins (geopolars/src/spatial_index.rs:20-21, test
+   * :558-624). Here the "index" is the exploded polygon→covering-cell frame,
+   * materialized to storage, so repeated joins skip the per-polygon
+   * `coverRect` + Generate entirely — their plans read an InMemoryTableScan
+   * where the fresh path runs a Generate (PlanCheck asserts this).
+   */
+  def join(left: DataFrame, prepared: PreparedCover,
+           predicate: SpatialPredicate,
+           joinType: String,
+           lSuffix: String,
+           broadcastRight: Boolean,
+           leftPointsOnly: Boolean): DataFrame =
+    joinImpl(left, prepared.cells, prepared.rightCols, predicate, joinType,
+      lSuffix, prepared.rSuffix, prepared.cellLevel, broadcastRight, leftPointsOnly)
+
+  /** Convenience overload with the same defaults as the fresh-join form. */
+  def join(left: DataFrame, prepared: PreparedCover): DataFrame =
+    join(left, prepared, SpatialPredicate.Intersects, "inner", "_left",
+      broadcastRight = true, leftPointsOnly = false)
+
+  /**
+   * Materialize the right (polygon) side's covering index for reuse across
+   * joins (reference: spatial_index.rs:20-21 precomputed `r_index`). The
+   * returned frame carries the suffixed right columns + pinned row ids +
+   * one row per (polygon, covering cell), persisted and forced so
+   * (a) `monotonically_increasing_id` is evaluated exactly once, and
+   * (b) every subsequent join reads the materialized covering instead of
+   * recomputing `coverRect` per polygon per join. Call
+   * [[PreparedCover.unpersist]] when done.
+   */
+  def prepare(right: DataFrame, cellLevel: Int = DefaultCellLevel,
+              rSuffix: String = "_right"): PreparedCover = {
+    val r = suffixed(right, rSuffix).withColumn("__ridx", monotonically_increasing_id())
+    val cells = r.withColumn("__cell_r",
+      explode(cellsFor(col("geometry" + rSuffix), cellLevel))).persist()
+    cells.count() // force: pins row ids, makes later join plans Generate-free
+    new PreparedCover(cells, cellLevel, rSuffix, right.columns.toSeq)
+  }
+
+  private def joinImpl(left: DataFrame, rCellsRaw: DataFrame, rightCols: Seq[String],
+                       predicate: SpatialPredicate, joinType: String,
+                       lSuffix: String, rSuffix: String, cellLevel: Int,
+                       broadcastRight: Boolean, leftPointsOnly: Boolean): DataFrame = {
     require(joinType == "inner" || joinType == "left",
       s"join type '$joinType' not supported (reference supports Inner/Left only," +
         " spatial_index.rs:200-203)")
@@ -75,9 +148,8 @@ object SpatialJoin {
     // broadcast hash join: zero exchanges, embarrassingly parallel.
     if (leftPointsOnly) {
       val l = suffixed(left, lSuffix)
-      val r = suffixed(right, rSuffix)
       val lCells = l.withColumn("__cell", pointCell(lg, cellLevel))
-      val rCellsBase = r.withColumn("__cell_r", explode(cellsFor(rg, cellLevel)))
+      val rCellsBase = rCellsRaw.drop("__ridx")
       val rCells = if (broadcastRight) broadcast(rCellsBase) else rCellsBase
       val cond = col("__cell") === col("__cell_r") &&
         st.st_joinRefine(lg, rg, lit(predicate.id))
@@ -92,18 +164,18 @@ object SpatialJoin {
     // join below references `l` from two subtrees (matched + anti) — pin the
     // ids with a lazy localCheckpoint so both subtrees read the same
     // materialized ids (a lost block then fails the job instead of silently
-    // dropping/duplicating rows).
+    // dropping/duplicating rows). NOTE the storage cost: this materializes
+    // the ENTIRE left side (all columns) to executor storage — acceptable
+    // for polygon-left layers, but points-vs-polygons callers should take
+    // the leftPointsOnly path above, which needs no ids and no checkpoint.
     val lRaw = suffixed(left, lSuffix).withColumn("__lidx", monotonically_increasing_id())
     val l = if (joinType == "left") lRaw.localCheckpoint(false) else lRaw
-    val r = suffixed(right, rSuffix).withColumn("__ridx", monotonically_increasing_id())
 
     val lCells = l.withColumn("__cell", explode(cellsFor(lg, cellLevel)))
-    val rCellsBase = r.withColumn("__cell", explode(cellsFor(rg, cellLevel)))
-    val rCells = if (broadcastRight) broadcast(rCellsBase) else rCellsBase
+    val rCells = if (broadcastRight) broadcast(rCellsRaw) else rCellsRaw
 
     val candidates = lCells
-      .join(rCells.withColumnRenamed("__cell", "__cell_r"),
-        col("__cell") === col("__cell_r"), "inner")
+      .join(rCells, col("__cell") === col("__cell_r"), "inner")
       .filter(st.st_joinRefine(lg, rg, lit(predicate.id)))
       .drop("__cell", "__cell_r")
 
@@ -115,9 +187,9 @@ object SpatialJoin {
       case "inner" => matched
       case "left" =>
         val unmatched = l.join(matched.select("__lidx"), Seq("__lidx"), "left_anti")
-        val rCols = right.columns.map(_ + rSuffix)
+        val rCols = rightCols.map(_ + rSuffix)
         val withNulls = rCols.foldLeft(unmatched)((df, c) =>
-          df.withColumn(c, lit(null).cast(r.schema(c).dataType)))
+          df.withColumn(c, lit(null).cast(rCellsRaw.schema(c).dataType)))
           .withColumn("__ridx", lit(null).cast("long"))
         matched.unionByName(withNulls)
     }
@@ -172,7 +244,8 @@ object SpatialJoin {
                  nSalts: Int = 8,
                  skewThreshold: Long = DefaultSkewThreshold,
                  lSuffix: String = "_left", rSuffix: String = "_right",
-                 censusSketchK: Int = 0): DataFrame = {
+                 censusSketchK: Int = 0,
+                 censusSampleRate: Double = Double.NaN): DataFrame = {
     // no row ids / dedupe here: the left side is points by contract, so each
     // point carries exactly one (cell, salt) key and meets each polygon
     // replica set at most once — a dedupe would add a full-width shuffle
@@ -191,14 +264,26 @@ object SpatialJoin {
     // sizes k >= 2n/threshold: every truly hot cell then surfaces, and a
     // borderline-cold extra only costs a little replication — the hot SET
     // never affects output rows, only the shuffle layout.
+    // In exact mode the census runs on a seeded SAMPLE by default (same
+    // pattern and argument as SelfJoin.pairs): rate p maps the threshold to
+    // >=20 expected sample hits, a 2x-threshold cell is missed with prob
+    // < 1e-9, and a missed borderline cell merely skips salting — the hot
+    // SET only shapes the shuffle layout, never the output rows. This keeps
+    // the census from re-scanning the full point corpus a second time (the
+    // join itself is the first scan). Pass 1.0 for an exact census.
+    val p = if (censusSampleRate.isNaN)
+      math.min(1.0, 20.0 / math.max(1L, skewThreshold))
+    else censusSampleRate
     val hot = if (censusSketchK > 0) {
       lCells.agg(graft.expr.FreqAgg.freq_items(col("__cell"), censusSketchK).as("f"))
         .select(explode(col("f")).as("e"))
         .filter(col("e.count") > skewThreshold / 2)
         .select(col("e.item").as("__hot_cell"))
     } else {
-      lCells.groupBy("__cell").count()
-        .filter(col("count") > skewThreshold)
+      val censusSrc = if (p >= 1.0) lCells
+        else lCells.sample(withReplacement = false, p, seed = 42)
+      censusSrc.groupBy("__cell").count()
+        .filter(col("count") > (skewThreshold * p).toLong)
         .select(col("__cell").as("__hot_cell"))
     }
 

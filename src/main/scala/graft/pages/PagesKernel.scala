@@ -157,11 +157,16 @@ object PagesKernel {
    * Raw-byte first-byte-skip search + char-stepped slice. UTF8String.indexOf
    * runs a full pattern compare at every position; scanning for the
    * marker's first byte and comparing only on hits is ~2x on this path
-   * (profiled at ~8% of the 32-core pipeline). Semantics are EXACTLY the
-   * old indexOf+substring+numChars form: the marker is ASCII so a byte
+   * (profiled at ~8% of the 32-core pipeline). Semantics are the
+   * indexOf+substring CHAR-counted form — the marker is ASCII so a byte
    * match IS a char match, and the slice steps entityLen CHARS (not bytes),
-   * so a truncated tail holding multi-byte UTF-8 still returns null.
-   * Differential-tested against the old implementation in ExtractTextSpec.
+   * clamping at the end like UTF8String.substring. NOTE this numChars
+   * contract is intentional and differs from the pre-r3 numBytes gate on
+   * non-ASCII input: a 16-char slice containing a multibyte char is now
+   * accepted (the old code rejected any slice whose byte length != 16),
+   * and a 15-char/16-byte tail is now rejected. The corpus entity is
+   * always ASCII, so gate output is identical; the differential fuzz in
+   * ExtractTextSpec checks against a numChars reference by design.
    */
   def extractEntity(text: UTF8String): UTF8String = {
     val base = text.getBaseObject

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.geom.{Geodesic, Proj, ProjString}
+import graft.geom.{Geodesic, Proj, ProjOptions, ProjString}
 
 /** CRS math: Krüger Transverse Mercator (UTM) and LAEA, property-tested
  *  against independent references — the Karney geodesic solver for scale,
@@ -181,6 +181,93 @@ class ProjSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](ProjString.parse("EPSG:2154"))
     // the zero shift every exported WGS84 string carries is accepted
     assert(ProjString.parse("+proj=merc +ellps=WGS84 +towgs84=0,0,0").proj == "merc")
+  }
+
+  test("PROJJSON: UTM 32N conversion equals the EPSG code path bit-for-bit") {
+    // the reference Python wrapper serializes pyproj CRS objects to PROJJSON
+    // and hands the string down (geoseries.py:257-261)
+    val pj = """{"type":"ProjectedCRS","name":"WGS 84 / UTM zone 32N",
+      "base_crs":{"type":"GeographicCRS","name":"WGS 84",
+        "datum":{"type":"GeodeticReferenceFrame","name":"World Geodetic System 1984",
+          "ellipsoid":{"name":"WGS 84","semi_major_axis":6378137,"inverse_flattening":298.257223563}}},
+      "conversion":{"name":"UTM zone 32N",
+        "method":{"name":"Transverse Mercator","id":{"authority":"EPSG","code":9807}},
+        "parameters":[
+          {"name":"Latitude of natural origin","value":0,"unit":"degree"},
+          {"name":"Longitude of natural origin","value":9,"unit":"degree"},
+          {"name":"Scale factor at natural origin","value":0.9996,"unit":"unity"},
+          {"name":"False easting","value":500000,"unit":"metre"},
+          {"name":"False northing","value":0,"unit":"metre"}]},
+      "id":{"authority":"EPSG","code":32632}}"""
+    val spec = ProjString.parse(pj)
+    for ((lon, lat) <- Seq((11.6, 48.1), (6.2, 51.0), (9.0, 0.5), (12.0, -20.0))) {
+      assert(ProjString.fromLonLat(spec, lon, lat) == Proj.fromLonLat(32632, lon, lat))
+      val (x, y) = ProjString.fromLonLat(spec, lon, lat)
+      assert(ProjString.toLonLat(spec, x, y) == Proj.toLonLat(32632, x, y))
+    }
+  }
+
+  test("PROJJSON: method-by-name, datum_ensemble, LAEA, geographic, and errors") {
+    // LAEA by method NAME only (no id), ellipsoid via datum_ensemble — the
+    // shape recent pyproj emits for EPSG:3035's ETRS89 ensemble base
+    val laea = """{"type":"ProjectedCRS","name":"ETRS89-extended / LAEA Europe",
+      "base_crs":{"type":"GeographicCRS","name":"ETRS89",
+        "datum_ensemble":{"name":"European Terrestrial Reference System 1989 ensemble",
+          "ellipsoid":{"name":"GRS 1980","semi_major_axis":6378137,"inverse_flattening":298.257222101}}},
+      "conversion":{"name":"Europe Equal Area 2001",
+        "method":{"name":"Lambert Azimuthal Equal Area"},
+        "parameters":[
+          {"name":"Latitude of natural origin","value":52,"unit":"degree"},
+          {"name":"Longitude of natural origin","value":10,"unit":"degree"},
+          {"name":"False easting","value":4321000,"unit":"metre"},
+          {"name":"False northing","value":3210000,"unit":"metre"}]}}"""
+    val spec = ProjString.parse(laea)
+    assert(ProjString.fromLonLat(spec, 5.0, 50.0) == Proj.fromLonLat(3035, 5.0, 50.0))
+
+    val geo = """{"type":"GeographicCRS","name":"WGS 84",
+      "datum":{"type":"GeodeticReferenceFrame","name":"World Geodetic System 1984",
+        "ellipsoid":{"name":"WGS 84","semi_major_axis":6378137,"inverse_flattening":298.257223563}}}"""
+    assert(ProjString.fromLonLat(ProjString.parse(geo), 7.5, -33.25) == ((7.5, -33.25)))
+
+    // unsupported method, unknown parameter, bad unit, malformed JSON: throw
+    intercept[IllegalArgumentException](ProjString.parse(
+      """{"type":"ProjectedCRS","base_crs":{"type":"GeographicCRS",
+        "datum":{"ellipsoid":{"semi_major_axis":6378137,"inverse_flattening":298.3}}},
+        "conversion":{"method":{"name":"Robinson"},"parameters":[]}}"""))
+    intercept[IllegalArgumentException](ProjString.parse(
+      """{"type":"ProjectedCRS","base_crs":{"type":"GeographicCRS",
+        "datum":{"ellipsoid":{"semi_major_axis":6378137,"inverse_flattening":298.3}}},
+        "conversion":{"method":{"name":"Transverse Mercator"},
+        "parameters":[{"name":"Latitude of 1st standard parallel","value":10,"unit":"degree"}]}}"""))
+    intercept[IllegalArgumentException](ProjString.parse(
+      """{"type":"ProjectedCRS","base_crs":{"type":"GeographicCRS",
+        "datum":{"ellipsoid":{"semi_major_axis":6378137,"inverse_flattening":298.3}}},
+        "conversion":{"method":{"name":"Transverse Mercator"},
+        "parameters":[{"name":"False easting","value":500,"unit":"foot"}]}}"""))
+    intercept[IllegalArgumentException](ProjString.parse("""{"type":"ProjectedCRS","""))
+    intercept[IllegalArgumentException](ProjString.parse("""{"type":"CompoundCRS"}"""))
+  }
+
+  test("ProjOptions: named-CRS registry resolves aliases (to_crs_with_options)") {
+    val opts = ProjOptions(Map(
+      "TEST:UTM32" -> "+proj=tmerc +lat_0=0 +lon_0=9 +k=0.9996 +x_0=500000 +y_0=0 +ellps=WGS84",
+      "TEST:WGS" -> "EPSG:4326",
+      "LOOP:A" -> "LOOP:B", "LOOP:B" -> "EPSG:4326"))
+    val spec = ProjString.parse(opts.resolve("TEST:UTM32"))
+    assert(ProjString.fromLonLat(spec, 11.6, 48.1) == Proj.fromLonLat(32632, 11.6, 48.1))
+    assert(opts.resolve("EPSG:3857") == "EPSG:3857") // unknown names pass through
+    intercept[IllegalArgumentException](opts.resolve("LOOP:A")) // alias->alias rejected
+    // Spark surface: the options overload must equal the plain EPSG path
+    import org.apache.spark.sql.functions._
+    import graft.functions.st
+    val spark = SparkSpec.spark
+    val df = spark.range(1).select(
+      st.st_transform(st.st_point(lit(11.6), lit(48.1)), "TEST:WGS", "TEST:UTM32", opts)
+        .as("a"),
+      st.st_transform(st.st_point(lit(11.6), lit(48.1)), lit(4326), lit(32632)).as("b"))
+    val r = df.select(st.st_x(col("a")) === st.st_x(col("b")) &&
+      st.st_y(col("a")) === st.st_y(col("b"))).head()
+    assert(r.getBoolean(0))
   }
 
   test("transform dispatch: 3857 <-> UTM via the lon/lat hub; bad srid throws") {

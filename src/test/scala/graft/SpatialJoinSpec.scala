@@ -203,6 +203,22 @@ class SpatialJoinSpec extends SparkSpec {
     assert(out == Set((1L, 1L), (2L, -1L), (3L, -1L)))
   }
 
+  test("leftPointsOnly left-join plan has no checkpoint and no dedupe " +
+    "(the generic path's localCheckpoint cost is escaped)") {
+    val out = SpatialJoin.join(points, polys, SpatialPredicate.Intersects,
+      "left", cellLevel = 4, leftPointsOnly = true)
+    val plan = out.queryExecution.executedPlan.toString
+    // the generic left path pins row ids via localCheckpoint (materializes
+    // the whole left side -> plan reads an ExistingRDD scan) and dedupes
+    // pairs (HashAggregate); the point fast path needs neither
+    assert(!plan.contains("ExistingRDD"), s"unexpected checkpoint scan:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"unexpected dedupe aggregate:\n$plan")
+    // while the generic left path DOES carry the checkpoint scan
+    val generic = SpatialJoin.join(points, polys, SpatialPredicate.Intersects,
+      "left", cellLevel = 4, leftPointsOnly = false)
+    assert(generic.queryExecution.executedPlan.toString.contains("ExistingRDD"))
+  }
+
   test("joinWithin: distance join equals JTS brute force, incl. cross-cell radii") {
     val rnd = new scala.util.Random(53)
     val pts = (0 until 400).map(i =>
