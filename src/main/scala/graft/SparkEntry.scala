@@ -766,8 +766,11 @@ object SparkEntry {
 
     "q_cellstore_prune" -> ((s, dir) => {
       // cell-partitioned layout: a bbox read must touch strictly fewer files
-      // than the relation holds, and return exactly the bbox rows
-      val root = java.nio.file.Files.createTempDirectory("graft-cellstore-gate").toString
+      // than the relation holds, and return exactly the bbox rows. Stable
+      // per-sfdir path (overwrite each run) so repeated gate runs don't
+      // accumulate temp trees.
+      val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft-cellstore-gate-${Integer.toHexString(dir.hashCode)}").toString
       val pts = custPoints(s, dir)
         .withColumn("s2_cell", s2_cell(col("lat"), col("lon"), lit(12)))
       CellStore.write(pts, root, partLevel = 4)
@@ -783,10 +786,20 @@ object SparkEntry {
       val all = filesRead(s.read.parquet(root))
       val bboxRead = CellStore.readBbox(s, root, 10.0, 10.0, 40.0, 60.0, partLevel = 4)
       val prunedFiles = filesRead(bboxRead)
+      // read_file-parity path: columns + where + bbox in one call must give
+      // the exact same rows (the where clause supplies the exact geometric
+      // bounds the covering-superset bbox cannot), with pruned ReadSchema
+      val rf = CellStore.readFile(s, root,
+        columns = Seq("custkey", "lat", "lon"),
+        where = Some("lat > 10 AND lat < 40 AND lon > 10 AND lon < 60"),
+        bbox = Some((10.0, 10.0, 40.0, 60.0)))
+      val rfColsOk = rf.columns.sameElements(Array("custkey", "lat", "lon"))
       bboxRead
         .filter(col("lat") > 10 && col("lat") < 40 && col("lon") > 10 && col("lon") < 60)
         .agg(count(lit(1)).as("n_rows"))
         .withColumn("pruned", lit(prunedFiles > 0 && prunedFiles < all))
+        .crossJoin(rf.agg(count(lit(1)).as("rf_rows"))
+          .withColumn("rf_cols_ok", lit(rfColsOk)))
     }),
 
     "q_image_decode" -> ((s, dir) => {
@@ -1549,7 +1562,8 @@ object SparkEntry {
         | TRUE AS history_ok FROM documents""".stripMargin,
 
     "q_cellstore_prune" ->
-      s"""SELECT count(*) AS n_rows, TRUE AS pruned FROM ($custPointsSql)
+      s"""SELECT count(*) AS n_rows, TRUE AS pruned, count(*) AS rf_rows,
+         | TRUE AS rf_cols_ok FROM ($custPointsSql)
          |WHERE lat > 10 AND lat < 40 AND lon > 10 AND lon < 60""".stripMargin,
 
     "q_image_decode" ->

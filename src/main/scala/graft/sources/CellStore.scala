@@ -52,6 +52,38 @@ object CellStore {
   }
 
   /**
+   * `read_file`-shaped entry point (reference: py-geopolars io/file.py:15-90)
+   * with every selective parameter mapped to a Catalyst pushdown:
+   *
+   *   columns       -> select: column pruning reaches the parquet ReadSchema
+   *   where         -> filter(expr): predicate pushdown (PushedFilters)
+   *   bbox          -> coarse-cell partition pruning (readBbox); like the
+   *                    reference's OGR fallback path, the bbox result is a
+   *                    covering SUPERSET (bounding-box grain) — combine with
+   *                    `where` for exact geometric bounds
+   *   maxFeatures   -> limit
+   *
+   * `skip_features` is deliberately absent: it assumes OGR's sequential
+   * row order, which a distributed table does not have.
+   */
+  def readFile(spark: SparkSession, path: String,
+               columns: Seq[String] = Nil,
+               where: Option[String] = None,
+               bbox: Option[(Double, Double, Double, Double)] = None,
+               maxFeatures: Option[Long] = None,
+               partLevel: Int = 4): DataFrame = {
+    var df = bbox match {
+      case Some((minLat, minLon, maxLat, maxLon)) =>
+        readBbox(spark, path, minLat, minLon, maxLat, maxLon, partLevel)
+      case None => spark.read.parquet(path)
+    }
+    where.foreach(w => df = df.filter(expr(w)))
+    if (columns.nonEmpty) df = df.select(columns.map(col): _*)
+    maxFeatures.foreach(n => df = df.limit(n.toInt))
+    df
+  }
+
+  /**
    * Bucketed catalog table on the fine cell: two tables bucketed the same
    * way join with NO exchange on either side — the co-located-join layout
    * for repeated large×large spatial joins at 100 TB (pay the shuffle once

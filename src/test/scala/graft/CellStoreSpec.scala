@@ -57,6 +57,33 @@ class CellStoreSpec extends SparkSpec {
       "projection pruning failed: text column still read")
   }
 
+  test("readFile: columns/where/bbox/maxFeatures map to pushdowns (io/file.py parity)") {
+    val path = Files.createTempDirectory("readfile").toString
+    val geo = Pages.geocode(Pages.generate(spark, 2000, 42, 8), Pages.gazetteer(spark))
+      .select("url", "lang", "lat", "lon", "s2_cell", "text")
+    CellStore.write(geo, path, partLevel = 4)
+
+    val rf = CellStore.readFile(spark, path,
+      columns = Seq("url", "lat", "lon"),
+      where = Some("lang = 'en' AND lat > -20 AND lat < 20"),
+      bbox = Some((-20.0, -60.0, 20.0, 20.0)))
+    // rows: exactly the where-filtered rows within the bbox covering
+    val expect = CellStore.readBbox(spark, path, -20, -60, 20, 20)
+      .filter(col("lang") === "en" && col("lat") > -20 && col("lat") < 20)
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(expect.nonEmpty)
+    assert(rf.collect().map(_.getString(0)).toSet == expect)
+    assert(rf.columns.toSeq == Seq("url", "lat", "lon"))
+    // plan: predicate pushed to the scan, projection pruned (no text bytes)
+    val plan = rf.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(lang,en)"), s"where not pushed:\n$plan")
+    assert(!plan.contains("text"), "projection pruning failed: text still read")
+    // maxFeatures -> a plain limit
+    assert(CellStore.readFile(spark, path, maxFeatures = Some(7)).count() == 7)
+    // no bbox, no where: whole relation
+    assert(CellStore.readFile(spark, path).count() == geo.count())
+  }
+
   test("bucketed tables join with zero exchanges (co-located join layout)") {
     val wh = Files.createTempDirectory("bucketed_wh").toString
     val geo = Pages.geocode(Pages.generate(spark, 1500, 42, 8), Pages.gazetteer(spark))
