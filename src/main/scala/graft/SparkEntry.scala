@@ -841,6 +841,37 @@ object SparkEntry {
         st.getField("peak").as("peak"))
     }),
 
+    "q_video_decode" -> ((s, dir) => {
+      // REAL video decode (pure-JDK AVI/DIB RIFF codec, VideoKernel):
+      // encode a solid-colour-gradient clip per row, decode it back —
+      // dims/frame-count/fps exact; whole-clip channel mean has the closed
+      // form r0 + step*(n-1)/2 (exact halves, so round(6) is identity on
+      // both engines); frame-sampling checked directly (last frame) AND
+      // composed through the lossless PNG re-encode + javax.imageio path.
+      val c = t(s, dir, "customer").select(col("c_custkey").as("custkey"),
+        (lit(8) + col("c_custkey") % 24).cast("int").as("w"),
+        (lit(8) + col("c_custkey") % 16).cast("int").as("h"),
+        (lit(1) + col("c_custkey") % 5).cast("int").as("n"),
+        (lit(5) + col("c_custkey") % 6).cast("int").as("fps"),
+        (col("c_custkey") * 37 % 200).cast("int").as("r0"),
+        (col("c_custkey") * 59 % 200).cast("int").as("g0"),
+        (col("c_custkey") * 83 % 200).cast("int").as("b0"),
+        (col("c_custkey") % 12).cast("int").as("stp"))
+      val avi = avi_gradient(col("w"), col("h"), col("n"), col("fps"),
+        col("r0"), col("g0"), col("b0"), col("stp"))
+      val vs = video_stats(avi)
+      val lastF = video_frame_stats(avi, col("n") - 1)
+      val pf = img_stats(video_frame_png(avi, lit(0)))
+      c.select(col("custkey"),
+        vs.getField("width").as("width"),
+        vs.getField("height").as("height"),
+        vs.getField("n_frames").as("n_frames"),
+        vs.getField("fps").as("fps"),
+        round(vs.getField("mean_r"), 6).as("mean_r"),
+        lastF.getField("mean_g").as("fr_g"),
+        pf.getField("mean_r").as("pf_r"))
+    }),
+
     "q_pipeline_consistency" -> ((s, dir) => {
       // two independent join strategies over the same geocoded pages —
       // broadcast fast path vs explicitly salted shuffle — must emit the
@@ -1586,6 +1617,19 @@ object SparkEntry {
         | CAST(c_custkey * 7 % 2000 AS DOUBLE) AS rms,
         | CAST(c_custkey * 7 % 2000 AS INTEGER) AS peak
         |FROM customer""".stripMargin,
+
+    "q_video_decode" ->
+      """SELECT custkey,
+        | CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        | CAST(n AS INTEGER) AS n_frames, CAST(fps AS INTEGER) AS fps,
+        | round((n*r0 + s*(n*(n-1)/2)) / CAST(n AS DOUBLE), 6) AS mean_r,
+        | CAST(g0 + s*(n-1) AS DOUBLE) AS fr_g,
+        | CAST(r0 AS DOUBLE) AS pf_r
+        |FROM (SELECT c_custkey AS custkey,
+        |  8 + c_custkey % 24 AS w, 8 + c_custkey % 16 AS h,
+        |  1 + c_custkey % 5 AS n, 5 + c_custkey % 6 AS fps,
+        |  c_custkey * 37 % 200 AS r0, c_custkey * 59 % 200 AS g0,
+        |  c_custkey % 12 AS s FROM customer)""".stripMargin,
 
     "q_pipeline_consistency" ->
       "SELECT TRUE AS nonempty, TRUE AS counts_eq, TRUE AS rows_eq",

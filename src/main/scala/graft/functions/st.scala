@@ -378,4 +378,42 @@ object st {
   /** Decode WAV/AIFF PCM + sample stats; NULL for undecodable bytes. */
   def audio_stats(bytes: Column): Column =
     invoke(AU, "audioStats", audioStatsSchema, true, bytes -> BinaryType)
+
+  // ---------- multimodal: real AVI/DIB video codec (pure JDK) ----------
+  private val V = graft.multimodal.VideoKernel.getClass
+  private val videoStatsSchema = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("fps", IntegerType, nullable = false),
+    StructField("mean_r", DoubleType, nullable = false),
+    StructField("mean_g", DoubleType, nullable = false),
+    StructField("mean_b", DoubleType, nullable = false)))
+  private val frameStatsSchema = StructType(Seq(
+    StructField("mean_r", DoubleType, nullable = false),
+    StructField("mean_g", DoubleType, nullable = false),
+    StructField("mean_b", DoubleType, nullable = false)))
+
+  /** Deterministic solid-colour-gradient AVI clip (test/gate video source). */
+  def avi_gradient(w: Column, h: Column, nFrames: Column, fps: Column,
+                   r0: Column, g0: Column, b0: Column, step: Column): Column =
+    invoke(V, "aviGradient", BinaryType, false, w -> IntegerType, h -> IntegerType,
+      nFrames -> IntegerType, fps -> IntegerType, r0 -> IntegerType,
+      g0 -> IntegerType, b0 -> IntegerType, step -> IntegerType)
+
+  /** Decode AVI/DIB video: dims, frame count, fps, whole-clip channel means;
+   *  NULL for undecodable bytes. */
+  def video_stats(bytes: Column): Column =
+    invoke(V, "videoStats", videoStatsSchema, true, bytes -> BinaryType)
+
+  /** Frame-sample stats: channel means of one frame (0-based); NULL if
+   *  undecodable or out of range. */
+  def video_frame_stats(bytes: Column, frame: Column): Column =
+    invoke(V, "videoFrameStats", frameStatsSchema, true,
+      bytes -> BinaryType, frame -> IntegerType)
+
+  /** Frame-sample to PNG (lossless) — composes with img_stats/img_resize. */
+  def video_frame_png(bytes: Column, frame: Column): Column =
+    invoke(V, "videoFramePng", BinaryType, true,
+      bytes -> BinaryType, frame -> IntegerType)
 }

@@ -9,13 +9,13 @@ import org.apache.spark.sql.functions._
  * feature-extraction runs partition-batched so a real codec (JNI or a
  * vectorized library) can amortize per-batch setup.
  *
- * Image decode is REAL (`ImageIoCodec` / `ImageKernel` on javax.imageio:
- * PNG/BMP/GIF/JPEG) and so is audio decode (`WavCodec` / `AudioKernel` on
- * javax.sound.sampled: WAV/AIFF PCM). Video is the one modality the JDK
- * ships no codec for, so it stays a STUB (`FakeCodec`, deterministic
- * pseudo-features); the plumbing — schema, batch shape, partitioning,
- * null-safety — is identical either way, and swapping in a true codec is a
- * one-object change behind the `MediaCodec` interface.
+ * All three modalities decode for REAL with pure-JDK codecs:
+ * image = `ImageIoCodec` (javax.imageio: PNG/BMP/GIF/JPEG), audio =
+ * `WavCodec` (javax.sound.sampled: WAV/AIFF PCM), video = `AviDibCodec`
+ * (own RIFF walker over standard AVI with uncompressed 24-bit DIB frames —
+ * the JDK ships no compressed-video codec, but the uncompressed standard
+ * needs none; replaced round-3's FakeCodec stub). `DispatchCodec` routes
+ * each row by `meta.kind`.
  */
 object Multimodal {
 
@@ -36,42 +36,49 @@ object Multimodal {
   }
 
   /**
-   * STUB codec for the video modality (the one with no JDK decoder):
-   * deterministic pseudo-features (splitmix64 over the bytes). Image uses
-   * the real `ImageIoCodec`, audio the real `WavCodec`; everything
-   * downstream (schema, batching, tests) is codec-agnostic.
+   * Routes each row to the real codec for its modality and pads the feature
+   * vector to a uniform width so one output schema serves a mixed table.
+   * Unknown kinds and undecodable payloads report as corrupt (None).
    */
-  object FakeCodec extends MediaCodec {
-    val featureDim = 16
-    private def mix64(z0: Long): Long = {
-      var z = z0 + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
+  object DispatchCodec extends MediaCodec {
+    val featureDim = 8
     def decode(media: Array[Byte], meta: MediaMeta): Option[Array[Float]] = {
-      if (media == null || media.isEmpty) return None // "corrupt" payload
-      val h0 = graft.text.TextKernel.fnv64Bytes(media)
-      val out = new Array[Float](featureDim)
-      var i = 0
-      while (i < featureDim) {
-        out(i) = (mix64(h0 ^ i.toLong).toDouble / Long.MaxValue).toFloat
-        i += 1
+      val codec = meta.kind match {
+        case "image" => ImageIoCodec
+        case "audio" => WavCodec
+        case "video" => AviDibCodec
+        case _ => return None
       }
-      Some(out)
+      codec.decode(media, meta).map { f =>
+        if (f.length == featureDim) f else java.util.Arrays.copyOf(f, featureDim)
+      }
     }
   }
 
-  /** Synthesize a deterministic media table (payload bytes + typed metadata). */
+  /** Synthesize a deterministic media table: REAL payload bytes per modality
+   *  (PNG via javax.imageio, PCM WAV, DIB AVI) + typed metadata. */
   def generate(spark: SparkSession, n: Long, seed: Long, numPartitions: Int): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(0, n, 1, numPartitions).map { id =>
       val kind = Seq("image", "audio", "video")((id % 3).toInt)
-      val len = 64 + (id * 31 + seed) % 192
-      val bytes = Array.tabulate(len.toInt)(i => ((id * 131 + i * 7 + seed) & 0xff).toByte)
+      val w = 8 + ((id + seed) % 24).toInt
+      val h = 8 + ((id + seed) % 16).toInt
+      val fps = 5 + (id % 6).toInt
+      val nFrames = 1 + (id % 5).toInt
+      val nSamples = 64 + ((id * 31 + seed) % 192).toInt
+      val bytes = kind match {
+        case "image" => ImageKernel.pngConst(w, h,
+          (id * 37 % 256).toInt, (id * 59 % 256).toInt, (id * 83 % 256).toInt)
+        case "audio" => AudioKernel.wavSquare(16000, nSamples, 12000)
+        case "video" => VideoKernel.aviGradient(w, h, nFrames, fps,
+          (id * 37 % 200).toInt, (id * 59 % 200).toInt, (id * 83 % 200).toInt,
+          (id % 12).toInt)
+      }
       MediaRow(id, bytes,
-        MediaMeta(kind, 32 + (id % 64).toInt, 32 + (id % 48).toInt,
-          if (kind == "audio") 16000 else 0, 1000 + id % 60000))
+        MediaMeta(kind, if (kind == "audio") 0 else w, if (kind == "audio") 0 else h,
+          if (kind == "audio") 16000 else 0,
+          if (kind == "video") nFrames * 1000L / fps
+          else if (kind == "audio") nSamples * 1000L / 16000 else 0))
     }
   }
 
@@ -81,7 +88,7 @@ object Multimodal {
    * no driver collect. Output keeps doc_id so features re-join losslessly.
    */
   def extractFeatures(media: Dataset[MediaRow],
-                      codec: MediaCodec = FakeCodec): Dataset[MediaFeatures] = {
+                      codec: MediaCodec = DispatchCodec): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition codec setup happens here (real codecs open handles)

@@ -14,8 +14,19 @@ class StreamingMultimodalSpec extends SparkSpec {
     val media = Multimodal.generate(spark, 200, seed = 5, numPartitions = 4)
     val feats = Multimodal.extractFeatures(media).collect()
     assert(feats.length == 200)
+    // every payload is a REAL encodable-decodable file now (PNG/WAV/AVI):
+    // all three modalities must decode through their real codecs
     assert(feats.forall(_.decodeOk))
-    assert(feats.forall(_.features.length == Multimodal.FakeCodec.featureDim))
+    assert(feats.forall(_.features.length == Multimodal.DispatchCodec.featureDim))
+    assert(Set("image", "audio", "video").subsetOf(feats.map(_.kind).toSet))
+    // video features carry real decoded stats: width/height/frames match meta
+    val media0 = media.collect().map(m => m.doc_id -> m).toMap
+    feats.filter(_.kind == "video").foreach { f =>
+      val m = media0(f.doc_id)
+      assert(f.features(0) == m.meta.width.toFloat &&
+        f.features(1) == m.meta.height.toFloat)
+      assert(f.features(2) >= 1f) // n_frames
+    }
     // determinism: same id -> same features across runs
     val again = Multimodal.extractFeatures(
       Multimodal.generate(spark, 200, seed = 5, numPartitions = 8)).collect()

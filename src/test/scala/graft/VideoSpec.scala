@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.st._
+import graft.multimodal.{AviDibCodec, Multimodal, VideoKernel}
+
+/** Real AVI/DIB video codec: RIFF structure, exact decode stats, frame
+ *  sampling (direct + via lossless PNG re-encode), corrupt handling. */
+class VideoSpec extends SparkSpec {
+
+  test("aviGradient writes a well-formed RIFF AVI; videoStats decodes it exactly") {
+    val avi = VideoKernel.aviGradient(16, 10, 4, 10, 20, 40, 60, 5)
+    // container magic
+    assert(new String(avi, 0, 4) == "RIFF" && new String(avi, 8, 4) == "AVI ")
+    val s = VideoKernel.videoStats(avi)
+    assert(s.getInt(0) == 16 && s.getInt(1) == 10) // dims
+    assert(s.getInt(2) == 4 && s.getInt(3) == 10)  // frames, fps
+    // solid gradient: mean = base + step*(n-1)/2, exact
+    assert(s.getDouble(4) == 20 + 5 * 1.5)
+    assert(s.getDouble(5) == 40 + 5 * 1.5)
+    assert(s.getDouble(6) == 60 + 5 * 1.5)
+  }
+
+  test("frame sampling: per-frame stats and PNG re-encode agree exactly") {
+    val avi = VideoKernel.aviGradient(12, 8, 5, 5, 10, 30, 50, 7)
+    for (i <- 0 until 5) {
+      val f = VideoKernel.videoFrameStats(avi, i)
+      assert(f.getDouble(0) == 10 + 7 * i)
+      assert(f.getDouble(1) == 30 + 7 * i)
+      assert(f.getDouble(2) == 50 + 7 * i)
+      // lossless PNG path through javax.imageio gives the same channel means
+      val png = VideoKernel.videoFramePng(avi, i)
+      val is = graft.multimodal.ImageKernel.imgStats(png)
+      assert(is.getInt(0) == 12 && is.getInt(1) == 8)
+      assert(is.getDouble(2) == 10 + 7 * i && is.getDouble(3) == 30 + 7 * i &&
+        is.getDouble(4) == 50 + 7 * i)
+    }
+    assert(VideoKernel.videoFrameStats(avi, 5) == null) // out of range
+    assert(VideoKernel.videoFrameStats(avi, -1) == null)
+  }
+
+  test("row padding: widths not divisible by 4 round-trip (DIB 4-byte rows)") {
+    for (w <- Seq(7, 9, 10, 13)) {
+      val avi = VideoKernel.aviGradient(w, 3, 2, 8, 100, 110, 120, 3)
+      val s = VideoKernel.videoStats(avi)
+      assert(s.getInt(0) == w && s.getDouble(4) == 100 + 1.5)
+    }
+  }
+
+  test("garbage, truncation, and wrong containers are NULL, never a crash") {
+    assert(VideoKernel.videoStats(null) == null)
+    assert(VideoKernel.videoStats(Array.empty[Byte]) == null)
+    assert(VideoKernel.videoStats("not a riff file at all".getBytes) == null)
+    val avi = VideoKernel.aviGradient(8, 8, 3, 10, 1, 2, 3, 0)
+    // truncate mid-frame: the frame raster check must reject it
+    assert(VideoKernel.videoStats(java.util.Arrays.copyOf(avi, avi.length - 50)) == null)
+    // a valid RIFF that is not an AVI (WAV) is rejected by the magic check
+    val wav = graft.multimodal.AudioKernel.wavSquare(8000, 64, 1000)
+    assert(VideoKernel.videoStats(wav) == null)
+    // and a PNG is not RIFF at all
+    assert(VideoKernel.videoStats(graft.multimodal.ImageKernel.pngConst(4, 4, 1, 2, 3)) == null)
+  }
+
+  test("AviDibCodec through the batched multimodal pipeline") {
+    import spark.implicits._
+    val rows = (0 until 20).map { i =>
+      Multimodal.MediaRow(i.toLong,
+        VideoKernel.aviGradient(8 + i % 5, 8, 1 + i % 4, 5 + i % 6, i, i * 2 % 100, 3, 1),
+        Multimodal.MediaMeta("video", 8 + i % 5, 8, 0, 1000))
+    }
+    val feats = Multimodal.extractFeatures(rows.toDS(), AviDibCodec).collect()
+    assert(feats.length == 20 && feats.forall(_.decodeOk))
+    feats.foreach { f =>
+      val i = f.doc_id.toInt
+      assert(f.features(0) == (8 + i % 5).toFloat)
+      assert(f.features(2) == (1 + i % 4).toFloat)
+      assert(f.features(3) == (5 + i % 6).toFloat)
+    }
+  }
+
+  test("DSL: avi_gradient/video_stats/video_frame_png inside codegen") {
+    import spark.implicits._
+    val df = (1 to 50).toDF("k").select(
+      col("k"),
+      avi_gradient(lit(8) + col("k") % 3, lit(8), lit(1) + col("k") % 4,
+        lit(10), col("k") % 100, lit(5), lit(9), lit(2)).as("avi"))
+    val out = df.select(col("k"),
+      video_stats(col("avi")).getField("n_frames").as("n"),
+      video_stats(col("avi")).getField("mean_g").as("mg"),
+      img_stats(video_frame_png(col("avi"), lit(0))).getField("mean_b").as("pb"))
+      .collect()
+    out.foreach { r =>
+      val k = r.getInt(0)
+      assert(r.getInt(1) == 1 + k % 4)
+      assert(r.getDouble(2) == 5 + 2 * ((1 + k % 4) - 1) / 2.0)
+      assert(r.getDouble(3) == 9.0)
+    }
+  }
+}
