@@ -125,19 +125,24 @@ object Bench {
     // part 2: headline queries at local[32] (driver-standard config)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = session(cpus)
-    val results = headline.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
-        force(fn(spark, sfDir)) // warm-up (JIT + codegen cache)
-        // best-of-2 timed runs — the same interference-tolerant protocol the
-        // pipeline levels use (host steals CPU in bursts; a single sample
-        // can record 2x the query's real cost)
-        val times = (0 until 2).map { _ =>
-          val t0 = System.nanoTime()
-          force(fn(spark, sfDir))
-          (System.nanoTime() - t0) / 1e9
-        }
-        name -> times.min
+    // warm-up pass (JIT + codegen cache), then THREE interleaved timed
+    // passes over the whole block with per-query best-of. Interleaving
+    // decorrelates host CPU-steal bursts from individual queries: a burst
+    // spanning several seconds hits DIFFERENT queries in each pass, where
+    // back-to-back per-query runs let one burst poison both samples of the
+    // same query (observed: a noisy window recorded a 17.5s block whose
+    // interleaved-best-of true cost was ~8s).
+    val names = headline.filter(SparkEntry.queries.contains)
+    names.foreach(n => force(SparkEntry.queries(n)(spark, sfDir)))
+    val passes = (0 until 3).map { _ =>
+      names.map { name =>
+        val t0 = System.nanoTime()
+        force(SparkEntry.queries(name)(spark, sfDir))
+        (System.nanoTime() - t0) / 1e9
       }
+    }
+    val results = names.zipWithIndex.map { case (name, i) =>
+      name -> passes.map(_(i)).min
     }
 
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
