@@ -1072,6 +1072,25 @@ object SparkEntry {
         .select(col("custkey_left").as("custkey"), col("box_id_right").as("box_id"))
     }),
 
+    "q_dwithin_rule" -> ((s, dir) => {
+      // The NAIVE distance-join formulation — join on st_dwithin, which
+      // Spark alone can only plan as a BroadcastNestedLoopJoin — rewritten
+      // automatically by the injected Catalyst optimizer rule
+      // (graft.sql.SpatialJoinRule) into the cell-bucketed hash equi-join.
+      // Same oracle as q_dwithin_join; SpatialJoinRuleSpec asserts the
+      // rewritten plan shape (no BNLJ, Generate + HashJoin) and rule
+      // boundaries (left joins / non-literal radii untouched).
+      s.conf.set(graft.sql.SpatialJoinRule.CellLevelConf, "4")
+      graft.sql.GraftSql.registerRules(s)
+      val pts = custPoints(s, dir)
+        .select(col("custkey"), st_point(col("lon"), col("lat")).as("geometry"))
+      val boxes = s.createDataFrame(
+        joinBoxes.take(2).map { case (id, a, b, c, d) => (id, boxWkb(a, b, c, d)) })
+        .toDF("box_id", "bgeom")
+      pts.join(boxes, st_dwithin(col("geometry"), col("bgeom"), lit(2.3)))
+        .select(col("custkey"), col("box_id"))
+    }),
+
     "q_embed_dedup" -> ((s, dir) => {
       // Embedding-space dedup, the cosine-LSH analogue of q_lsh_dup_pairs:
       // SRP buckets generate candidates (identical vectors share every sign
@@ -1206,6 +1225,32 @@ object SparkEntry {
       s.createDataFrame(Seq((1L, a), (2L, a2), (3L, b), (4L, a))).toDF("sid", "stext")
         .select(col("sid"), simhash64(col("stext"), lit(3)).as("simhash"),
           fingerprint64(col("stext")).as("fp"))
+    }),
+
+    "q_winnow" -> ((s, dir) => {
+      // Winnowing rolling-hash fingerprints (the MOSS scheme): the copied
+      // passage planted in B must share fingerprints with A (guaranteed for
+      // any shared substring >= w+k-1 = 13 bytes) and with C; the
+      // fingerprint counts and xor-checksums are recorded literals pinning
+      // the gram hash + selection byte-stability cross-round.
+      val a = "the quick brown fox jumps over the lazy dog near the river " +
+        "bank while the miller sleeps"
+      val b = "COPIED PASSAGE >>> the quick brown fox jumps over the lazy dog " +
+        "<<< pasted into unrelated maritime insurance boilerplate concerning " +
+        "claims and adjusters"
+      val c = "entirely unrelated maritime insurance boilerplate concerning " +
+        "claims and adjusters everywhere"
+      def fp(t: String) = winnow_fingerprints(lit(t), lit(8), lit(6))
+      val xor = (f: Column) => aggregate(f, lit(0L), (acc, x) => acc.bitwiseXOR(x))
+      s.range(1).select(fp(a).as("fa"), fp(b).as("fb"), fp(c).as("fc"))
+        .select(
+          size(col("fa")).as("n_a"), size(col("fb")).as("n_b"),
+          size(col("fc")).as("n_c"),
+          xor(col("fa")).as("xor_a"), xor(col("fb")).as("xor_b"),
+          xor(col("fc")).as("xor_c"),
+          (size(array_intersect(col("fa"), col("fb"))) >= 1).as("shared_ab"),
+          (size(array_intersect(col("fb"), col("fc"))) >= 1).as("shared_bc"),
+          size(array_intersect(col("fa"), col("fc"))).as("shared_ac"))
     }),
 
     "q_cosine_lsh" -> ((s, dir) => {
@@ -1505,6 +1550,15 @@ object SparkEntry {
          | + greatest(b.miny - p.lat, p.lat - b.maxy, 0.0) * greatest(b.miny - p.lat, p.lat - b.maxy, 0.0)
          |) <= 2.3""".stripMargin,
 
+    "q_dwithin_rule" ->
+      s"""WITH b(box_id, minx, miny, maxx, maxy) AS (VALUES $joinBoxes2SqlValues),
+         | p AS ($custPointsSql)
+         |SELECT p.custkey, b.box_id FROM p, b
+         |WHERE sqrt(
+         |   greatest(b.minx - p.lon, p.lon - b.maxx, 0.0) * greatest(b.minx - p.lon, p.lon - b.maxx, 0.0)
+         | + greatest(b.miny - p.lat, p.lat - b.maxy, 0.0) * greatest(b.miny - p.lat, p.lat - b.maxy, 0.0)
+         |) <= 2.3""".stripMargin,
+
     "q_embed_dedup" ->
       """WITH u AS (SELECT vec_id, embedding FROM embeddings
         | UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings)
@@ -1633,6 +1687,16 @@ object SparkEntry {
 
     "q_pipeline_consistency" ->
       "SELECT TRUE AS nonempty, TRUE AS counts_eq, TRUE AS rows_eq",
+
+    // counts/xors are recorded literals (the q_simhash stability-pin
+    // pattern); shared_* booleans are the winnowing containment guarantee
+    "q_winnow" ->
+      """SELECT CAST(20 AS INTEGER) AS n_a, CAST(38 AS INTEGER) AS n_b,
+        | CAST(25 AS INTEGER) AS n_c,
+        | CAST(4378592163536987619 AS BIGINT) AS xor_a,
+        | CAST(-4383572506458543111 AS BIGINT) AS xor_b,
+        | CAST(-5898889557468453598 AS BIGINT) AS xor_c,
+        | TRUE AS shared_ab, TRUE AS shared_bc, CAST(0 AS INTEGER) AS shared_ac""".stripMargin,
 
     "q_knn_points" ->
       s"""WITH q(qid, qx, qy) AS (VALUES (CAST(1 AS BIGINT), 0.5, 10.5),

@@ -257,6 +257,12 @@ object st {
     invoke(T, "simhash", LongType, false, text -> StringType, k -> IntegerType)
   def hamming64(a: Column, b: Column): Column =
     invoke(T, "hamming64", IntegerType, false, a -> LongType, b -> LongType)
+  /** Winnowing document fingerprints (rolling k-gram hashes + window-min
+   *  selection; any shared substring >= w+k-1 bytes shares a fingerprint). */
+  def winnow_fingerprints(text: Column, k: Column, w: Column): Column =
+    invoke(T, "winnow", ArrayType(LongType, containsNull = false), false,
+      text -> StringType, k -> IntegerType, w -> IntegerType)
+
   def jaccard_shingles(a: Column, b: Column, k: Column): Column =
     invoke(T, "jaccardShingles", DoubleType, false,
       a -> StringType, b -> StringType, k -> IntegerType)

@@ -96,7 +96,18 @@ object GraftSql {
     "st_dwithin" -> (3, a => st.st_dwithin(a(0), a(1), a(2))),
     "s2_level" -> (1, a => st.s2_level(a(0))),
     "h3_res" -> (1, a => st.h3_res(a(0))),
-    "h3_face" -> (1, a => st.h3_face(a(0))))
+    "h3_face" -> (1, a => st.h3_face(a(0))),
+    "st_multipoint_native" -> (1, a => st.st_multipoint_native(a(0))),
+    "st_multiline_native" -> (1, a => st.st_multiline_native(a(0))),
+    "st_multipolygon_native" -> (1, a => st.st_multipolygon_native(a(0))),
+    "st_from_multipoint_native" -> (1, a => st.st_from_multipoint_native(a(0))),
+    "st_from_multiline_native" -> (1, a => st.st_from_multiline_native(a(0))),
+    "st_from_multipolygon_native" -> (1, a => st.st_from_multipolygon_native(a(0))),
+    "avi_gradient" -> (8, a => st.avi_gradient(a(0), a(1), a(2), a(3), a(4), a(5), a(6), a(7))),
+    "video_stats" -> (1, a => st.video_stats(a(0))),
+    "video_frame_stats" -> (2, a => st.video_frame_stats(a(0), a(1))),
+    "video_frame_png" -> (2, a => st.video_frame_png(a(0), a(1))),
+    "winnow_fingerprints" -> (3, a => st.winnow_fingerprints(a(0), a(1), a(2))))
 
   /** Register all functions into an existing session's catalog. */
   def register(spark: SparkSession): Unit =
@@ -106,15 +117,25 @@ object GraftSql {
         Bridge.toCatalyst(builder(exprs.map(Bridge.column)))
       })
     }
+
+  /** Register the engine's optimizer rules (SpatialJoinRule: naive
+   *  distance-join BNLJ -> cell-bucketed hash join) into a live session. */
+  def registerRules(spark: SparkSession): Unit = {
+    val exp = spark.experimental
+    if (!exp.extraOptimizations.contains(SpatialJoinRule))
+      exp.extraOptimizations = exp.extraOptimizations :+ SpatialJoinRule
+  }
 }
 
 /** For `spark.sql.extensions=graft.sql.GraftSparkExtensions`. */
 class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftSql.functions.foreach { case (name, (arity, builder)) =>
       Bridge.injectFunction(ext, name, { exprs =>
         require(exprs.length == arity, s"$name expects $arity args, got ${exprs.length}")
         Bridge.toCatalyst(builder(exprs.map(Bridge.column)))
       })
     }
+    ext.injectOptimizerRule(_ => SpatialJoinRule)
+  }
 }

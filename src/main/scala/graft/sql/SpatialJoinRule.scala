@@ -1,0 +1,166 @@
+package graft.sql
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.First
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.geom.GeomKernel
+
+/**
+ * Catalyst optimizer rule: rewrites a naive distance-join — the formulation
+ * users actually write,
+ *
+ *   pts.join(polys, st_dwithin(pts("geometry"), polys("geometry"), lit(r)))
+ *   SELECT ... FROM a JOIN b ON st_distance(a.geom, b.geom) <= r
+ *
+ * which Spark can only plan as a BroadcastNestedLoopJoin (O(n*m) compares;
+ * a non-equi condition gives the planner nothing to hash on) — into the
+ * engine's cell-bucketed equi-join: explode both sides to S2 covering
+ * cells (the right side's bbox expanded by r, so any pair within distance
+ * r shares at least one cell — if dist(pa in A, pb in B) <= r then pa lies
+ * in B's r-expanded bbox, and A's covering contains pa's cell), hash-join
+ * on the cell, refine with the ORIGINAL predicate, and collapse duplicate
+ * pair meetings with a first-value aggregate keyed on per-side row ids
+ * (the ReplaceDeduplicateWithAggregate pattern, exprIds preserved so the
+ * parent plan is untouched).
+ *
+ * This is the optimizer-level counterpart of `SpatialJoin.joinWithin`
+ * (which stays the preferred API: its point-side contract needs no row ids
+ * and no dedupe aggregate, so it is exchange-free where this general
+ * rewrite pays one pair-id exchange). Register per session via
+ * `GraftSql.registerRules(spark)` or cluster-wide through
+ * `spark.sql.extensions=graft.sql.GraftSparkExtensions`. Covering
+ * resolution comes from `spark.graft.spatialJoin.cellLevel` (default 9 —
+ * ~15-20 km cells; lower it for continent-sized geometries).
+ */
+object SpatialJoinRule extends Rule[LogicalPlan] {
+
+  val CellLevelConf = "spark.graft.spatialJoin.cellLevel"
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+
+  private def litDouble(e: Expression): Option[Double] = e match {
+    case Cast(c, _, _, _) => litDouble(c)
+    case l: Literal if l.foldable =>
+      l.value match {
+        case d: java.lang.Double => Some(d)
+        case f: java.lang.Float => Some(f.toDouble)
+        case n: java.lang.Number => Some(n.doubleValue())
+        case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private def isKernel(si: StaticInvoke, name: String): Boolean =
+    si.staticObject == GeomKernel.getClass && si.functionName == name
+
+  /** (geomA, geomB, radius) from `st_dwithin(a,b,r)` / `st_distance(a,b) <= r`
+   *  / `r >= st_distance(a,b)`. */
+  private def asDwithin(e: Expression): Option[(Expression, Expression, Double)] = e match {
+    case si: StaticInvoke if isKernel(si, "stDwithin") =>
+      si.arguments match {
+        case Seq(a, b, r) => litDouble(r).map(d => (a, b, d))
+        case _ => None
+      }
+    case LessThanOrEqual(si: StaticInvoke, r) if isKernel(si, "stDistance") =>
+      (si.arguments, litDouble(r)) match {
+        case (Seq(a, b), Some(d)) => Some((a, b, d))
+        case _ => None
+      }
+    case GreaterThanOrEqual(r, si: StaticInvoke) if isKernel(si, "stDistance") =>
+      (si.arguments, litDouble(r)) match {
+        case (Seq(a, b), Some(d)) => Some((a, b, d))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // the rewrite only rescues joins the planner has NOTHING to hash on: a
+    // condition already carrying a cross-side equality conjunct (e.g.
+    // joinWithin's cell-bucketed form, or a business-key equi-join with a
+    // distance refinement) plans as a hash join by itself and is left alone
+    case j @ Join(l, r, Inner, Some(cond), _)
+      if !conjuncts(cond).exists {
+        case EqualTo(a, b) if a.references.nonEmpty && b.references.nonEmpty =>
+          (a.references.subsetOf(l.outputSet) && b.references.subsetOf(r.outputSet)) ||
+            (b.references.subsetOf(l.outputSet) && a.references.subsetOf(r.outputSet))
+        case _ => false
+      } =>
+      val hit = conjuncts(cond).iterator.map(asDwithin).collectFirst {
+        case Some((a, b, d)) if d >= 0 &&
+          a.references.subsetOf(l.outputSet) && b.references.subsetOf(r.outputSet) =>
+          (a, b, d)
+        case Some((a, b, d)) if d >= 0 &&
+          b.references.subsetOf(l.outputSet) && a.references.subsetOf(r.outputSet) =>
+          (b, a, d) // distance is symmetric; normalize to (left geom, right geom)
+      }
+      hit.fold(j: LogicalPlan) { case (lg, rg, radius) =>
+        rewrite(j, l, r, cond, lg, rg, radius)
+      }
+  }
+
+  /** Covering-cell array for a geometry's bbox expanded by `radius` — the
+   *  same computation as `SpatialJoin.cellsForExpanded`, but built from
+   *  RESOLVED Catalyst nodes directly: an optimizer rule must not emit
+   *  analyzer work (the Column DSL's `getField`/`least` produce
+   *  Unresolved* nodes, which fail plan validation post-analysis). */
+  private def cellsOf(geom: Expression, radius: Double, level: Int): Expression = {
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, IntegerType}
+    val bounds = StaticInvoke(GeomKernel.getClass, graft.functions.st.boundsSchema,
+      "stBounds", Seq(Cast(geom, BinaryType)), Seq(BinaryType),
+      propagateNull = true, returnNullable = false)
+    def field(i: Int, name: String): Expression = GetStructField(bounds, i, Some(name))
+    def clamp(e: Expression, lo: Double, hi: Double): Expression =
+      Least(Seq(Greatest(Seq(e, Literal(lo))), Literal(hi)))
+    val r = Literal(radius)
+    StaticInvoke(graft.join.JoinKernel.getClass,
+      ArrayType(LongType, containsNull = false), "coverBounds",
+      Seq(clamp(Subtract(field(1, "miny"), r), -90, 90),
+        clamp(Subtract(field(0, "minx"), r), -180, 180),
+        clamp(Add(field(3, "maxy"), r), -90, 90),
+        clamp(Add(field(2, "maxx"), r), -180, 180),
+        Literal(level)),
+      Seq(DoubleType, DoubleType, DoubleType, DoubleType, IntegerType),
+      propagateNull = true, returnNullable = false)
+  }
+
+  private def rewrite(j: Join, l: LogicalPlan, r: LogicalPlan, cond: Expression,
+                      lg: Expression, rg: Expression, radius: Double): LogicalPlan = {
+    val level = conf.getConfString(CellLevelConf, "9").toInt
+
+    def sideWithCells(side: LogicalPlan, geom: Expression, expand: Double,
+                      tag: String): (LogicalPlan, Attribute, Attribute) = {
+      val idAlias = Alias(MonotonicallyIncreasingID(), s"__${tag}idx")()
+      val withId = Project(side.output :+ idAlias, side)
+      val cellAttr = AttributeReference(s"__${tag}cell", LongType, nullable = false)()
+      val gen = Generate(Explode(cellsOf(geom, expand, level)),
+        unrequiredChildIndex = Nil, outer = false, qualifier = None,
+        generatorOutput = Seq(cellAttr), child = withId)
+      (gen, idAlias.toAttribute, cellAttr)
+    }
+
+    val (lGen, lIdx, lCell) = sideWithCells(l, lg, 0.0, "l")
+    val (rGen, rIdx, rCell) = sideWithCells(r, rg, radius, "r")
+
+    val bucketed = Join(lGen, rGen, Inner, Some(EqualTo(lCell, rCell)), JoinHint.NONE)
+    val refined = Filter(cond, bucketed) // the FULL original predicate refines
+    // two geometries can share several covering cells -> a pair meets once
+    // per shared cell; collapse to one row per (l-row, r-row). Spark's own
+    // ReplaceDeduplicateWithAggregate shape: group on the pair ids, carry
+    // every original output through First, REUSING the original exprIds so
+    // the surrounding plan's references stay valid.
+    val aggExprs = j.output.map(a =>
+      Alias(First(a, ignoreNulls = false).toAggregateExpression(), a.name)(
+        exprId = a.exprId, qualifier = a.qualifier))
+    Aggregate(Seq(lIdx, rIdx), aggExprs, refined)
+  }
+}

@@ -497,4 +497,93 @@ object TextKernel {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.toArray)
   }
+
+  // ---------- winnowing document fingerprints (rolling hash) ----------
+
+  private def mix64w(z0: Long): Long = { // splitmix64 finalizer
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /**
+   * Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+   * rolling-hash document-fingerprinting scheme MOSS uses): k-byte-gram
+   * polynomial rolling hashes (base 257, mod 2^64 wraparound, finalized
+   * through splitmix64 for selection uniformity), then window-minimum
+   * selection over every w consecutive gram hashes, RIGHTMOST minimum per
+   * window (the paper's robust-winnowing tie rule). Output: the distinct
+   * selected hashes, ascending.
+   *
+   * Guarantee (paper, thm 2): two documents sharing any substring of at
+   * least w + k - 1 bytes share at least one fingerprint — that makes the
+   * selected set a position-independent containment signature where
+   * MinHash-LSH (whole-document Jaccard) misses small copied passages.
+   * Density: expected 2/(w+1) of the grams are selected, so the signature
+   * is ~|doc| * 2/(w+1) longs regardless of duplication structure.
+   */
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    require(k >= 1 && w >= 1, "winnow needs k >= 1, w >= 1")
+    val bytes = text.getBytes
+    val n = bytes.length
+    val nGrams = n - k + 1
+    if (nGrams <= 0) return new GenericArrayData(Array.empty[Any])
+    val B = 257L
+    // B^(k-1) mod 2^64
+    var bk = 1L
+    var e = 0
+    while (e < k - 1) { bk *= B; e += 1 }
+    // gram hashes
+    val grams = new Array[Long](nGrams)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = h * B + (bytes(i) & 0xff); i += 1 }
+    grams(0) = mix64w(h)
+    i = 1
+    while (i < nGrams) {
+      h = (h - (bytes(i - 1) & 0xff) * bk) * B + (bytes(i + k - 1) & 0xff)
+      grams(i) = mix64w(h)
+      i += 1
+    }
+    // window minima, rightmost tie — a monotone deque gives O(n) but the
+    // classic two-pointer re-scan is simpler and the re-scan triggers only
+    // when the previous minimum falls out of the window (amortized ~O(n))
+    val selected = new java.util.TreeSet[java.lang.Long]()
+    if (nGrams <= w) {
+      var minIdx = 0
+      var j = 1
+      while (j < nGrams) {
+        if (java.lang.Long.compareUnsigned(grams(j), grams(minIdx)) <= 0) minIdx = j
+        j += 1
+      }
+      selected.add(grams(minIdx))
+    } else {
+      var minIdx = -1
+      var start = 0
+      while (start + w <= nGrams) {
+        if (minIdx < start) {
+          minIdx = start
+          var j = start + 1
+          while (j < start + w) {
+            if (java.lang.Long.compareUnsigned(grams(j), grams(minIdx)) <= 0) minIdx = j
+            j += 1
+          }
+          selected.add(grams(minIdx))
+        } else {
+          val incoming = start + w - 1
+          if (java.lang.Long.compareUnsigned(grams(incoming), grams(minIdx)) <= 0) {
+            minIdx = incoming
+            selected.add(grams(minIdx))
+          }
+        }
+        start += 1
+      }
+    }
+    val out = new Array[Any](selected.size)
+    val it = selected.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = it.next().longValue(); p += 1 }
+    new GenericArrayData(out)
+  }
 }

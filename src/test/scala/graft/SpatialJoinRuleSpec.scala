@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.locationtech.jts.geom.Coordinate
+
+import graft.functions.st._
+import graft.geom.Wkb
+import graft.sql.{GraftSql, SpatialJoinRule}
+
+/** Optimizer rule: a naive st_dwithin / st_distance<=r join condition (which
+ *  Spark can only plan as BroadcastNestedLoopJoin) is rewritten into the
+ *  cell-bucketed hash equi-join, row-identically. */
+class SpatialJoinRuleSpec extends SparkSpec {
+
+  private def boxWkb(minx: Double, miny: Double, maxx: Double, maxy: Double) =
+    Wkb.write(Wkb.factory.createPolygon(Array(
+      new Coordinate(minx, miny), new Coordinate(maxx, miny),
+      new Coordinate(maxx, maxy), new Coordinate(minx, maxy),
+      new Coordinate(minx, miny))))
+
+  private def fixtures() = {
+    import spark.implicits._
+    val pts = (0 until 400).map { i =>
+      (i.toLong, (i * 37 % 340 - 170) + 0.5, (i * 17 % 116 - 58) + 0.5)
+    }.toDF("id", "lon", "lat")
+      .select(col("id"), st_point(col("lon"), col("lat")).as("geometry"))
+    val boxes = Seq(
+      (1L, boxWkb(-170, -58, -100, -10)), (2L, boxWkb(-100, -10, -30, 40)))
+      .toDF("box_id", "bgeom")
+    (pts, boxes)
+  }
+
+  private def rows(df: DataFrame) = df.select("id", "box_id").collect()
+    .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set(SpatialJoinRule.CellLevelConf, "4")
+    GraftSql.registerRules(spark)
+  }
+
+  test("st_dwithin join: BNLJ rewritten to hash join, rows identical") {
+    val (pts, boxes) = fixtures()
+    val naive = pts.join(boxes, st_dwithin(col("geometry"), col("bgeom"), lit(2.3)))
+    val plan = naive.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"rule did not fire:\n$plan")
+    assert(plan.contains("HashJoin"), s"expected a hash join:\n$plan")
+    assert(plan.contains("Generate"), s"expected cell explode:\n$plan")
+    // ground truth WITHOUT the rule: strip it, force the BNLJ plan
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == SpatialJoinRule)
+    try {
+      val bnlj = pts.join(boxes, st_dwithin(col("geometry"), col("bgeom"), lit(2.3)))
+      assert(bnlj.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+      assert(rows(naive) == rows(bnlj))
+      assert(rows(naive).nonEmpty)
+    } finally GraftSql.registerRules(spark)
+  }
+
+  test("st_distance <= r form and extra conjuncts also rewrite, rows identical") {
+    val (pts, boxes) = fixtures()
+    val naive = pts.join(boxes,
+      st_distance(col("geometry"), col("bgeom")) <= 2.3 && col("id") % 2 === 0)
+    val plan = naive.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"rule did not fire:\n$plan")
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == SpatialJoinRule)
+    try {
+      val bnlj = pts.join(boxes,
+        st_distance(col("geometry"), col("bgeom")) <= 2.3 && col("id") % 2 === 0)
+      assert(rows(naive) == rows(bnlj) && rows(naive).nonEmpty)
+    } finally GraftSql.registerRules(spark)
+  }
+
+  test("reversed argument order (right geom first) still rewrites correctly") {
+    val (pts, boxes) = fixtures()
+    val naive = pts.join(boxes, st_dwithin(col("bgeom"), col("geometry"), lit(2.3)))
+    assert(!naive.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    val direct = pts.join(boxes, st_dwithin(col("geometry"), col("bgeom"), lit(2.3)))
+    assert(rows(naive) == rows(direct))
+  }
+
+  test("rule leaves non-distance joins and non-literal radii alone") {
+    import spark.implicits._
+    val (pts, boxes) = fixtures()
+    // equi-join: untouched (stays a plain hash join, no Generate)
+    val eq = pts.join(boxes, col("id") === col("box_id"))
+    assert(!eq.queryExecution.executedPlan.toString.contains("Generate"))
+    // non-literal radius: not rewritable, stays BNLJ
+    val dynR = pts.join(boxes,
+      st_distance(col("geometry"), col("bgeom")) <= col("box_id").cast("double"))
+    assert(dynR.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    // left join: out of scope for the rewrite, must not be touched
+    val lj = pts.join(boxes, st_dwithin(col("geometry"), col("bgeom"), lit(2.3)), "left")
+    assert(lj.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    assert(lj.count() >= pts.count())
+  }
+
+  test("guard: already-bucketed joinWithin (cross-side equality) is untouched") {
+    val (pts, boxes) = fixtures()
+    val jw = graft.join.SpatialJoin.joinWithin(
+      pts, boxes.withColumnRenamed("bgeom", "geometry"), 2.3, "inner", cellLevel = 4)
+    // the rule's markers must not appear: its cell equality already hash-joins
+    val plan = jw.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("__lcell") && !plan.contains("__ridx"))
+    assert(jw.count() > 0)
+  }
+
+  test("duplicate pair meetings collapse: polygon-polygon (multi-cell) sides") {
+    import spark.implicits._
+    // both sides are boxes whose coverings share MANY cells — without the
+    // pair-id aggregate each pair would surface once per shared cell
+    val la = Seq((1L, boxWkb(0, 0, 30, 30)), (2L, boxWkb(100, 10, 140, 50)))
+      .toDF("id", "geometry")
+    val rb = Seq((10L, boxWkb(5, 5, 25, 25)), (20L, boxWkb(-60, -20, -40, 0)))
+      .toDF("box_id", "bgeom")
+    val out = la.join(rb, st_dwithin(col("geometry"), col("bgeom"), lit(1.0)))
+    assert(!out.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    val got = out.select("id", "box_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == got.distinct.length, s"duplicate pairs: ${got.mkString(",")}")
+    assert(got.toSet == Set((1L, 10L))) // only the overlapping pair is within 1.0
+  }
+}

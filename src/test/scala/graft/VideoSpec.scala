@@ -62,6 +62,35 @@ class VideoSpec extends SparkSpec {
     assert(VideoKernel.videoStats(graft.multimodal.ImageKernel.pngConst(4, 4, 1, 2, 3)) == null)
   }
 
+  test("fuzz: random corruptions/truncations of valid AVIs never throw") {
+    // a 100-TB media column WILL contain malformed bytes; the parser's
+    // contract is NULL, never an executor-killing exception
+    val rnd = new scala.util.Random(1234)
+    val valid = VideoKernel.aviGradient(10, 6, 3, 10, 50, 60, 70, 4)
+    for (_ <- 0 until 300) {
+      val mode = rnd.nextInt(3)
+      val bytes = mode match {
+        case 0 => // random truncation
+          java.util.Arrays.copyOf(valid, rnd.nextInt(valid.length + 1))
+        case 1 => // random byte flips (1-8 positions)
+          val b = valid.clone()
+          (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+            b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+          }
+          b
+        case _ => // pure noise of random length
+          val b = new Array[Byte](rnd.nextInt(4096)); rnd.nextBytes(b); b
+      }
+      // must return a row or null — any exception fails the test
+      val s = VideoKernel.videoStats(bytes)
+      if (s != null) { // a surviving parse must still be self-consistent
+        assert(s.getInt(0) > 0 && s.getInt(1) > 0 && s.getInt(2) > 0)
+      }
+      VideoKernel.videoFrameStats(bytes, rnd.nextInt(5) - 1)
+      VideoKernel.videoFramePng(bytes, 0)
+    }
+  }
+
   test("AviDibCodec through the batched multimodal pipeline") {
     import spark.implicits._
     val rows = (0 until 20).map { i =>
