@@ -1144,6 +1144,28 @@ object SparkEntry {
           countDistinct(col("event_id")).as("uniq_ids"))
     }),
 
+    "q_stream_spatial_join" -> ((s, dir) => {
+      // stream-static spatial join: the customer table read as a FILE
+      // STREAM, geocoded to points on the fly, broadcast-joined against the
+      // box layer through the SAME SpatialJoin point fast path the batch
+      // query uses (stream-static inner join: stateless, append mode, no
+      // watermark needed) — rows must equal the batch q_spatial_join oracle.
+      val schema = s.read.parquet(s"$dir/customer.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .parquet(streamStageDir("spatial", dir, "customer"))
+        .select(col("c_custkey").as("custkey"),
+          ((col("c_custkey") * 37) % 340 - 170 + 0.5).cast("double").as("lon"),
+          ((col("c_custkey") * 17) % 116 - 58 + 0.5).cast("double").as("lat"))
+        .select(col("custkey"), st_point(col("lon"), col("lat")).as("geometry"))
+      val boxes = s.createDataFrame(
+        joinBoxes.map { case (id, a, b, c, d) => (id, boxWkb(a, b, c, d)) })
+        .toDF("box_id", "geometry")
+      val joined = SpatialJoin.join(stream, boxes, SpatialPredicate.Intersects,
+        "inner", cellLevel = 4, leftPointsOnly = true)
+        .select(col("custkey_left").as("custkey"), col("box_id_right").as("box_id"))
+      runToMemorySink(s, joined, "q_stream_spatial_sink", "append")
+    }),
+
     "q_h3_props" -> ((s, dir) => {
       // Driver-visible twin of q_s2_props: the H3 id's structural contract as
       // per-row booleans the DuckDB oracle re-asserts as TRUE literals. The
@@ -1188,6 +1210,20 @@ object SparkEntry {
       // every point of this lattice at sf0.01 and sf0.1.
       (h3_parent(h3_cell(col("lat"), col("lon"), lit(9)), lit(3)) ===
         h3_parent(h3_cell(col("lat"), col("lon"), lit(12)), lit(3))).as("parent_ok"))),
+
+    "q_h3_disk" -> ((s, dir) => {
+      // grid disk (k-ring) structural contract over every lattice point:
+      // exact hex-ball cardinality 1+3k(k+1), contains its own center cell,
+      // all ids distinct, every id at the requested resolution
+      val k = 2
+      val d = h3_disk(col("lat"), col("lon"), lit(7), lit(k))
+      custPoints(s, dir).select(col("custkey"),
+        (size(d) === 1 + 3 * k * (k + 1)).as("size_ok"),
+        array_contains(d, h3_cell(col("lat"), col("lon"), lit(7))).as("self_ok"),
+        (size(array_distinct(d)) === size(d)).as("distinct_ok"),
+        forall(d, c => shiftrightunsigned(c, 58).bitwiseAND(lit(15L)) === 7L)
+          .as("res_ok"))
+    }),
 
     "q_s2_cells" -> ((s, dir) => custPoints(s, dir)
       .filter(col("custkey") <= 64).select(
@@ -1505,6 +1541,16 @@ object SparkEntry {
     "q_s2_props" ->
       s"""SELECT custkey, TRUE AS prefix5_ok, TRUE AS prefix9_ok, TRUE AS transitive_ok
          |FROM ($custPointsSql)""".stripMargin,
+
+    "q_h3_disk" ->
+      s"""SELECT custkey, TRUE AS size_ok, TRUE AS self_ok, TRUE AS distinct_ok,
+         | TRUE AS res_ok FROM ($custPointsSql)""".stripMargin,
+
+    "q_stream_spatial_join" ->
+      s"""WITH b(box_id, minx, miny, maxx, maxy) AS (VALUES $joinBoxesSqlValues),
+         | p AS ($custPointsSql)
+         |SELECT p.custkey, b.box_id FROM p, b
+         |WHERE p.lon > b.minx AND p.lon < b.maxx AND p.lat > b.miny AND p.lat < b.maxy""".stripMargin,
 
     "q_s2_cells" -> RecordedOracles.s2CellsSql,
     "q_h3_cells" -> RecordedOracles.h3CellsSql,

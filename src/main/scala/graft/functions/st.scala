@@ -185,6 +185,12 @@ object st {
   def h3_cell(lat: Column, lon: Column, res: Column): Column =
     invoke(I, "h3Cell", LongType, false,
       lat -> DoubleType, lon -> DoubleType, res -> IntegerType)
+  /** Grid disk (k-ring) around a point: all cells within k hex steps of
+   *  the containing cell — exactly 1 + 3k(k+1) ids. */
+  def h3_disk(lat: Column, lon: Column, res: Column, k: Column): Column =
+    invoke(I, "h3Disk", ArrayType(LongType, containsNull = false), false,
+      lat -> DoubleType, lon -> DoubleType, res -> IntegerType, k -> IntegerType)
+
   def h3_parent(cell: Column, res: Column): Column =
     invoke(I, "h3Parent", LongType, false, cell -> LongType, res -> IntegerType)
   def tile_id(lat: Column, lon: Column, z: Column): Column =

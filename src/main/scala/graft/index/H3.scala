@@ -293,6 +293,37 @@ object H3 {
    * search across icosahedron edges; a coarse seed grid (pitch below the
    * face inradius) guarantees every face region the rect touches is reached.
    */
+  /**
+   * Grid disk (Uber H3's `gridDisk` / k-ring) around a POINT: every cell
+   * within `k` hex steps of the cell containing (lat, lon), at `res`. In
+   * axial (a, b) lattice coordinates hex distance is
+   * (|da| + |db| + |da+db|) / 2, so the disk is the standard hex ball:
+   * exactly 1 + 3k(k+1) cells. Computed face-locally on the center's home
+   * face; within ~k cell widths of an icosahedron face seam the ids of
+   * cross-seam cells come from THIS face's lattice extension (consistent
+   * with coverRect's covering contract — a superset-style candidate set,
+   * cells deduplicate by id downstream).
+   */
+  def disk(latDeg: Double, lonDeg: Double, res: Int, k: Int): Array[Long] = {
+    require(k >= 0, "grid disk needs k >= 0")
+    val (f, a, b) = lattice(latDeg, lonDeg, res)
+    val out = new Array[Long](1 + 3 * k * (k + 1))
+    var p = 0
+    var da = -k
+    while (da <= k) {
+      // axial ball: db in [max(-k, -da-k), min(k, -da+k)]
+      var db = math.max(-k.toLong, -da.toLong - k)
+      val hi = math.min(k.toLong, -da.toLong + k)
+      while (db <= hi) {
+        out(p) = packLattice(f, a + da, b + db, res)
+        p += 1
+        db += 1
+      }
+      da += 1
+    }
+    out
+  }
+
   def coverRect(minLat: Double, minLon: Double, maxLat: Double, maxLon: Double,
                 res: Int): Array[Long] = {
     val margin = approxEdgeDeg(res) * 1.5

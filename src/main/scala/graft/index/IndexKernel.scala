@@ -9,6 +9,10 @@ object IndexKernel {
   def h3Parent(cell: Long, res: Int): Long = H3.parent(cell, res)
   def h3Resolution(cell: Long): Int = H3.resolution(cell)
   def h3Face(cell: Long): Int = H3.face(cell)
+  def h3Disk(lat: Double, lon: Double, res: Int, k: Int):
+      org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      H3.disk(lat, lon, res, k).map(x => x: Any))
   def tileId(lat: Double, lon: Double, z: Int): Long = Tile.tileId(lat, lon, z)
   def tileX(lon: Double, z: Int): Long = Tile.tileX(lon, z)
   def tileY(lat: Double, z: Int): Long = Tile.tileY(lat, z)

@@ -79,7 +79,14 @@ object SpatialJoin {
            cellLevel: Int = DefaultCellLevel,
            broadcastRight: Boolean = true,
            leftPointsOnly: Boolean = false): DataFrame = {
-    val r = suffixed(right, rSuffix).withColumn("__ridx", monotonically_increasing_id())
+    // row ids only exist on the generic path (pair dedupe); the point fast
+    // path must stay id-free — besides being needless, a
+    // monotonically_increasing_id anywhere in the plan disqualifies the
+    // whole query from Structured Streaming (stream-static spatial joins
+    // ride the point path)
+    val rBase = suffixed(right, rSuffix)
+    val r = if (leftPointsOnly) rBase
+      else rBase.withColumn("__ridx", monotonically_increasing_id())
     val rCells = r.withColumn("__cell_r",
       explode(cellsFor(col("geometry" + rSuffix), cellLevel)))
     joinImpl(left, rCells, right.columns.toSeq, predicate, joinType,

@@ -107,7 +107,8 @@ object GraftSql {
     "video_stats" -> (1, a => st.video_stats(a(0))),
     "video_frame_stats" -> (2, a => st.video_frame_stats(a(0), a(1))),
     "video_frame_png" -> (2, a => st.video_frame_png(a(0), a(1))),
-    "winnow_fingerprints" -> (3, a => st.winnow_fingerprints(a(0), a(1), a(2))))
+    "winnow_fingerprints" -> (3, a => st.winnow_fingerprints(a(0), a(1), a(2))),
+    "h3_disk" -> (4, a => st.h3_disk(a(0), a(1), a(2), a(3))))
 
   /** Register all functions into an existing session's catalog. */
   def register(spark: SparkSession): Unit =

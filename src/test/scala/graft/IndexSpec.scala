@@ -286,6 +286,23 @@ class IndexSpec extends AnyFunSuite {
 
   // ---------------- Tile ----------------
 
+  test("h3: grid disk — hex-ball cardinality, self-containment, ring growth") {
+    import graft.index.H3
+    val pts = Seq((48.1, 11.6), (-33.9, 18.4), (0.3, -0.2), (40.7, -74.0), (55.7, 37.6))
+    for ((lat, lon) <- pts; k <- 0 to 3) {
+      val d = H3.disk(lat, lon, 8, k)
+      assert(d.length == 1 + 3 * k * (k + 1), s"($lat,$lon) k=$k")
+      assert(d.distinct.length == d.length)
+      assert(d.contains(H3.cell(lat, lon, 8)))
+      assert(d.forall(H3.resolution(_) == 8))
+      // monotone: a smaller disk is a subset of a larger one
+      if (k > 0) assert(H3.disk(lat, lon, 8, k - 1).toSet.subsetOf(d.toSet))
+    }
+    // k=0 is exactly the containing cell
+    assert(H3.disk(48.1, 11.6, 9, 0).toSeq == Seq(H3.cell(48.1, 11.6, 9)))
+    intercept[IllegalArgumentException](H3.disk(0, 0, 8, -1))
+  }
+
   test("tile: known anchors at z=1 and packing round-trip") {
     // z=1: four tiles; (0,0) lon/lat -> tile (1,1)? lon 0 -> x=1, lat 0 -> y=1
     assert(Tile.tileX(0.0, 1) == 1)
