@@ -415,6 +415,31 @@ object SparkEntry {
           greatest(ts.getField("n_chars"), lit(1)), 6).as("upper_ratio"))
     }),
 
+    "q_curation" -> ((s, dir) => {
+      // The end-to-end curation job a training-data user actually runs,
+      // composing the engine's ops in one plan: per-doc quality stats
+      // (single-pass kernel) -> threshold filters -> exact dedup on the
+      // 128-bit content key keeping the lowest doc_id (never shuffling the
+      // text itself... except the oracle does, which is the point: DuckDB
+      // recomputes the WHOLE chain from raw text) -> per-language census.
+      // A duplicated shifted copy is unioned in so the dedup stage provably
+      // removes rows at every tier.
+      val ts = text_stats(col("text"))
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+      val u = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 500000L))
+      u.select(col("doc_id"), col("lang"), col("text"),
+          ts.getField("n_chars").as("n_chars"),
+          (ts.getField("n_spaces") + 1).as("n_tokens"),
+          ts.getField("uppers").as("uppers"))
+        .filter(col("n_chars") >= 50 &&
+          col("uppers").cast("double") / greatest(col("n_chars"), lit(1)) <= 0.3)
+        .groupBy(fingerprint64(col("text")).as("fp"), xxhash64(col("text")).as("fp2"))
+        .agg(min("doc_id").as("doc_id"), min("lang").as("lang"),
+          min("n_tokens").as("n_tokens"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("docs"), sum("n_tokens").as("tokens"))
+    }),
+
     "q_lsh_dup_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val u = docs.unionByName(
@@ -1771,6 +1796,19 @@ object SparkEntry {
         | round(CAST(length(regexp_replace(text,'[^A-Z]','','g')) AS DOUBLE)
         |   / greatest(length(text),1),6) AS upper_ratio
         |FROM documents""".stripMargin,
+
+    "q_curation" ->
+      """WITH u AS (SELECT doc_id, lang, text FROM documents
+        |  UNION ALL SELECT doc_id + 500000, lang, text FROM documents),
+        | q AS (SELECT doc_id, lang, text, length(text) AS n_chars,
+        |   length(text) - length(replace(text,' ','')) + 1 AS n_tokens,
+        |   length(regexp_replace(text,'[^A-Z]','','g')) AS uppers FROM u),
+        | f AS (SELECT * FROM q WHERE n_chars >= 50
+        |   AND CAST(uppers AS DOUBLE) / greatest(n_chars, 1) <= 0.3),
+        | d AS (SELECT text, min(doc_id) AS doc_id, min(lang) AS lang,
+        |   min(n_tokens) AS n_tokens FROM f GROUP BY text)
+        |SELECT lang, count(*) AS docs, CAST(sum(n_tokens) AS BIGINT) AS tokens
+        |FROM d GROUP BY lang""".stripMargin,
 
     "q_lsh_dup_pairs" ->
       """WITH u AS (SELECT doc_id, text FROM documents

@@ -230,6 +230,8 @@ object ProjString {
               case 'f' => sb.append('\f'); case 'n' => sb.append('\n')
               case 'r' => sb.append('\r'); case 't' => sb.append('\t')
               case 'u' =>
+                if (i + 5 > s.length)
+                  throw new IllegalArgumentException("truncated \\u escape")
                 sb.append(Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar)
                 i += 4
               case o => throw new IllegalArgumentException(s"bad escape \\$o")

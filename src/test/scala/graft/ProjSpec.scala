@@ -270,6 +270,31 @@ class ProjSpec extends AnyFunSuite {
     assert(r.getBoolean(0))
   }
 
+  test("PROJJSON fuzz: truncations/mutations fail cleanly, never hang or crash") {
+    val valid = """{"type":"ProjectedCRS","base_crs":{"type":"GeographicCRS",
+      "datum":{"ellipsoid":{"semi_major_axis":6378137,"inverse_flattening":298.257223563}}},
+      "conversion":{"method":{"name":"Transverse Mercator"},
+      "parameters":[{"name":"Longitude of natural origin","value":9,"unit":"degree"}]}}"""
+    val rnd = new scala.util.Random(2026)
+    for (_ <- 0 until 300) {
+      val s = rnd.nextInt(3) match {
+        case 0 => valid.substring(0, rnd.nextInt(valid.length + 1))
+        case 1 =>
+          val b = valid.toCharArray
+          (0 until 1 + rnd.nextInt(5)).foreach { _ =>
+            b(rnd.nextInt(b.length)) = (32 + rnd.nextInt(95)).toChar
+          }
+          new String(b)
+        case _ => "{" + Array.fill(rnd.nextInt(80))((32 + rnd.nextInt(95)).toChar).mkString
+      }
+      // contract: a parse either succeeds or throws IllegalArgumentException
+      try ProjString.parse(s)
+      catch {
+        case _: IllegalArgumentException => // expected for malformed input
+      }
+    }
+  }
+
   test("transform dispatch: 3857 <-> UTM via the lon/lat hub; bad srid throws") {
     val (mx, my) = Proj.fromLonLat(3857, 11.6, 48.1)
     val (lon, lat) = Proj.toLonLat(3857, mx, my)
