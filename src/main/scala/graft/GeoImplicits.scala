@@ -87,9 +87,13 @@ object GeoImplicits {
       df.withColumn(gcol, st_affine(gc, lit(a), lit(b), lit(d), lit(e), lit(xoff), lit(yoff)))
     def toCrs(fromSrid: Int, toSrid: Int): DataFrame =
       df.withColumn(gcol, st_transform(gc, lit(fromSrid), lit(toSrid)))
-    /** PROJ parameter-string / "EPSG:nnnn" variant (the reference's to_crs). */
+    /** PROJ parameter-string / "EPSG:nnnn" / PROJJSON variant (to_crs). */
     def toCrs(fromCrs: String, toCrs: String): DataFrame =
       df.withColumn(gcol, st_transform(gc, fromCrs, toCrs))
+    /** `to_crs_with_options` (geoseries.rs:259-266): resolve CRS names
+     *  through the options' named-CRS registry first. */
+    def toCrs(fromCrs: String, toCrs: String, options: graft.geom.ProjOptions): DataFrame =
+      df.withColumn(gcol, st_transform(gc, fromCrs, toCrs, options))
     /** One row per geometry part (the reference's explode). */
     def explodeParts: DataFrame = df.withColumn(gcol, explode(st_dump(gc)))
 
@@ -124,5 +128,16 @@ object GeoImplicits {
               leftPointsOnly: Boolean = false): DataFrame =
       SpatialJoin.join(df, right, predicate, how, cellLevel = cellLevel,
         leftPointsOnly = leftPointsOnly)
+
+    /** Join against a covering prepared once with [[SpatialJoin.prepare]] —
+     *  the reference's precomputed-SpatialIndex reuse. */
+    def sjoin(prepared: graft.join.PreparedCover): DataFrame =
+      SpatialJoin.join(df, prepared)
+
+    /** Distance (range) join: rows of `right` within `radius` planar units. */
+    def sjoinWithin(right: DataFrame, radius: Double,
+                    how: String = "inner",
+                    cellLevel: Int = SpatialJoin.DefaultCellLevel): DataFrame =
+      SpatialJoin.joinWithin(df, right, radius, how, cellLevel = cellLevel)
   }
 }

@@ -84,6 +84,25 @@ class GeoImplicitsSpec extends SparkSpec {
     assert(big.geo.within(col("hull")).filter(col("within")).count() == 10)
   }
 
+  test("sjoin(prepared), sjoinWithin, and toCrs with ProjOptions") {
+    import spark.implicits._
+    val pts = Seq((1L, 0.5, 0.5), (2L, 5.5, 1.0), (3L, 40.0, 40.0))
+      .toDF("pid", "lon", "lat")
+      .select(col("pid"), st_point(col("lon"), col("lat")).as("geometry"))
+    val prep = graft.join.SpatialJoin.prepare(boxes, cellLevel = 4)
+    try {
+      val j = pts.geo.sjoin(prep)
+      assert(j.select("pid_left").as[Long].collect().toSet == Set(1L, 2L))
+    } finally prep.unpersist()
+    val w = pts.geo.sjoinWithin(boxes, radius = 1.5, cellLevel = 4)
+    // point 3 at (40,40) is > 1.5 from every box; 1 and 2 are inside/near
+    assert(w.select("pid_left").as[Long].distinct().collect().toSet == Set(1L, 2L))
+    val opts = graft.geom.ProjOptions(Map("MY:M" -> "EPSG:3857"))
+    val t = pts.geo.toCrs("EPSG:4326", "MY:M", opts).geo.x("mx")
+      .filter(col("pid") === 3).select("mx").as[Double].head()
+    assert(math.abs(t - graft.geom.Proj.fromLonLat(3857, 40.0, 40.0)._1) < 1e-9)
+  }
+
   test("sjoin mirrors SpatialJoin with suffixed columns") {
     import spark.implicits._
     val pts = Seq((1L, 0.5, 0.5), (2L, 40.0, 40.0)).toDF("pid", "px", "py")
