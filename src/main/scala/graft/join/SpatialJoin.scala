@@ -136,6 +136,37 @@ object SpatialJoin {
     new PreparedCover(cells, cellLevel, rSuffix, right.columns.toSeq)
   }
 
+  /**
+   * Durable variant of [[prepare]]: materialize the covering index to a
+   * parquet table, partitioned by the coarse parent of the covering cell so
+   * bbox-local joins prune at file granularity. At 100 TB this is the
+   * production shape — build the layer index ONCE as a job, then any number
+   * of later jobs [[loadPrepared]] it without ever re-running the
+   * per-polygon covering (the in-session [[prepare]] only amortizes within
+   * one SparkSession).
+   */
+  def prepareToTable(right: DataFrame, path: String,
+                     cellLevel: Int = DefaultCellLevel,
+                     rSuffix: String = "_right",
+                     partLevel: Int = 4): Unit = {
+    val r = suffixed(right, rSuffix).withColumn("__ridx", monotonically_increasing_id())
+    r.withColumn("__cell_r", explode(cellsFor(col("geometry" + rSuffix), cellLevel)))
+      .withColumn("__cell_part",
+        graft.functions.st.s2_parent(col("__cell_r"), lit(math.min(partLevel, cellLevel))))
+      .write.mode("overwrite").partitionBy("__cell_part").parquet(path)
+  }
+
+  /** Load a covering index written by [[prepareToTable]]. The original right
+   *  column names are recovered by stripping `rSuffix`. */
+  def loadPrepared(spark: org.apache.spark.sql.SparkSession, path: String,
+                   cellLevel: Int, rSuffix: String = "_right"): PreparedCover = {
+    val cells = spark.read.parquet(path).drop("__cell_part")
+    val rightCols = cells.columns
+      .filterNot(c => c == "__ridx" || c == "__cell_r")
+      .map(_.stripSuffix(rSuffix)).toSeq
+    new PreparedCover(cells, cellLevel, rSuffix, rightCols)
+  }
+
   private def joinImpl(left: DataFrame, rCellsRaw: DataFrame, rightCols: Seq[String],
                        predicate: SpatialPredicate, joinType: String,
                        lSuffix: String, rSuffix: String, cellLevel: Int,

@@ -71,6 +71,22 @@ class PreparedJoinSpec extends SparkSpec {
     } finally prep.unpersist()
   }
 
+  test("durable covering: prepareToTable + loadPrepared joins Generate-free") {
+    val (pts, boxes) = fixtures()
+    val path = java.nio.file.Files.createTempDirectory("prepared-cover").toString
+    SpatialJoin.prepareToTable(boxes, path, cellLevel = 4)
+    val prep = SpatialJoin.loadPrepared(spark, path, cellLevel = 4)
+    val joined = SpatialJoin.join(pts, prep, SpatialPredicate.Intersects,
+      "inner", "_left", broadcastRight = true, leftPointsOnly = true)
+    val fresh = SpatialJoin.join(pts, boxes, SpatialPredicate.Intersects,
+      "inner", cellLevel = 4, leftPointsOnly = true)
+    assert(rows(joined) == rows(fresh) && rows(joined).nonEmpty)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), s"covering recomputed:\n$plan")
+    // the covering is READ from the partitioned parquet table
+    assert(plan.contains("FileScan parquet") || plan.contains("Scan parquet"))
+  }
+
   test("prepared generic (non-point) path and left join also match fresh") {
     val (pts, boxes) = fixtures()
     val prep = SpatialJoin.prepare(boxes, cellLevel = 4)
