@@ -1314,6 +1314,33 @@ object SparkEntry {
           size(array_intersect(col("fa"), col("fc"))).as("shared_ac"))
     }),
 
+    "q_simhash_dedup" -> ((s, dir) => {
+      // SimHash near-dup dedup, band-bucketed: split the 64-bit simhash into
+      // 8 one-byte bands; by pigeonhole ANY pair within Hamming distance 7
+      // collides in at least one band (7 differing bits touch at most 7 of
+      // the 8 bands) — candidate generation is COMPLETE for the <= 7 ball,
+      // no all-pairs scan. Exact hamming64 refines. The oracle-checkable
+      // projection keeps the seeded identical pairs (hamming 0, guaranteed
+      // found); band completeness for the full <=7 ball is property-tested
+      // in SimhashGateSpec over random signatures.
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val u = base.unionByName(
+        base.select((col("doc_id") + 800000L).as("doc_id"), col("text")))
+      val sigs = u.select(col("doc_id"), simhash64(col("text"), lit(3)).as("sig"))
+      val bands = sigs.select(col("doc_id"), col("sig"),
+        posexplode(array((0 until 8).map(b =>
+          shiftrightunsigned(col("sig"), b * 8).bitwiseAND(lit(0xffL))): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      SelfJoin.pairs(bands, Seq("band", "bucket"), "doc_id", nShards = 4,
+        hotThreshold = 50, censusSampleRate = 1.0)
+        .select(col("doc_id_a").as("a_id"), col("doc_id_b").as("b_id"),
+          hamming64(col("sig_a"), col("sig_b")).as("hd"))
+        .filter(col("hd") <= 7)
+        .distinct()
+        .filter(col("b_id") === col("a_id") + 800000L && col("a_id") < 800000L)
+        .select(col("a_id"), col("b_id"), col("hd"))
+    }),
+
     "q_cosine_lsh" -> ((s, dir) => {
       // SRP-LSH structural contract per embedding, as oracle-checkable
       // booleans: bucket in [0, 2^12); negating the vector flips every sign
@@ -1587,6 +1614,10 @@ object SparkEntry {
     "q_ann_lsh" ->
       """SELECT vec_id AS a_id, vec_id + 100000 AS b_id, CAST(1.0 AS DOUBLE) AS cos
         |FROM embeddings""".stripMargin,
+
+    "q_simhash_dedup" ->
+      """SELECT doc_id AS a_id, doc_id + 800000 AS b_id, CAST(0 AS INTEGER) AS hd
+        |FROM documents""".stripMargin,
 
     "q_h3_props" ->
       s"""SELECT custkey, TRUE AS res12_ok, TRUE AS res5_ok, TRUE AS base_ok,

@@ -28,4 +28,19 @@ class SimhashGateSpec extends AnyFunSuite {
     assert(near <= 20, s"near=$near")
     assert(far >= 16, s"far=$far")
   }
+
+  test("band completeness: any pair within hamming 7 shares a one-byte band " +
+    "(the q_simhash_dedup candidate-generation guarantee)") {
+    val rnd = new scala.util.Random(31337)
+    def bands(sig: Long): Seq[Long] = (0 until 8).map(b => (sig >>> (b * 8)) & 0xff)
+    for (_ <- 0 until 2000) {
+      val x = rnd.nextLong()
+      // flip 0..7 random bits — by pigeonhole at most 7 of 8 bands change
+      val flips = rnd.nextInt(8)
+      var y = x
+      (0 until flips).foreach(_ => y ^= (1L << rnd.nextInt(64)))
+      val shared = bands(x).zip(bands(y)).count { case (p, q) => p == q }
+      assert(shared >= 1, s"x=$x flips=$flips no shared band")
+    }
+  }
 }
