@@ -172,7 +172,12 @@ object SparkEntry {
       val geom = when(col("m") === 0, st_point(lit(1.0), lit(2.0)))
         .when(col("m") === 1, st_makeLine(lit(0.0), lit(0.0), lit(1.0), lit(1.0)))
         .otherwise(st_makeBox(lit(0.0), lit(0.0), lit(1.0), lit(1.0)))
-      c.select(col("c_custkey"), st_geomType(geom).as("gtype"))
+      c.select(col("c_custkey"), st_geomType(geom).as("gtype"),
+        // ingest quarantine predicate: real WKB validates; the same bytes
+        // behind a corrupted byte-order marker (9 is neither BE nor LE) do
+        // not — custkey-dependent input so nothing constant-folds away
+        st_is_valid_wkb(geom).as("valid_ok"),
+        st_is_valid_wkb(concat(lit(Array[Byte](9)), geom)).as("garbage_valid"))
     }),
 
     "q_contains" -> ((s, dir) => {
@@ -1427,7 +1432,8 @@ object SparkEntry {
 
     "q_geom_type" ->
       """SELECT c_custkey, CASE WHEN c_custkey % 3 = 0 THEN 0
-        | WHEN c_custkey % 3 = 1 THEN 1 ELSE 3 END AS gtype FROM customer""".stripMargin,
+        | WHEN c_custkey % 3 = 1 THEN 1 ELSE 3 END AS gtype,
+        | TRUE AS valid_ok, FALSE AS garbage_valid FROM customer""".stripMargin,
 
     "q_contains" ->
       """SELECT c_custkey, (x>10 AND x<60 AND y>10 AND y<60) AS inside,

@@ -78,6 +78,9 @@ object st {
   def st_exterior(wkb: Column): Column = geom1("stExterior", BinaryType, wkb, nullable = true)
   def st_geomType(wkb: Column): Column = geom1("stGeomType", IntegerType, wkb)
   def st_isEmpty(wkb: Column): Column = geom1("stIsEmpty", BooleanType, wkb)
+  /** Ingest-boundary quarantine predicate: do the bytes parse as WKB? The
+   *  other kernels stay fail-fast on malformed input by design. */
+  def st_is_valid_wkb(wkb: Column): Column = geom1("stIsValidWkb", BooleanType, wkb)
   def st_isRing(wkb: Column): Column = geom1("stIsRing", BooleanType, wkb)
   def st_x(wkb: Column): Column = geom1("stX", DoubleType, wkb, nullable = true)
   def st_y(wkb: Column): Column = geom1("stY", DoubleType, wkb, nullable = true)

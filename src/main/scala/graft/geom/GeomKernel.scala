@@ -203,6 +203,15 @@ object GeomKernel {
 
   def stIsEmpty(wkb: Array[Byte]): Boolean = g(wkb).isEmpty
 
+  /** True when the bytes parse as WKB this engine accepts. The geometry
+   *  kernels stay FAIL-FAST on malformed bytes (corruption must not
+   *  silently become NULLs mid-pipeline); this is the ingest-boundary
+   *  quarantine predicate — filter/flag bad rows once at the edge of a
+   *  100-TB corpus, then run the fail-fast kernels on what survives.
+   *  Bypasses the decode memo so a garbage probe never pollutes it. */
+  def stIsValidWkb(wkb: Array[Byte]): Boolean =
+    try { Wkb.read(wkb); true } catch { case _: Exception => false }
+
   /** True for closed features (geoseries.rs:78-83). */
   def stIsRing(wkb: Array[Byte]): Boolean = g(wkb) match {
     case l: LineString => l.isClosed // includes LinearRing

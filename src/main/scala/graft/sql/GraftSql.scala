@@ -32,6 +32,7 @@ object GraftSql {
     "st_exterior" -> (1, a => st.st_exterior(a(0))),
     "st_geomtype" -> (1, a => st.st_geomType(a(0))),
     "st_isempty" -> (1, a => st.st_isEmpty(a(0))),
+    "st_is_valid_wkb" -> (1, a => st.st_is_valid_wkb(a(0))),
     "st_isring" -> (1, a => st.st_isRing(a(0))),
     "st_x" -> (1, a => st.st_x(a(0))),
     "st_y" -> (1, a => st.st_y(a(0))),

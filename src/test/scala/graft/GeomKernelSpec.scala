@@ -112,4 +112,22 @@ class GeomKernelSpec extends AnyFunSuite {
     val p = stGeomFromText(org.apache.spark.unsafe.types.UTF8String.fromString(wkt))
     assert(stLength(p) == 40.0) // JTS getLength would give 48
   }
+
+  test("stIsValidWkb: valid WKB true; fuzz garbage/truncations false, never throw") {
+    val valid = stPoint(3.0, 4.0)
+    assert(stIsValidWkb(valid))
+    assert(stIsValidWkb(stMakeBox(0, 0, 2, 2)))
+    assert(!stIsValidWkb(Array.empty[Byte]))
+    assert(!stIsValidWkb(Array[Byte](9) ++ valid)) // corrupted byte-order marker
+    val rnd = new scala.util.Random(5150)
+    for (_ <- 0 until 500) {
+      val b = rnd.nextInt(3) match {
+        case 0 => java.util.Arrays.copyOf(valid, rnd.nextInt(valid.length))
+        case 1 =>
+          val c = valid.clone(); c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte; c
+        case _ => val c = new Array[Byte](rnd.nextInt(64)); rnd.nextBytes(c); c
+      }
+      stIsValidWkb(b) // contract: boolean either way, never an exception
+    }
+  }
 }
