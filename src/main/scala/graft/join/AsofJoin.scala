@@ -64,6 +64,12 @@ object AsofJoin {
    * [[join]], but the running window partitions by (key, time bucket) so a
    * single hot key spreads over `~timeSpan/bucketWidth` tasks instead of one.
    *
+   * Opt-in, not the default: measured at 4M rows (AsofSkewBench, BENCH.md)
+   * this wins 4.9x when 90% of rows share one key but costs ~2x on
+   * unskewed data (the boundary pass is pure overhead when no key
+   * dominates) — choose by whether one key CAN dominate, or gate on a
+   * cheap key census.
+   *
    * Two passes:
    *  1. within-bucket: the union+window carry-forward of [[join]], partitioned
    *     by (key, bucket). Any right row in the same bucket at-or-before the
