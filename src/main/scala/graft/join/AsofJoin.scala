@@ -134,6 +134,35 @@ object AsofJoin {
     unpack(stitched, "__snap", valueCols).drop("__b", "__carry")
   }
 
+  /**
+   * Self-gating variant: measures the hottest left key on a seeded sample
+   * (one cheap aggregate job over `sampleRate` of the rows — the same
+   * sampled-census pattern as SelfJoin/joinSalted) and picks [[join]] when
+   * no key exceeds `maxKeyRows`, [[joinBucketed]] when one does. This
+   * operationalizes the measured crossover (BENCH.md: bucketed is 4.9x
+   * faster at 90% single-key skew, ~2x slower unskewed) so callers who
+   * cannot know their skew in advance don't have to guess. A borderline
+   * misclassification is harmless either way: both paths return identical
+   * rows, only the constant factor differs.
+   */
+  def joinAuto(left: DataFrame, right: DataFrame,
+               keyCol: String, tsCol: String, valueCols: Seq[String],
+               bucket: Column => Column,
+               maxKeyRows: Long = 10000000L,
+               sampleRate: Double = 0.001): DataFrame = {
+    require(sampleRate > 0 && sampleRate <= 1, "sampleRate in (0, 1]")
+    val hottestSampled = left.sample(withReplacement = false, sampleRate, seed = 42)
+      .groupBy(keyCol).count()
+      .agg(max("count").as("m"))
+      .head().getAs[Any]("m") match {
+        case null => 0L
+        case n: Long => n
+      }
+    if (hottestSampled > maxKeyRows * sampleRate)
+      joinBucketed(left, right, keyCol, tsCol, valueCols, bucket)
+    else join(left, right, keyCol, tsCol, valueCols)
+  }
+
   private def unpack(df: DataFrame, snapCol: String, valueCols: Seq[String]): DataFrame =
     valueCols.foldLeft(df)((d, c) => d.withColumn(c, col(snapCol + "." + c)))
       .drop(snapCol)

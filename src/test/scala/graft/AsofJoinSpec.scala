@@ -73,6 +73,28 @@ class AsofJoinSpec extends SparkSpec {
     assert(plain.count(_._2 != null) > 100 && plain.values.exists(_ == null))
   }
 
+  test("joinAuto picks the bucketed plan under skew, the plain window otherwise") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val right = Seq((7L, ts(0), "r0"), (1L, ts(0), "r1")).toDF("k", "ts", "rv")
+    def leftOf(hot: Boolean) = (0 until 20000).map { i =>
+      val k = if (hot) 7L else 1L + rnd.nextInt(5000)
+      (i.toLong, k, ts(rnd.nextInt(100000).toLong))
+    }.toDF("id", "k", "ts")
+    val bucket = (c: org.apache.spark.sql.Column) =>
+      floor(c.cast("long") / 10L).cast("long")
+    // skewed: every row on key 7 -> sampled hottest ~ 20000*rate >> 1000*rate
+    val skewed = AsofJoin.joinAuto(leftOf(hot = true), right, "k", "ts",
+      Seq("rv"), bucket, maxKeyRows = 1000, sampleRate = 0.05)
+    assert(skewed.queryExecution.optimizedPlan.toString.contains("__b"))
+    assert(skewed.count() == 20000)
+    // uniform: ~4 rows/key -> plain window path (no bucket column anywhere)
+    val uniform = AsofJoin.joinAuto(leftOf(hot = false), right, "k", "ts",
+      Seq("rv"), bucket, maxKeyRows = 1000, sampleRate = 0.05)
+    assert(!uniform.queryExecution.optimizedPlan.toString.contains("__b"))
+    assert(uniform.count() == 20000)
+  }
+
   test("asof column contracts: clash and empty valueCols rejected") {
     import spark.implicits._
     val l = Seq((1L, ts(0), "x")).toDF("k", "ts", "v")
