@@ -208,9 +208,24 @@ object GeomKernel {
    *  silently become NULLs mid-pipeline); this is the ingest-boundary
    *  quarantine predicate — filter/flag bad rows once at the edge of a
    *  100-TB corpus, then run the fail-fast kernels on what survives.
-   *  Bypasses the decode memo so a garbage probe never pollutes it. */
+   *  Bypasses the decode memo so a garbage probe never pollutes it.
+   *
+   *  Defense order matters: JTS's WKBReader pre-allocates arrays straight
+   *  from untrusted count fields, so crafted bytes can throw
+   *  OutOfMemoryError / StackOverflowError — VM errors a `catch Exception`
+   *  misses, killing the executor this predicate exists to protect. So (1)
+   *  [[Wkb.structurallyValid]] bounds every count against the buffer before
+   *  WKBReader sees the bytes, and (2) this one predicate additionally
+   *  catches those two VM errors as belt-and-braces (quarantine only — the
+   *  fail-fast kernels never catch them). */
   def stIsValidWkb(wkb: Array[Byte]): Boolean =
-    try { Wkb.read(wkb); true } catch { case _: Exception => false }
+    Wkb.structurallyValid(wkb) && {
+      try { Wkb.read(wkb); true }
+      catch {
+        case scala.util.control.NonFatal(_) => false
+        case _: OutOfMemoryError | _: StackOverflowError => false
+      }
+    }
 
   /** True for closed features (geoseries.rs:78-83). */
   def stIsRing(wkb: Array[Byte]): Boolean = g(wkb) match {

@@ -127,11 +127,17 @@ object AsofJoin {
       .select(col(keyCol), col("__b"), col("__carry"))
 
     // stitch: within-bucket match wins, else the boundary carry — coalesced
-    // as whole structs, so atomicity survives the two-pass split too
+    // as whole structs, so atomicity survives the two-pass split too.
+    // NULL-SAFE equality (<=>) on the key: the carry window above groups a
+    // null key like any other partition value (matching join()'s window
+    // semantics), so the stitch must deliver its boundary carry too — a
+    // plain equi-join would drop it and the two variants would diverge on
+    // null keys, breaking joinAuto's "both paths identical" contract.
+    val carryR = carry.withColumnRenamed(keyCol, "__ck").withColumnRenamed("__b", "__cb")
     val stitched = inBucket
-      .join(carry, Seq(keyCol, "__b"), "left")
+      .join(carryR, col(keyCol) <=> col("__ck") && col("__b") <=> col("__cb"), "left")
       .withColumn("__snap", coalesce(col("__snap"), col("__carry")))
-    unpack(stitched, "__snap", valueCols).drop("__b", "__carry")
+    unpack(stitched, "__snap", valueCols).drop("__b", "__ck", "__cb", "__carry")
   }
 
   /**
@@ -144,6 +150,11 @@ object AsofJoin {
    * cannot know their skew in advance don't have to guess. A borderline
    * misclassification is harmless either way: both paths return identical
    * rows, only the constant factor differs.
+   *
+   * Both sides are censused: the window task sorts left AND right rows of a
+   * key, so a hyper-hot right-side key (one boilerplate url snapshotted a
+   * billion times) stalls the plain path exactly like a hot left key would —
+   * a left-only census cannot see it.
    */
   def joinAuto(left: DataFrame, right: DataFrame,
                keyCol: String, tsCol: String, valueCols: Seq[String],
@@ -151,13 +162,15 @@ object AsofJoin {
                maxKeyRows: Long = 10000000L,
                sampleRate: Double = 0.001): DataFrame = {
     require(sampleRate > 0 && sampleRate <= 1, "sampleRate in (0, 1]")
-    val hottestSampled = left.sample(withReplacement = false, sampleRate, seed = 42)
-      .groupBy(keyCol).count()
-      .agg(max("count").as("m"))
-      .head().getAs[Any]("m") match {
-        case null => 0L
-        case n: Long => n
-      }
+    def hottest(df: DataFrame): Long =
+      df.select(col(keyCol)).sample(withReplacement = false, sampleRate, seed = 42)
+        .groupBy(keyCol).count()
+        .agg(max("count").as("m"))
+        .head().getAs[Any]("m") match {
+          case null => 0L
+          case n: Long => n
+        }
+    val hottestSampled = math.max(hottest(left), hottest(right))
     if (hottestSampled > maxKeyRows * sampleRate)
       joinBucketed(left, right, keyCol, tsCol, valueCols, bucket)
     else join(left, right, keyCol, tsCol, valueCols)

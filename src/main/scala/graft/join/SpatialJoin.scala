@@ -27,9 +27,12 @@ final class PreparedCover private[join](
     private[join] val cells: DataFrame,
     val cellLevel: Int,
     val rSuffix: String,
-    private[join] val rightCols: Seq[String]) {
-  /** Number of (polygon, cell) covering rows materialized. */
-  def coveringRows: Long = cells.count()
+    private[join] val rightCols: Seq[String],
+    forcedCount: Option[Long] = None) {
+  /** Number of (polygon, cell) covering rows materialized. `prepare` already
+   *  forces a count to pin row ids — reuse it rather than re-running the job
+   *  per call (even against the cache that is a full pass over the blocks). */
+  lazy val coveringRows: Long = forcedCount.getOrElse(cells.count())
   /** Release the persisted covering blocks. */
   def unpersist(): Unit = { cells.unpersist(); () }
 }
@@ -132,8 +135,8 @@ object SpatialJoin {
     val r = suffixed(right, rSuffix).withColumn("__ridx", monotonically_increasing_id())
     val cells = r.withColumn("__cell_r",
       explode(cellsFor(col("geometry" + rSuffix), cellLevel))).persist()
-    cells.count() // force: pins row ids, makes later join plans Generate-free
-    new PreparedCover(cells, cellLevel, rSuffix, right.columns.toSeq)
+    val n = cells.count() // force: pins row ids, makes later join plans Generate-free
+    new PreparedCover(cells, cellLevel, rSuffix, right.columns.toSeq, Some(n))
   }
 
   /**

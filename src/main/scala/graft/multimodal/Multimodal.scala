@@ -32,24 +32,33 @@ object Multimodal {
   trait MediaCodec extends Serializable {
     /** Decode one payload to a fixed-dim feature vector; None = corrupt. */
     def decode(media: Array[Byte], meta: MediaMeta): Option[Array[Float]]
+    /** Width of the `features` arrays this codec EMITS (padding included). */
     def featureDim: Int
+    /** True dim of this row's modality — entries past it are padding. */
+    def dimFor(meta: MediaMeta): Int = featureDim
   }
 
   /**
    * Routes each row to the real codec for its modality and pads the feature
    * vector to a uniform width so one output schema serves a mixed table.
    * Unknown kinds and undecodable payloads report as corrupt (None).
+   *
+   * `featureDim` is the MAX of the routed codecs' dims (never truncates — a
+   * future wider codec fails loudly at the require, instead of silently
+   * losing features), and `dimFor` reports the routed codec's own dim so
+   * consumers can tell real features from padding (audio emits 6 of 8).
    */
   object DispatchCodec extends MediaCodec {
-    val featureDim = 8
+    private val routes: Map[String, MediaCodec] =
+      Map("image" -> ImageIoCodec, "audio" -> WavCodec, "video" -> AviDibCodec)
+    val featureDim: Int = routes.valuesIterator.map(_.featureDim).max
+    override def dimFor(meta: MediaMeta): Int =
+      routes.get(meta.kind).map(_.featureDim).getOrElse(0)
     def decode(media: Array[Byte], meta: MediaMeta): Option[Array[Float]] = {
-      val codec = meta.kind match {
-        case "image" => ImageIoCodec
-        case "audio" => WavCodec
-        case "video" => AviDibCodec
-        case _ => return None
-      }
+      val codec = routes.getOrElse(meta.kind, return None)
       codec.decode(media, meta).map { f =>
+        require(f.length <= featureDim,
+          s"codec for '${meta.kind}' emitted ${f.length} features > dispatcher width $featureDim")
         if (f.length == featureDim) f else java.util.Arrays.copyOf(f, featureDim)
       }
     }
@@ -94,9 +103,11 @@ object Multimodal {
       // per-partition codec setup happens here (real codecs open handles)
       val c = codec
       rows.map { r =>
+        // featureDim records the MODALITY's true dim (entries past it in the
+        // uniformly-padded array are padding), not the dispatcher's width
         c.decode(r.media, r.meta) match {
-          case Some(f) => MediaFeatures(r.doc_id, r.meta.kind, c.featureDim, f, decodeOk = true)
-          case None => MediaFeatures(r.doc_id, r.meta.kind, c.featureDim,
+          case Some(f) => MediaFeatures(r.doc_id, r.meta.kind, c.dimFor(r.meta), f, decodeOk = true)
+          case None => MediaFeatures(r.doc_id, r.meta.kind, c.dimFor(r.meta),
             Array.empty[Float], decodeOk = false)
         }
       }

@@ -52,7 +52,7 @@ object CellStore {
   }
 
   /**
-   * `read_file`-shaped entry point (reference: py-geopolars io/file.py:15-90)
+   * `read_file`-shaped entry point (reference: py-geopolars io/file.py:15-107)
    * with every selective parameter mapped to a Catalyst pushdown:
    *
    *   columns       -> select: column pruning reaches the parquet ReadSchema
@@ -61,7 +61,25 @@ object CellStore {
    *                    reference's OGR fallback path, the bbox result is a
    *                    covering SUPERSET (bounding-box grain) — combine with
    *                    `where` for exact geometric bounds
-   *   maxFeatures   -> limit
+   *   maxFeatures   -> limit (clamped to Int.MaxValue: limit(n) past the row
+   *                    count is a no-op, so the clamp preserves semantics for
+   *                    any Long request instead of wrapping negative)
+   *   fids          -> IN-list filter on the table's feature-id column
+   *                    (pushed to the scan). OGR FIDs are driver-specific
+   *                    (file.py:83-87: "starting index is driver and file
+   *                    specific"); this engine's driver-specific FID is an
+   *                    explicit long column, named by `fidCol`. Like the
+   *                    reference, fids cannot combine with where/bbox/
+   *                    maxFeatures (file.py:80-82).
+   *   sql           -> full Spark SQL over the table registered as a temp
+   *                    view named `sqlView` (file.py:104 `sql=`). The only
+   *                    accepted `sql_dialect` is "spark" — OGRSQL/SQLITE are
+   *                    OGR-engine dialects with no distributed counterpart,
+   *                    and silently mis-parsing them would be worse than
+   *                    refusing. As in the reference, `sql` replaces
+   *                    columns/where/bbox/fids selection.
+   *   returnFids    -> appends the FID column as `fid` (file.py:88-89) even
+   *                    when `columns` did not list it.
    *
    * `skip_features` is deliberately absent: it assumes OGR's sequential
    * row order, which a distributed table does not have.
@@ -71,16 +89,42 @@ object CellStore {
                where: Option[String] = None,
                bbox: Option[(Double, Double, Double, Double)] = None,
                maxFeatures: Option[Long] = None,
-               partLevel: Int = 4): DataFrame = {
-    var df = bbox match {
-      case Some((minLat, minLon, maxLat, maxLon)) =>
-        readBbox(spark, path, minLat, minLon, maxLat, maxLon, partLevel)
-      case None => spark.read.parquet(path)
+               partLevel: Int = 4,
+               fids: Option[Seq[Long]] = None,
+               sql: Option[String] = None,
+               sqlDialect: String = "spark",
+               sqlView: String = "read_file",
+               fidCol: String = "fid",
+               returnFids: Boolean = false): DataFrame = {
+    require(sqlDialect == "spark",
+      s"sql_dialect '$sqlDialect' not supported: this engine executes Spark SQL only")
+    require(fids.isEmpty || (where.isEmpty && bbox.isEmpty && maxFeatures.isEmpty),
+      "fids cannot be combined with where/bbox/maxFeatures (read_file contract)")
+    require(sql.isEmpty || (columns.isEmpty && where.isEmpty && bbox.isEmpty && fids.isEmpty),
+      "sql replaces columns/where/bbox/fids selection (read_file contract)")
+
+    sql match {
+      case Some(q) =>
+        spark.read.parquet(path).createOrReplaceTempView(sqlView)
+        var out = spark.sql(q)
+        maxFeatures.foreach(n => out = out.limit(math.min(n, Int.MaxValue.toLong).toInt))
+        out
+      case None =>
+        var df = bbox match {
+          case Some((minLat, minLon, maxLat, maxLon)) =>
+            readBbox(spark, path, minLat, minLon, maxLat, maxLon, partLevel)
+          case None => spark.read.parquet(path)
+        }
+        fids.foreach(ids => df = df.filter(col(fidCol).isin(ids: _*)))
+        where.foreach(w => df = df.filter(expr(w)))
+        if (columns.nonEmpty) {
+          val cols = if (returnFids && !columns.contains(fidCol)) columns :+ fidCol else columns
+          df = df.select(cols.map(col): _*)
+        }
+        if (returnFids) df = df.withColumn("fid", col(fidCol))
+        maxFeatures.foreach(n => df = df.limit(math.min(n, Int.MaxValue.toLong).toInt))
+        df
     }
-    where.foreach(w => df = df.filter(expr(w)))
-    if (columns.nonEmpty) df = df.select(columns.map(col): _*)
-    maxFeatures.foreach(n => df = df.limit(n.toInt))
-    df
   }
 
   /**

@@ -83,18 +83,31 @@ object SpatialJoinRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** True when some conjunct is a cross-side equality the planner can hash
+   *  on — EqualTo OR EqualNullSafe (ExtractEquiJoinKeys accepts both), e.g.
+   *  joinWithin's cell-bucketed form or a business-key equi-join with a
+   *  distance refinement. Such joins plan as hash joins by themselves and
+   *  the rewrite must leave them alone. */
+  private def hasHashableConjunct(cond: Expression, l: LogicalPlan, r: LogicalPlan): Boolean =
+    conjuncts(cond).exists { c =>
+      val ab = c match {
+        case EqualTo(a, b) => Some((a, b))
+        case EqualNullSafe(a, b) => Some((a, b))
+        case _ => None
+      }
+      ab.exists { case (a, b) =>
+        a.references.nonEmpty && b.references.nonEmpty &&
+          ((a.references.subsetOf(l.outputSet) && b.references.subsetOf(r.outputSet)) ||
+            (b.references.subsetOf(l.outputSet) && a.references.subsetOf(r.outputSet)))
+      }
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     // the rewrite only rescues joins the planner has NOTHING to hash on: a
     // condition already carrying a cross-side equality conjunct (e.g.
     // joinWithin's cell-bucketed form, or a business-key equi-join with a
     // distance refinement) plans as a hash join by itself and is left alone
-    case j @ Join(l, r, Inner, Some(cond), _)
-      if !conjuncts(cond).exists {
-        case EqualTo(a, b) if a.references.nonEmpty && b.references.nonEmpty =>
-          (a.references.subsetOf(l.outputSet) && b.references.subsetOf(r.outputSet)) ||
-            (b.references.subsetOf(l.outputSet) && a.references.subsetOf(r.outputSet))
-        case _ => false
-      } =>
+    case j @ Join(l, r, Inner, Some(cond), _) if !hasHashableConjunct(cond, l, r) =>
       val hit = conjuncts(cond).iterator.map(asDwithin).collectFirst {
         case Some((a, b, d)) if d >= 0 &&
           a.references.subsetOf(l.outputSet) && b.references.subsetOf(r.outputSet) =>
@@ -151,7 +164,10 @@ object SpatialJoinRule extends Rule[LogicalPlan] {
     val (lGen, lIdx, lCell) = sideWithCells(l, lg, 0.0, "l")
     val (rGen, rIdx, rCell) = sideWithCells(r, rg, radius, "r")
 
-    val bucketed = Join(lGen, rGen, Inner, Some(EqualTo(lCell, rCell)), JoinHint.NONE)
+    // carry the user's join hint (e.g. broadcast on one side) — the sides
+    // are the same relations, only wrapped in Project+Generate, so the hint
+    // still means what the user meant
+    val bucketed = Join(lGen, rGen, Inner, Some(EqualTo(lCell, rCell)), j.hint)
     val refined = Filter(cond, bucketed) // the FULL original predicate refines
     // two geometries can share several covering cells -> a pair meets once
     // per shared cell; collapse to one row per (l-row, r-row). Spark's own

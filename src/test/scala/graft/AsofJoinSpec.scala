@@ -73,6 +73,39 @@ class AsofJoinSpec extends SparkSpec {
     assert(plain.count(_._2 != null) > 100 && plain.values.exists(_ == null))
   }
 
+  test("null keys: joinBucketed matches join (null-safe stitch, ADVICE r4)") {
+    import spark.implicits._
+    // window partitioning groups a null key like any value, so null-key left
+    // rows must match null-key right snapshots on BOTH paths — including
+    // rows resolved by the boundary-carry pass (right at t=5, left at t=100:
+    // different 10s buckets, so only the carry can deliver it)
+    val left = Seq((1L, Option(7L), ts(100)), (2L, Option.empty[Long], ts(100)),
+      (3L, Option.empty[Long], ts(3))).toDF("id", "k", "ts")
+    val right = Seq((Option(7L), ts(5), "seven"), (Option.empty[Long], ts(5), "nullsnap"))
+      .toDF("k", "ts", "rv")
+    val expect = Map(1L -> "seven", 2L -> "nullsnap", 3L -> null)
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "rv").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(res(AsofJoin.join(left, right, "k", "ts", Seq("rv"))) == expect)
+    assert(res(AsofJoin.joinBucketed(left, right, "k", "ts", Seq("rv"),
+      c => floor(c.cast("long") / 10L).cast("long"))) == expect)
+  }
+
+  test("joinAuto censuses the RIGHT side too (hot right key -> bucketed)") {
+    import spark.implicits._
+    // left is tiny and uniform; right has one key with 20k snapshots — the
+    // plain window would sort all of them in ONE task. A left-only census
+    // sees nothing; the fixed census must still pick the bucketed path.
+    val left = Seq((1L, 7L, ts(999999))).toDF("id", "k", "ts")
+    val right = (0 until 20000).map(i => (7L, ts(i.toLong * 7), s"s$i"))
+      .toDF("k", "ts", "rv")
+    val out = AsofJoin.joinAuto(left, right, "k", "ts", Seq("rv"),
+      c => floor(c.cast("long") / 1000L).cast("long"),
+      maxKeyRows = 1000, sampleRate = 0.05)
+    assert(out.queryExecution.optimizedPlan.toString.contains("__b"))
+    assert(out.collect().head.getAs[String]("rv") == "s19999")
+  }
+
   test("joinAuto picks the bucketed plan under skew, the plain window otherwise") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -80,8 +80,44 @@ class CellStoreSpec extends SparkSpec {
     assert(!plan.contains("text"), "projection pruning failed: text still read")
     // maxFeatures -> a plain limit
     assert(CellStore.readFile(spark, path, maxFeatures = Some(7)).count() == 7)
+    // maxFeatures beyond Int.MaxValue clamps instead of wrapping negative
+    assert(CellStore.readFile(spark, path,
+      maxFeatures = Some(Long.MaxValue)).count() == geo.count())
     // no bbox, no where: whole relation
     assert(CellStore.readFile(spark, path).count() == geo.count())
+  }
+
+  test("readFile: fids/sql/return_fids map honestly (io/file.py:27-30,104-107)") {
+    val path = Files.createTempDirectory("readfile_fids").toString
+    val geo = Pages.geocode(Pages.generate(spark, 500, 42, 4), Pages.gazetteer(spark))
+      .select("url", "lang", "lat", "lon", "s2_cell")
+      .withColumn("fid", xxhash64(col("url"))) // engine's driver-specific FID
+    CellStore.write(geo, path, partLevel = 4)
+    val someFids = geo.select("fid").limit(5).collect().map(_.getLong(0)).toSeq
+
+    // fids -> IN-list pushdown on the fid column, exactly those rows back
+    val byFid = CellStore.readFile(spark, path, fids = Some(someFids))
+    assert(byFid.select("fid").collect().map(_.getLong(0)).toSet == someFids.toSet)
+    assert(byFid.queryExecution.executedPlan.toString.contains("In(fid"),
+      "fids filter not pushed to the scan")
+    // fids cannot combine with where/bbox/maxFeatures (reference contract)
+    intercept[IllegalArgumentException] {
+      CellStore.readFile(spark, path, fids = Some(someFids), where = Some("lang='en'"))
+    }
+
+    // sql -> full Spark SQL over the registered view; dialect guard refuses
+    val bySql = CellStore.readFile(spark, path,
+      sql = Some("SELECT lang, count(*) AS n FROM read_file GROUP BY lang"))
+    assert(bySql.collect().map(_.getLong(1)).sum == 500L)
+    intercept[IllegalArgumentException] {
+      CellStore.readFile(spark, path, sql = Some("SELECT 1"), sqlDialect = "OGRSQL")
+    }
+
+    // return_fids appends fid even when columns omitted it
+    val rf = CellStore.readFile(spark, path, columns = Seq("url", "lang"),
+      fidCol = "fid", returnFids = true)
+    assert(rf.columns.contains("fid") && rf.columns.contains("url"))
+    assert(rf.count() == 500)
   }
 
   test("bucketed tables join with zero exchanges (co-located join layout)") {

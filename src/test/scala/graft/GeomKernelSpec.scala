@@ -130,4 +130,35 @@ class GeomKernelSpec extends AnyFunSuite {
       stIsValidWkb(b) // contract: boolean either way, never an exception
     }
   }
+
+  test("stIsValidWkb: hostile count fields and deep nesting rejected before " +
+    "JTS can OOM/stack-overflow (ADVICE r4)") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // LineString claiming 2^30 points in a 20-byte buffer: WKBReader would
+    // allocate the coordinate array from the count (8 GiB) before reading a
+    // single coordinate — the pre-scanner must bound it against the buffer
+    val hugeCount = ByteBuffer.allocate(9 + 16).order(ByteOrder.LITTLE_ENDIAN)
+      .put(1.toByte).putInt(2).putInt(1 << 30).putDouble(0).putDouble(0).array()
+    assert(!graft.geom.Wkb.structurallyValid(hugeCount))
+    assert(!stIsValidWkb(hugeCount))
+    // same attack on a polygon ring count
+    val hugeRings = ByteBuffer.allocate(9 + 8).order(ByteOrder.LITTLE_ENDIAN)
+      .put(1.toByte).putInt(3).putInt(Int.MinValue).array()
+    assert(!stIsValidWkb(hugeRings))
+    // 64 nested GeometryCollection(1) headers then a point: deeper than
+    // MaxNestingDepth -> rejected (JTS would recurse once per level)
+    val deep = ByteBuffer.allocate(64 * 9 + 5 + 16).order(ByteOrder.LITTLE_ENDIAN)
+    (0 until 64).foreach(_ => deep.put(1.toByte).putInt(7).putInt(1))
+    deep.put(1.toByte).putInt(1).putDouble(1).putDouble(2)
+    assert(!stIsValidWkb(deep.array()))
+    // leniency parity with WKBReader: trailing bytes after a complete
+    // geometry are ignored, and big-endian + nested multis still pass
+    assert(stIsValidWkb(stPoint(1, 2) ++ Array[Byte](0, 1, 2, 3)))
+    val mp = graft.geom.Wkb.write(graft.geom.Wkb.readWkt(
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((2 2, 3 2, 3 3, 2 2)))"))
+    assert(stIsValidWkb(mp) && graft.geom.Wkb.structurallyValid(mp))
+    val be = ByteBuffer.allocate(21).order(ByteOrder.BIG_ENDIAN)
+      .put(0.toByte).putInt(1).putDouble(3).putDouble(4).array()
+    assert(stIsValidWkb(be))
+  }
 }

@@ -39,6 +39,23 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(cf.length == 1 && !cf(0).decodeOk && cf(0).features.isEmpty)
   }
 
+  test("multimodal: featureDim reports the modality's true dim, pad never truncates (ADVICE r4)") {
+    import graft.multimodal.{WavCodec, ImageIoCodec, AviDibCodec}
+    // dispatcher width = max of routed codecs (pad-only by construction)
+    assert(Multimodal.DispatchCodec.featureDim ==
+      Seq(WavCodec, ImageIoCodec, AviDibCodec).map(_.featureDim).max)
+    val feats = Multimodal.extractFeatures(
+      Multimodal.generate(spark, 60, seed = 5, numPartitions = 2)).collect()
+    // audio rows: array padded to dispatcher width, featureDim = WavCodec's 6,
+    // and the pad region is zeros — consumers can split real from padding
+    val audio = feats.filter(_.kind == "audio")
+    assert(audio.nonEmpty && audio.forall(f =>
+      f.featureDim == WavCodec.featureDim &&
+        f.features.length == Multimodal.DispatchCodec.featureDim &&
+        f.features.drop(f.featureDim).forall(_ == 0f)))
+    assert(feats.filter(_.kind == "image").forall(_.featureDim == ImageIoCodec.featureDim))
+  }
+
   test("multimodal: derived metadata columns (aspect, frame sampling, payload size)") {
     val media = Multimodal.generate(spark, 30, 5, 2).toDF()
     val derived = Multimodal.withDerivedMeta(media)
