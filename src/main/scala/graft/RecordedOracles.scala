@@ -133,4 +133,113 @@ object RecordedOracles {
       | CAST(cell_census AS BIGINT) AS cell_census,
       | CAST(tile_census AS BIGINT) AS tile_census, in_box_ok
       |FROM v""".stripMargin
+
+  // ===== reference golden-dataset pins (r5) =====
+  // Generated by graft.tools.RefDataGen from the engine's own output over
+  // the reference's real Arrow files; independently cross-checked by
+  // scripts/check_refdata.py (pure-Python WKB/shoelace/hull/ray-casting,
+  // all values within 1 integer quantum). Regenerate only on a deliberate
+  // kernel change, then re-run the cross-check.
+
+  val refCitiesSql: String =
+      """WITH v(dataset, n, sum_x_micro, sum_y_micro, sum_tx_micro, sum_ty_micro) AS (VALUES
+      |('cities', 202, 4333740915, 3636372208, 6353740915, 5656372208), ('naturalearth_cities', 243, 4984045036, 4392433785, 7414045035, 6822433782))
+      |SELECT dataset,
+      | CAST(n AS BIGINT) AS n,
+      | CAST(sum_x_micro AS BIGINT) AS sum_x_micro,
+      | CAST(sum_y_micro AS BIGINT) AS sum_y_micro,
+      | CAST(sum_tx_micro AS BIGINT) AS sum_tx_micro,
+      | CAST(sum_ty_micro AS BIGINT) AS sum_ty_micro
+      |FROM v""".stripMargin
+
+  val refNybbSql: String =
+      """WITH v(boro_code, boro_name, area_milli, cx_micro, cy_micro, hull_milli, n_parts, esri_area_ok, esri_len_ok) AS (VALUES
+      |(5, 'Staten Island', 1623821996707, 941639450388, 150931991141, 2062719587461, 4, TRUE, TRUE), (4, 'Queens', 3045213694323, 1034578078406, 197116604230, 5229324762830, 18, TRUE, TRUE), (3, 'Brooklyn', 1937478349332, 998769114689, 174169760727, 2509323205502, 27, TRUE, TRUE),
+      |(1, 'Manhattan', 636471237967, 993336964938, 222451436725, 1098706541503, 33, TRUE, TRUE), (2, 'Bronx', 1186926294337, 1021174789767, 249937980070, 1658522106118, 24, TRUE, TRUE))
+      |SELECT CAST(boro_code AS INT) AS boro_code,
+      | boro_name,
+      | CAST(area_milli AS BIGINT) AS area_milli,
+      | CAST(cx_micro AS BIGINT) AS cx_micro,
+      | CAST(cy_micro AS BIGINT) AS cy_micro,
+      | CAST(hull_milli AS BIGINT) AS hull_milli,
+      | CAST(n_parts AS BIGINT) AS n_parts,
+      | esri_area_ok,
+      | esri_len_ok
+      |FROM v""".stripMargin
+
+  val refCountriesSql: String =
+      """WITH v(continent, n, sum_area_micro, minx_micro, maxy_micro, pop, n_iso) AS (VALUES
+      |('South America', 13, 1547957690, -81410943, 12437303, 427066661, 13), ('Seven seas (open ocean)', 1, 1432928, 68720000, -48625000, 140, 1), ('Antarctica', 1, 6028836194, -180000000, -63270660, 4490, 1),
+      |('Africa', 51, 2562302018, -17625043, 37349994, 1306370215, 51), ('Oceania', 7, 769921439, -180000000, -2500002, 41204874, 7), ('Asia', 47, 3074332219, 26043351, 55385250, 4550277153, 47),
+      |('Europe', 39, 3759914027, -180000000, 81250400, 745412452, 39), ('North America', 18, 3752294476, -171791111, 83645130, 583756036, 18))
+      |SELECT continent,
+      | CAST(n AS BIGINT) AS n,
+      | CAST(sum_area_micro AS BIGINT) AS sum_area_micro,
+      | CAST(minx_micro AS BIGINT) AS minx_micro,
+      | CAST(maxy_micro AS BIGINT) AS maxy_micro,
+      | CAST(pop AS BIGINT) AS pop,
+      | CAST(n_iso AS BIGINT) AS n_iso
+      |FROM v""".stripMargin
+
+  val refSjoinSql: String =
+      """WITH v(country, n_cities, first_city, last_city) AS (VALUES
+      |('Afghanistan', 1, 'Kabul', 'Kabul'), ('Albania', 1, 'Tirana', 'Tirana'), ('Algeria', 1, 'Algiers', 'Algiers'),
+      |('Angola', 1, 'Luanda', 'Luanda'), ('Argentina', 1, 'Buenos Aires', 'Buenos Aires'), ('Armenia', 1, 'Yerevan', 'Yerevan'),
+      |('Australia', 3, 'Canberra', 'Sydney'), ('Austria', 2, 'Vaduz', 'Vienna'), ('Azerbaijan', 1, 'Baku', 'Baku'),
+      |('Bangladesh', 1, 'Dhaka', 'Dhaka'), ('Belarus', 1, 'Minsk', 'Minsk'), ('Belgium', 1, 'Brussels', 'Brussels'),
+      |('Belize', 1, 'Belmopan', 'Belmopan'), ('Benin', 2, 'Cotonou', 'Porto-Novo'), ('Bhutan', 1, 'Thimphu', 'Thimphu'),
+      |('Bolivia', 2, 'La Paz', 'Sucre'), ('Bosnia and Herz.', 1, 'Sarajevo', 'Sarajevo'), ('Botswana', 1, 'Gaborone', 'Gaborone'),
+      |('Brazil', 3, 'Brasília', 'São Paulo'), ('Brunei', 1, 'Bandar Seri Begawan', 'Bandar Seri Begawan'), ('Bulgaria', 1, 'Sofia', 'Sofia'),
+      |('Burkina Faso', 1, 'Ouagadougou', 'Ouagadougou'), ('Burundi', 1, 'Bujumbura', 'Bujumbura'), ('Cambodia', 1, 'Phnom Penh', 'Phnom Penh'),
+      |('Cameroon', 1, 'Yaoundé', 'Yaoundé'), ('Canada', 3, 'Ottawa', 'Vancouver'), ('Central African Rep.', 1, 'Bangui', 'Bangui'),
+      |('Chad', 1, 'N''Djamena', 'N''Djamena'), ('Chile', 2, 'Santiago', 'Valparaíso'), ('China', 5, 'Beijing', 'Ürümqi'),
+      |('Colombia', 1, 'Bogota', 'Bogota'), ('Costa Rica', 1, 'San José', 'San José'), ('Croatia', 1, 'Zagreb', 'Zagreb'),
+      |('Cuba', 1, 'Havana', 'Havana'), ('Czechia', 1, 'Prague', 'Prague'), ('Côte d''Ivoire', 2, 'Abidjan', 'Yamoussoukro'),
+      |('Dem. Rep. Congo', 2, 'Brazzaville', 'Kinshasa'), ('Denmark', 1, 'København', 'København'), ('Dominican Rep.', 1, 'Santo Domingo', 'Santo Domingo'),
+      |('Ecuador', 1, 'Quito', 'Quito'), ('Egypt', 1, 'Cairo', 'Cairo'), ('El Salvador', 1, 'San Salvador', 'San Salvador'),
+      |('Eritrea', 1, 'Asmara', 'Asmara'), ('Estonia', 1, 'Tallinn', 'Tallinn'), ('Ethiopia', 1, 'Addis Ababa', 'Addis Ababa'),
+      |('Fiji', 1, 'Suva', 'Suva'), ('Finland', 1, 'Helsinki', 'Helsinki'), ('France', 4, 'Andorra', 'Paris'),
+      |('Gabon', 1, 'Libreville', 'Libreville'), ('Gambia', 1, 'Banjul', 'Banjul'), ('Georgia', 1, 'Tbilisi', 'Tbilisi'),
+      |('Germany', 1, 'Berlin', 'Berlin'), ('Ghana', 1, 'Accra', 'Accra'), ('Greece', 1, 'Athens', 'Athens'),
+      |('Guatemala', 1, 'Guatemala City', 'Guatemala City'), ('Guinea', 1, 'Conakry', 'Conakry'), ('Guinea-Bissau', 1, 'Bissau', 'Bissau'),
+      |('Guyana', 1, 'Georgetown', 'Georgetown'), ('Haiti', 1, 'Port-au-Prince', 'Port-au-Prince'), ('Honduras', 1, 'Tegucigalpa', 'Tegucigalpa'),
+      |('Hungary', 1, 'Budapest', 'Budapest'), ('Iceland', 1, 'Reykjavík', 'Reykjavík'), ('India', 4, 'Bengaluru', 'New Delhi'),
+      |('Indonesia', 1, 'Jakarta', 'Jakarta'), ('Iran', 1, 'Tehran', 'Tehran'), ('Iraq', 1, 'Baghdad', 'Baghdad'),
+      |('Ireland', 1, 'Dublin', 'Dublin'), ('Israel', 1, 'Tel Aviv', 'Tel Aviv'), ('Italy', 3, 'Rome', 'Vatican City'),
+      |('Jamaica', 1, 'Kingston', 'Kingston'), ('Japan', 3, '?saka', 'Tokyo'), ('Jordan', 1, 'Amman', 'Amman'),
+      |('Kazakhstan', 1, 'Nur-Sultan', 'Nur-Sultan'), ('Kenya', 1, 'Nairobi', 'Nairobi'), ('Kosovo', 1, 'Pristina', 'Pristina'),
+      |('Kuwait', 1, 'Kuwait City', 'Kuwait City'), ('Kyrgyzstan', 1, 'Bishkek', 'Bishkek'), ('Laos', 1, 'Vientiane', 'Vientiane'),
+      |('Latvia', 1, 'Riga', 'Riga'), ('Lebanon', 1, 'Beirut', 'Beirut'), ('Lesotho', 1, 'Maseru', 'Maseru'),
+      |('Liberia', 1, 'Monrovia', 'Monrovia'), ('Lithuania', 1, 'Vilnius', 'Vilnius'), ('Luxembourg', 1, 'Luxembourg', 'Luxembourg'),
+      |('Madagascar', 1, 'Antananarivo', 'Antananarivo'), ('Malawi', 1, 'Lilongwe', 'Lilongwe'), ('Malaysia', 3, 'Kuala Lumpur', 'Singapore'),
+      |('Mali', 1, 'Bamako', 'Bamako'), ('Mauritania', 1, 'Nouakchott', 'Nouakchott'), ('Mexico', 2, 'Mexico City', 'Monterrey'),
+      |('Moldova', 1, 'Chi?in?u', 'Chi?in?u'), ('Mongolia', 1, 'Ulaanbaatar', 'Ulaanbaatar'), ('Montenegro', 1, 'Podgorica', 'Podgorica'),
+      |('Morocco', 3, 'Casablanca', 'Rabat'), ('Mozambique', 1, 'Maputo', 'Maputo'), ('Myanmar', 2, 'Naypyidaw', 'Yangon'),
+      |('N. Cyprus', 1, 'Nicosia', 'Nicosia'), ('Namibia', 1, 'Windhoek', 'Windhoek'), ('Nepal', 1, 'Kathmandu', 'Kathmandu'),
+      |('Netherlands', 2, 'Amsterdam', 'The Hague'), ('New Zealand', 2, 'Auckland', 'Wellington'), ('Nicaragua', 1, 'Managua', 'Managua'),
+      |('Niger', 1, 'Niamey', 'Niamey'), ('Nigeria', 2, 'Abuja', 'Lagos'), ('North Korea', 1, 'Pyongyang', 'Pyongyang'),
+      |('North Macedonia', 1, 'Skopje', 'Skopje'), ('Norway', 1, 'Oslo', 'Oslo'), ('Oman', 1, 'Muscat', 'Muscat'),
+      |('Pakistan', 1, 'Islamabad', 'Islamabad'), ('Palestine', 1, 'Jerusalem', 'Jerusalem'), ('Panama', 1, 'Panama City', 'Panama City'),
+      |('Papua New Guinea', 1, 'Port Moresby', 'Port Moresby'), ('Paraguay', 1, 'Asunción', 'Asunción'), ('Peru', 1, 'Lima', 'Lima'),
+      |('Philippines', 2, 'Baguio', 'Manila'), ('Poland', 1, 'Warsaw', 'Warsaw'), ('Portugal', 1, 'Lisbon', 'Lisbon'),
+      |('Qatar', 1, 'Doha', 'Doha'), ('Romania', 1, 'Bucharest', 'Bucharest'), ('Russia', 1, 'Moscow', 'Moscow'),
+      |('Rwanda', 1, 'Kigali', 'Kigali'), ('S. Sudan', 1, 'Juba', 'Juba'), ('Saudi Arabia', 1, 'Riyadh', 'Riyadh'),
+      |('Senegal', 1, 'Dakar', 'Dakar'), ('Serbia', 1, 'Belgrade', 'Belgrade'), ('Slovakia', 1, 'Bratislava', 'Bratislava'),
+      |('Slovenia', 1, 'Ljubljana', 'Ljubljana'), ('Solomon Is.', 1, 'Honiara', 'Honiara'), ('Somalia', 1, 'Mogadishu', 'Mogadishu'),
+      |('Somaliland', 1, 'Hargeisa', 'Hargeisa'), ('South Africa', 4, 'Bloemfontein', 'Pretoria'), ('South Korea', 1, 'Seoul', 'Seoul'),
+      |('Spain', 1, 'Madrid', 'Madrid'), ('Sri Lanka', 2, 'Colombo', 'Sri Jayawardenepura Kotte'), ('Sudan', 1, 'Khartoum', 'Khartoum'),
+      |('Suriname', 1, 'Paramaribo', 'Paramaribo'), ('Sweden', 1, 'Stockholm', 'Stockholm'), ('Switzerland', 1, 'Bern', 'Bern'),
+      |('Syria', 1, 'Damascus', 'Damascus'), ('Taiwan', 1, 'Taipei', 'Taipei'), ('Tajikistan', 1, 'Dushanbe', 'Dushanbe'),
+      |('Tanzania', 2, 'Dar es Salaam', 'Dodoma'), ('Thailand', 1, 'Bangkok', 'Bangkok'), ('Timor-Leste', 1, 'Dili', 'Dili'),
+      |('Togo', 1, 'Lomé', 'Lomé'), ('Trinidad and Tobago', 1, 'Port-of-Spain', 'Port-of-Spain'), ('Tunisia', 1, 'Tunis', 'Tunis'),
+      |('Turkey', 1, 'Ankara', 'Ankara'), ('Turkmenistan', 1, 'Ashgabat', 'Ashgabat'), ('Uganda', 1, 'Kampala', 'Kampala'),
+      |('Ukraine', 1, 'Kyiv', 'Kyiv'), ('United Arab Emirates', 2, 'Abu Dhabi', 'Dubai'), ('United Kingdom', 1, 'London', 'London'),
+      |('United States of America', 9, 'Atlanta', 'Washington,  D.C.'), ('Uzbekistan', 1, 'Tashkent', 'Tashkent'), ('Venezuela', 1, 'Caracas', 'Caracas'),
+      |('Vietnam', 1, 'Hanoi', 'Hanoi'), ('W. Sahara', 1, 'Bir Lehlou', 'Bir Lehlou'), ('Yemen', 1, 'Sanaa', 'Sanaa'),
+      |('Zambia', 1, 'Lusaka', 'Lusaka'), ('Zimbabwe', 1, 'Harare', 'Harare'), ('eSwatini', 2, 'Lobamba', 'Mbabane'))
+      |SELECT country,
+      | CAST(n_cities AS BIGINT) AS n_cities,
+      | first_city,
+      | last_city
+      |FROM v""".stripMargin
 }

@@ -1381,7 +1381,92 @@ object SparkEntry {
           sum(pmod(col("s2_cell_left"), lit(1000003L))).as("cell_census"),
           sum(pmod(col("tile_z8_left"), lit(1000003L))).as("tile_census"),
           min(inBox).as("in_box_ok"))
+    }),
+
+    // ======= reference golden datasets (REAL reference bytes, r5) =======
+    // The only gates whose input is not synthetic: the reference's own Arrow
+    // IPC files, read distributed via ArrowIpc. Oracles are recorded-literal
+    // VALUES pinned from this engine's output and INDEPENDENTLY cross-checked
+    // (pure-Python WKB shoelace/centroid/ray-casting, tolerance 1e-9 rel) by
+    // scripts/check_refdata.py — plus, for nybb, agreement booleans against
+    // the ESRI-computed Shape_Area/Shape_Leng columns carried IN the file.
+    // All float outputs leave as integer micro-units (floor(x*1e6+0.5),
+    // summed as BIGINT) so the pin has no cross-engine float-repr hazard.
+
+    "q_ref_cities" -> ((s, _) => {
+      // the affine bench workload (benches/affine.rs:23-31): translate(10,10)
+      // over cities.arrow — plus the conftest.py naturalearth_cities fixture
+      Seq("cities" -> RefCitiesArrow, "naturalearth_cities" -> RefNeCitiesArrow)
+        .map { case (nm, path) =>
+          graft.sources.ArrowIpc.read(s, path).select(
+            lit(nm).as("dataset"),
+            st_x(col("geometry")).as("x"), st_y(col("geometry")).as("y"),
+            st_x(st_translate(col("geometry"), lit(10.0), lit(10.0))).as("tx"),
+            st_y(st_translate(col("geometry"), lit(10.0), lit(10.0))).as("ty"))
+        }.reduce(_ unionByName _)
+        .groupBy("dataset")
+        .agg(count(lit(1)).as("n"),
+          sum(micro(col("x"))).as("sum_x_micro"), sum(micro(col("y"))).as("sum_y_micro"),
+          sum(micro(col("tx"))).as("sum_tx_micro"), sum(micro(col("ty"))).as("sum_ty_micro"))
+    }),
+
+    "q_ref_nybb" -> ((s, _) => {
+      // NY boroughs (EPSG:2263 feet): area/centroid/hull/explode on real
+      // MultiPolygons + agreement with the file's OWN ESRI golden columns
+      // (thresholds 5e-6 / 1e-4 sit 3x above the measured 1.4e-6 / 3.3e-5
+      // packaging drift, far below any computational-error scale)
+      val nybb = graft.sources.ArrowIpc.read(s, RefNybbArrow)
+      nybb.select(
+        col("BoroCode").cast("int").as("boro_code"), col("BoroName").as("boro_name"),
+        floor(st_area(col("geometry")) * 1e3 + 0.5).cast("long").as("area_milli"),
+        micro(st_x(st_centroid(col("geometry")))).as("cx_micro"),
+        micro(st_y(st_centroid(col("geometry")))).as("cy_micro"),
+        floor(st_area(st_convexHull(col("geometry"))) * 1e3 + 0.5).cast("long").as("hull_milli"),
+        size(st_dump(col("geometry"))).cast("long").as("n_parts"),
+        (abs(st_area(col("geometry")) / col("Shape_Area") - 1) < 5e-6).as("esri_area_ok"),
+        (abs(aggregate(transform(st_dump(col("geometry")), g => st_length(g)),
+          lit(0.0), (a, x) => a + x) / col("Shape_Leng") - 1) < 1e-4).as("esri_len_ok"))
+    }),
+
+    "q_ref_countries" -> ((s, _) => {
+      // per-continent census over naturalearth_lowres: count, planar area,
+      // envelope extremes, population — centroid/area/bounds on the real
+      // country MultiPolygons
+      val c = graft.sources.ArrowIpc.read(s, RefNeLowresArrow)
+      c.groupBy(col("continent"))
+        .agg(count(lit(1)).as("n"),
+          sum(micro(st_area(col("geometry")))).as("sum_area_micro"),
+          micro(min(st_bounds(col("geometry")).getField("minx"))).as("minx_micro"),
+          micro(max(st_bounds(col("geometry")).getField("maxy"))).as("maxy_micro"),
+          sum(floor(col("pop_est")).cast("long")).as("pop"),
+          countDistinct(col("iso_a3")).as("n_iso"))
+    }),
+
+    "q_ref_sjoin" -> ((s, _) => {
+      // REAL spatial join on real data: 243 naturalearth cities inside 177
+      // country MultiPolygons (Contains = polygon strictly contains point),
+      // through the engine's cell-bucketed join (point fast path; cellLevel 4
+      // for country-sized polygons). Border/offshore cities legitimately
+      // match no country and drop out (inner).
+      val cities = graft.sources.ArrowIpc.read(s, RefNeCitiesArrow)
+        .select(col("name").as("city"), col("geometry"))
+      val countries = graft.sources.ArrowIpc.read(s, RefNeLowresArrow)
+        .select(col("name").as("country"), col("continent"), col("geometry"))
+      SpatialJoin.join(cities, countries, SpatialPredicate.Contains,
+          cellLevel = 4, leftPointsOnly = true)
+        .groupBy(col("country_right").as("country"))
+        .agg(count(lit(1)).as("n_cities"),
+          min(col("city_left")).as("first_city"), max(col("city_left")).as("last_city"))
     }))
+
+  /** floor(x*1e6+0.5) as BIGINT — order-independent integer micro-units. */
+  private def micro(c: Column): Column = floor(c * 1e6 + 0.5).cast("long")
+
+  private val RefCitiesArrow = "/root/reference/data/cities.arrow"
+  private val RefDatasetsDir = "/root/reference/py-geopolars/python/geopolars/datasets"
+  private val RefNeCitiesArrow = s"$RefDatasetsDir/naturalearth_cities.arrow"
+  private val RefNybbArrow = s"$RefDatasetsDir/nybb.arrow"
+  private val RefNeLowresArrow = s"$RefDatasetsDir/naturalearth_lowres.arrow"
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -1613,6 +1698,12 @@ object SparkEntry {
     "q_s2_cells" -> RecordedOracles.s2CellsSql,
     "q_h3_cells" -> RecordedOracles.h3CellsSql,
     "q_pages_pipeline" -> RecordedOracles.pagesPipelineSql,
+    // reference golden-dataset pins (REAL reference bytes; RefDataGen +
+    // scripts/check_refdata.py independent cross-check)
+    "q_ref_cities" -> RecordedOracles.refCitiesSql,
+    "q_ref_nybb" -> RecordedOracles.refNybbSql,
+    "q_ref_countries" -> RecordedOracles.refCountriesSql,
+    "q_ref_sjoin" -> RecordedOracles.refSjoinSql,
 
     "q_lang_id" ->
       "SELECT doc_id, lang, TRUE AS guess_known, TRUE AS guess_nonnull FROM documents",

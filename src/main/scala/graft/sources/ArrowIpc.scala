@@ -1,0 +1,148 @@
+package graft.sources
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector._
+import org.apache.arrow.vector.ipc.ArrowFileReader
+import org.apache.arrow.vector.types.pojo.{ArrowType, Field}
+import org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable.ArrayBuffer
+
+/**
+ * Arrow IPC *file* (Feather v2) ingestion — the format the reference stores
+ * its golden datasets in and reads with `polars.read_ipc`
+ * (py-geopolars datasets/__init__.py:38-41, io/ipc.py): `cities.arrow`,
+ * `naturalearth_cities.arrow`, `naturalearth_lowres.arrow`, `nybb.arrow`.
+ * This is what lets the engine's gates run on the reference's REAL bytes
+ * rather than only on synthetic fixtures.
+ *
+ * Spark-first shape: files arrive through the built-in `binaryFile` source
+ * (so listing, scheduling and locality are Catalyst's problem — one task per
+ * file, the natural parallel grain of the IPC file format), and batches are
+ * decoded on EXECUTORS with the Arrow jars Spark already ships. Memory is
+ * bounded per task by the largest single record batch, not the file: each
+ * batch is copied into Rows and released before the next loads. Driver work
+ * is one footer read for the schema.
+ *
+ * Type subset: the Arrow types the golden data and common feather files use
+ * — utf8/large-utf8, binary/large-binary, bool, int 8/16/32/64 signed and
+ * unsigned (unsigned widens to the next signed Spark type; uint64 is
+ * rejected rather than silently wrapped), float32/64. Anything else fails
+ * fast with the field name.
+ */
+object ArrowIpc {
+
+  /** Spark schema of an IPC file, from one driver-side footer read. */
+  def schemaOf(path: String): StructType = {
+    val alloc = new RootAllocator()
+    try {
+      val reader = new ArrowFileReader(
+        new org.apache.arrow.vector.ipc.SeekableReadChannel(
+          new java.io.RandomAccessFile(path, "r").getChannel), alloc)
+      try sparkSchema(reader.getVectorSchemaRoot.getSchema.getFields)
+      finally reader.close()
+    } finally alloc.close()
+  }
+
+  /** Read one or more Arrow IPC files as a DataFrame (schema from the first
+   *  file; every file must share it, like a parquet directory). */
+  def read(spark: SparkSession, paths: String*): DataFrame = {
+    require(paths.nonEmpty, "ArrowIpc.read needs at least one path")
+    val schema = schemaOf(paths.head)
+    val bin = spark.read.format("binaryFile").load(paths: _*)
+      .select("content").as(Encoders.BINARY)
+    bin.mapPartitions { files =>
+      files.flatMap(decodeFile(_, schema))
+    }(Encoders.row(schema))
+  }
+
+  /** Decode every record batch of one IPC file payload into Rows. Eager per
+   *  batch (bounded by batch size), allocator closed before returning. */
+  private def decodeFile(bytes: Array[Byte], schema: StructType): Iterator[Row] = {
+    val alloc = new RootAllocator()
+    val out = ArrayBuffer.empty[Row]
+    try {
+      val reader = new ArrowFileReader(new ByteArrayReadableSeekableByteChannel(bytes), alloc)
+      try {
+        val root = reader.getVectorSchemaRoot
+        val fileSchema = sparkSchema(root.getSchema.getFields)
+        require(fileSchema == schema,
+          s"IPC file schema $fileSchema differs from the first file's $schema")
+        while (reader.loadNextBatch()) {
+          val n = root.getRowCount
+          val vectors = root.getFieldVectors
+          var i = 0
+          while (i < n) {
+            val vals = new Array[Any](vectors.size())
+            var c = 0
+            while (c < vectors.size()) {
+              vals(c) = readValue(vectors.get(c), i)
+              c += 1
+            }
+            out += Row.fromSeq(vals.toIndexedSeq)
+            i += 1
+          }
+        }
+      } finally reader.close()
+    } finally alloc.close()
+    out.iterator
+  }
+
+  private def readValue(v: FieldVector, i: Int): Any = {
+    if (v.isNull(i)) return null
+    v match {
+      case s: VarCharVector => new String(s.get(i), java.nio.charset.StandardCharsets.UTF_8)
+      case s: LargeVarCharVector => new String(s.get(i), java.nio.charset.StandardCharsets.UTF_8)
+      case b: VarBinaryVector => b.get(i)
+      case b: LargeVarBinaryVector => b.get(i)
+      case d: Float8Vector => d.get(i)
+      case f: Float4Vector => f.get(i)
+      case x: BigIntVector => x.get(i)
+      case x: IntVector => x.get(i)
+      case x: SmallIntVector => x.get(i)
+      case x: TinyIntVector => x.get(i)
+      case x: UInt1Vector => (x.get(i) & 0xff).toShort   // widen: uint8 -> short
+      case x: UInt2Vector => (x.get(i) & 0xffff).toInt   // uint16 -> int (get returns char)
+      case x: UInt4Vector => x.get(i) & 0xffffffffL      // uint32 -> long
+      case b: BitVector => b.get(i) == 1
+      case other => throw new IllegalArgumentException(
+        s"unsupported Arrow vector ${other.getClass.getSimpleName} for field ${other.getName}")
+    }
+  }
+
+  private def sparkSchema(fields: java.util.List[Field]): StructType = {
+    import scala.jdk.CollectionConverters._
+    StructType(fields.asScala.toSeq.map { f =>
+      StructField(f.getName, sparkType(f), nullable = f.isNullable)
+    })
+  }
+
+  private def sparkType(f: Field): DataType = f.getType match {
+    case _: ArrowType.Utf8 | _: ArrowType.LargeUtf8 => StringType
+    case _: ArrowType.Binary | _: ArrowType.LargeBinary => BinaryType
+    case _: ArrowType.Bool => BooleanType
+    case fp: ArrowType.FloatingPoint =>
+      fp.getPrecision match {
+        case org.apache.arrow.vector.types.FloatingPointPrecision.SINGLE => FloatType
+        case org.apache.arrow.vector.types.FloatingPointPrecision.DOUBLE => DoubleType
+        case p => throw new IllegalArgumentException(s"unsupported float precision $p (${f.getName})")
+      }
+    case it: ArrowType.Int =>
+      (it.getBitWidth, it.getIsSigned) match {
+        case (8, true) => ByteType
+        case (16, true) => ShortType
+        case (32, true) => IntegerType
+        case (64, true) => LongType
+        case (8, false) => ShortType
+        case (16, false) => IntegerType
+        case (32, false) => LongType
+        case (64, false) => throw new IllegalArgumentException(
+          s"uint64 field ${f.getName} has no lossless Spark type; refusing to wrap")
+        case (w, s) => throw new IllegalArgumentException(s"unsupported int($w, signed=$s)")
+      }
+    case t => throw new IllegalArgumentException(
+      s"unsupported Arrow type $t for field ${f.getName}")
+  }
+}
