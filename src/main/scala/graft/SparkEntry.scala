@@ -325,6 +325,45 @@ object SparkEntry {
         .select(col("custkey_left").as("custkey"), col("box_id_right").as("box_id"))
     }),
 
+    "q_contains_rule" -> ((s, dir) => {
+      // the NAIVE formulation a user writes — a raw join on st_contains,
+      // plannable only as BNLJ — rescued by the SpatialJoinRule optimizer
+      // rewrite into the cell-bucketed hash join. Same rows as
+      // q_spatial_join; the builder asserts the plan is BNLJ-free.
+      graft.sql.GraftSql.registerRules(s)
+      s.conf.set(graft.sql.SpatialJoinRule.CellLevelConf, "4")
+      val pts = custPoints(s, dir)
+        .select(col("custkey"), st_point(col("lon"), col("lat")).as("geometry"))
+      val boxes = s.createDataFrame(
+        joinBoxes.map { case (id, a, b, c, d) => (id, boxWkb(a, b, c, d)) })
+        .toDF("box_id", "bgeom")
+      val out = pts.join(boxes, st_contains(col("bgeom"), col("geometry")))
+        .select(col("custkey"), col("box_id"))
+      val plan = out.queryExecution.executedPlan.toString
+      require(!plan.contains("BroadcastNestedLoopJoin"),
+        s"contains rule did not fire:\n$plan")
+      out
+    }),
+
+    "q_contains_rule_left" -> ((s, dir) => {
+      // LEFT OUTER naive spatial join through the rule's one-pass rewrite
+      // (explode_outer + left-outer cell join + window): same rows as
+      // q_spatial_join_left, BNLJ-free
+      graft.sql.GraftSql.registerRules(s)
+      s.conf.set(graft.sql.SpatialJoinRule.CellLevelConf, "4")
+      val pts = custPoints(s, dir)
+        .select(col("custkey"), st_point(col("lon"), col("lat")).as("geometry"))
+      val boxes = s.createDataFrame(
+        joinBoxes.take(2).map { case (id, a, b, c, d) => (id, boxWkb(a, b, c, d)) })
+        .toDF("box_id", "bgeom")
+      val out = pts.join(boxes, st_contains(col("bgeom"), col("geometry")), "left")
+        .select(col("custkey"), col("box_id"))
+      val plan = out.queryExecution.executedPlan.toString
+      require(!plan.contains("BroadcastNestedLoopJoin"),
+        s"left contains rule did not fire:\n$plan")
+      out
+    }),
+
     "q_spatial_join_left" -> ((s, dir) => {
       // left-join + suffix semantics — the reference's strongest correctness
       // artifact (spatial_index.rs:479-480,535-552): unmatched left rows
@@ -1662,6 +1701,18 @@ object SparkEntry {
          |FROM g""".stripMargin,
 
     "q_spatial_join_left" ->
+      s"""WITH b(box_id, minx, miny, maxx, maxy) AS (VALUES $joinBoxes2SqlValues),
+         | p AS ($custPointsSql)
+         |SELECT p.custkey, b.box_id FROM p LEFT JOIN b
+         |ON p.lon > b.minx AND p.lon < b.maxx AND p.lat > b.miny AND p.lat < b.maxy""".stripMargin,
+
+    "q_contains_rule" ->
+      s"""WITH b(box_id, minx, miny, maxx, maxy) AS (VALUES $joinBoxesSqlValues),
+         | p AS ($custPointsSql)
+         |SELECT p.custkey, b.box_id FROM p, b
+         |WHERE p.lon > b.minx AND p.lon < b.maxx AND p.lat > b.miny AND p.lat < b.maxy""".stripMargin,
+
+    "q_contains_rule_left" ->
       s"""WITH b(box_id, minx, miny, maxx, maxy) AS (VALUES $joinBoxes2SqlValues),
          | p AS ($custPointsSql)
          |SELECT p.custkey, b.box_id FROM p LEFT JOIN b

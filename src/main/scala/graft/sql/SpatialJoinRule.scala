@@ -3,7 +3,7 @@ package graft.sql
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.First
 import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -62,6 +62,27 @@ object SpatialJoinRule extends Rule[LogicalPlan] {
   private def isKernel(si: StaticInvoke, name: String): Boolean =
     si.staticObject == GeomKernel.getClass && si.functionName == name
 
+  /** Pure topological predicates that imply bbox overlap — contains /
+   *  within / intersects joins rescue with the SAME covering rewrite at
+   *  radius 0: if the predicate holds, the two bboxes overlap, so the
+   *  overlap region's cell at the covering level is in BOTH sides'
+   *  coverings and the pair meets under the cell equi-join. */
+  private val TopoPredicates = Set("stContains", "stIntersects", "stWithin")
+
+  /** (geomA, geomB, radius) from a rewritable spatial conjunct:
+   *  `st_dwithin(a,b,r)` / `st_distance(a,b) <= r` / `r >= st_distance(a,b)`
+   *  (radius r), or `st_contains/st_within/st_intersects(a,b)` (radius 0). */
+  private def asSpatialPred(e: Expression): Option[(Expression, Expression, Double)] =
+    e match {
+      case si: StaticInvoke if si.staticObject == GeomKernel.getClass &&
+        TopoPredicates.contains(si.functionName) =>
+        si.arguments match {
+          case Seq(a, b) => Some((a, b, 0.0))
+          case _ => None
+        }
+      case _ => asDwithin(e)
+    }
+
   /** (geomA, geomB, radius) from `st_dwithin(a,b,r)` / `st_distance(a,b) <= r`
    *  / `r >= st_distance(a,b)`. */
   private def asDwithin(e: Expression): Option[(Expression, Expression, Double)] = e match {
@@ -102,22 +123,34 @@ object SpatialJoinRule extends Rule[LogicalPlan] {
       }
     }
 
+  /** Spatial conjunct normalized to (left-side geom, right-side geom, radius)
+   *  — bbox covering is orientation-symmetric, so which side each geometry
+   *  comes from is all that matters; the exact predicate rides along whole. */
+  private def spatialHit(cond: Expression, l: LogicalPlan,
+                         r: LogicalPlan): Option[(Expression, Expression, Double)] =
+    conjuncts(cond).iterator.map(asSpatialPred).collectFirst {
+      case Some((a, b, d)) if d >= 0 &&
+        a.references.nonEmpty && b.references.nonEmpty &&
+        a.references.subsetOf(l.outputSet) && b.references.subsetOf(r.outputSet) =>
+        (a, b, d)
+      case Some((a, b, d)) if d >= 0 &&
+        a.references.nonEmpty && b.references.nonEmpty &&
+        b.references.subsetOf(l.outputSet) && a.references.subsetOf(r.outputSet) =>
+        (b, a, d)
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     // the rewrite only rescues joins the planner has NOTHING to hash on: a
     // condition already carrying a cross-side equality conjunct (e.g.
     // joinWithin's cell-bucketed form, or a business-key equi-join with a
     // distance refinement) plans as a hash join by itself and is left alone
     case j @ Join(l, r, Inner, Some(cond), _) if !hasHashableConjunct(cond, l, r) =>
-      val hit = conjuncts(cond).iterator.map(asDwithin).collectFirst {
-        case Some((a, b, d)) if d >= 0 &&
-          a.references.subsetOf(l.outputSet) && b.references.subsetOf(r.outputSet) =>
-          (a, b, d)
-        case Some((a, b, d)) if d >= 0 &&
-          b.references.subsetOf(l.outputSet) && a.references.subsetOf(r.outputSet) =>
-          (b, a, d) // distance is symmetric; normalize to (left geom, right geom)
-      }
-      hit.fold(j: LogicalPlan) { case (lg, rg, radius) =>
+      spatialHit(cond, l, r).fold(j: LogicalPlan) { case (lg, rg, radius) =>
         rewrite(j, l, r, cond, lg, rg, radius)
+      }
+    case j @ Join(l, r, LeftOuter, Some(cond), _) if !hasHashableConjunct(cond, l, r) =>
+      spatialHit(cond, l, r).fold(j: LogicalPlan) { case (lg, rg, radius) =>
+        rewriteLeft(j, l, r, cond, lg, rg, radius)
       }
   }
 
@@ -178,5 +211,57 @@ object SpatialJoinRule extends Rule[LogicalPlan] {
       Alias(First(a, ignoreNulls = false).toAggregateExpression(), a.name)(
         exprId = a.exprId, qualifier = a.qualifier))
     Aggregate(Seq(lIdx, rIdx), aggExprs, refined)
+  }
+
+  /**
+   * LeftOuter rescue — the one-pass shape of `SpatialJoin.joinImpl`'s left
+   * path, built from resolved Catalyst nodes: the left side is referenced
+   * exactly ONCE (a matched ∪ anti-join construction would evaluate
+   * MonotonicallyIncreasingID twice with no guarantee of identical ids), via
+   * outer cell explode → LEFT OUTER cell equi-join with the FULL original
+   * condition folded in (null-extension is native) → pair-dedupe aggregate →
+   * a count-over-left-id window keeping matched pairs plus exactly one
+   * null-extended row for match-less left rows.
+   */
+  private def rewriteLeft(j: Join, l: LogicalPlan, r: LogicalPlan, cond: Expression,
+                          lg: Expression, rg: Expression, radius: Double): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Count
+    val level = conf.getConfString(CellLevelConf, "9").toInt
+
+    val lIdAlias = Alias(MonotonicallyIncreasingID(), "__lidx")()
+    val lWithId = Project(l.output :+ lIdAlias, l)
+    val lCell = AttributeReference("__lcell", LongType, nullable = false)()
+    // outer generate: a left row with no covering cells survives null-celled
+    val lGen = Generate(Explode(cellsOf(lg, 0.0, level)), unrequiredChildIndex = Nil,
+      outer = true, qualifier = None, generatorOutput = Seq(lCell), child = lWithId)
+    val lIdx = lIdAlias.toAttribute
+
+    val rIdAlias = Alias(MonotonicallyIncreasingID(), "__ridx")()
+    val rWithId = Project(r.output :+ rIdAlias, r)
+    val rCell = AttributeReference("__rcell", LongType, nullable = false)()
+    val rGen = Generate(Explode(cellsOf(rg, radius, level)), unrequiredChildIndex = Nil,
+      outer = false, qualifier = None, generatorOutput = Seq(rCell), child = rWithId)
+    // the right id is nullable downstream of the outer join
+    val rIdx = rIdAlias.toAttribute.withNullability(true)
+
+    val joined = Join(lGen, rGen, LeftOuter,
+      Some(And(EqualTo(lCell, rCell), cond)), j.hint)
+
+    // pair dedupe, reusing the original output exprIds (First carries whole
+    // rows; null-extended duplicates of one left row collapse with ridx null)
+    val aggExprs = (j.output.map(a =>
+      Alias(First(a, ignoreNulls = false).toAggregateExpression(), a.name)(
+        exprId = a.exprId, qualifier = a.qualifier)): Seq[NamedExpression]) ++
+      Seq(lIdx, rIdx)
+    val dedup = Aggregate(Seq(lIdx, rIdx), aggExprs, joined)
+
+    // __m = count(__ridx) over (partition by __lidx): >0 iff the row's left
+    // id matched anything anywhere
+    val frame = SpecifiedWindowFrame(RowFrame, UnboundedPreceding, UnboundedFollowing)
+    val mAlias = Alias(WindowExpression(Count(rIdx).toAggregateExpression(),
+      WindowSpecDefinition(Seq(lIdx), Nil, frame)), "__m")()
+    val win = Window(Seq(mAlias), Seq(lIdx), Nil, dedup)
+    val kept = Filter(Or(IsNotNull(rIdx), EqualTo(mAlias.toAttribute, Literal(0L))), win)
+    Project(j.output, kept)
   }
 }

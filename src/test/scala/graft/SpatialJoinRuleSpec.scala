@@ -91,10 +91,10 @@ class SpatialJoinRuleSpec extends SparkSpec {
     val dynR = pts.join(boxes,
       st_distance(col("geometry"), col("bgeom")) <= col("box_id").cast("double"))
     assert(dynR.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
-    // left join: out of scope for the rewrite, must not be touched
-    val lj = pts.join(boxes, st_dwithin(col("geometry"), col("bgeom"), lit(2.3)), "left")
-    assert(lj.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
-    assert(lj.count() >= pts.count())
+    // right/full outer: out of scope for the rewrite, must not be touched
+    val rj = pts.join(boxes, st_dwithin(col("geometry"), col("bgeom"), lit(2.3)), "right")
+    assert(rj.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    assert(rj.count() >= boxes.count())
   }
 
   test("guard: already-bucketed joinWithin (cross-side equality) is untouched") {
@@ -120,5 +120,53 @@ class SpatialJoinRuleSpec extends SparkSpec {
     val got = out.select("id", "box_id").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.length == got.distinct.length, s"duplicate pairs: ${got.mkString(",")}")
     assert(got.toSet == Set((1L, 10L))) // only the overlapping pair is within 1.0
+  }
+
+  /** rows with/without the rule — ground truth is the BNLJ plan. */
+  private def withAndWithoutRule(build: => DataFrame): (DataFrame, DataFrame) = {
+    val ruled = build
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == SpatialJoinRule)
+    try {
+      val naive = build
+      assert(naive.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+        "ground-truth run unexpectedly avoided BNLJ")
+      (ruled, naive)
+    } finally GraftSql.registerRules(spark)
+  }
+
+  test("st_contains / st_intersects inner joins rewrite too (radius-0 covering)") {
+    val (pts, boxes) = fixtures()
+    for (pred <- Seq(
+      () => st_contains(col("bgeom"), col("geometry")), // box contains point
+      () => st_intersects(col("geometry"), col("bgeom")),
+      () => st_within(col("geometry"), col("bgeom")))) {
+      val (ruled, naive) = withAndWithoutRule(pts.join(boxes, pred()))
+      val plan = ruled.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"rule did not fire:\n$plan")
+      assert(plan.contains("HashJoin"), s"expected hash join:\n$plan")
+      assert(rows(ruled) == rows(naive) && rows(ruled).nonEmpty)
+    }
+  }
+
+  test("LEFT OUTER spatial join rewrites one-pass: BNLJ-free, null-extension " +
+    "and row multiset identical") {
+    val (pts, boxes) = fixtures()
+    def build = pts.join(boxes, st_contains(col("bgeom"), col("geometry")), "left")
+    val (ruled, naive) = withAndWithoutRule(build)
+    val plan = ruled.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"left rule did not fire:\n$plan")
+    assert(plan.contains("Window"), s"expected match-count window:\n$plan")
+    def leftRows(df: DataFrame) = df.select("id", "box_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).sorted.toSeq
+    val (gr, gn) = (leftRows(ruled), leftRows(naive))
+    assert(gr == gn)
+    assert(gr.length == 400 || gr.length > 400) // every left point survives
+    assert(gr.exists(_._2 == -1L) && gr.exists(_._2 > 0L))
+    // dwithin left joins take the same path
+    def buildD = pts.join(boxes, st_dwithin(col("geometry"), col("bgeom"), lit(2.0)), "left")
+    val (ruledD, naiveD) = withAndWithoutRule(buildD)
+    assert(!ruledD.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    assert(leftRows(ruledD) == leftRows(naiveD))
   }
 }
