@@ -648,13 +648,24 @@ object SparkEntry {
 
     "q_laea" -> ((s, dir) => {
       // EPSG:3035 easting/northing over the European window, value-checked
-      // against the full Snyder formula spelled out in the oracle SQL
+      // against the full Snyder formula spelled out in the oracle SQL — plus
+      // the POLAR aspect (r5, Snyder eq. 24-23/24-24): the same points
+      // through EPSG:3575's definition (+proj=laea +lat_0=90 +lon_0=10,
+      // WGS84), its closed form also spelled out in the oracle. The
+      // implementation itself is pinned to Snyder's Appendix-A published
+      // polar sample in ProjSpec (International ellipsoid: x=1077459.7,
+      // y=288704.5 reproduced to <0.1 m).
       val p = custPoints(s, dir)
         .filter(col("lat") > 34 && col("lat") < 70 && col("lon") > -10 && col("lon") < 40)
       val prj = st_transform(st_point(col("lon"), col("lat")), lit(4326), lit(3035))
+      val pol = st_transform(st_point(col("lon"), col("lat")),
+        "+proj=longlat +ellps=WGS84",
+        "+proj=laea +lat_0=90 +lon_0=10 +x_0=0 +y_0=0 +ellps=WGS84 +units=m +no_defs")
       p.select(col("custkey"),
         round(st_x(prj), 3).as("ex"),
-        round(st_y(prj), 3).as("ey"))
+        round(st_y(prj), 3).as("ey"),
+        round(st_x(pol), 3).as("px"),
+        round(st_y(pol), 3).as("py"))
     }),
 
     // ============ structure / pipeline invariants with literal oracles ======
@@ -1694,11 +1705,21 @@ object SparkEntry {
          |   sin(radians(lat)) AS s FROM p),
          | q AS (SELECT *, (1.0-e2) * (s/(1.0-e2*s*s) - (1.0/(2.0*e))*ln((1.0-e*s)/(1.0+e*s))) AS qq FROM c),
          | b AS (SELECT *, asin(qq/qp) AS beta FROM q),
-         | g AS (SELECT *, rq * sqrt(2.0/(1.0 + sinb0*sin(beta) + cosb0*cos(beta)*cos(lam))) AS bb FROM b)
-         |SELECT custkey,
+         | g AS (SELECT *, rq * sqrt(2.0/(1.0 + sinb0*sin(beta) + cosb0*cos(beta)*cos(lam))) AS bb FROM b),
+         | -- polar aspect on WGS84 (Snyder 24-23/24-24): rho = a*sqrt(qp - q)
+         | w AS (SELECT custkey, radians(lon - 10.0) AS wlam,
+         |   0.0066943799901413165 AS we2, 0.08181919084262149 AS we,
+         |   sin(radians(lat)) AS ws FROM p),
+         | wq AS (SELECT *,
+         |   (1.0-we2) * (ws/(1.0-we2*ws*ws) - (1.0/(2.0*we))*ln((1.0-we*ws)/(1.0+we*ws))) AS wqq,
+         |   (1.0-we2) * (1.0/(1.0-we2) - (1.0/(2.0*we))*ln((1.0-we)/(1.0+we))) AS wqp FROM w),
+         | wg AS (SELECT *, 6378137.0 * sqrt(greatest(0.0, wqp - wqq)) AS rho FROM wq)
+         |SELECT g.custkey,
          | round(4321000.0 + bb*dd*cos(beta)*sin(lam), 3) AS ex,
-         | round(3210000.0 + (bb/dd)*(cosb0*sin(beta) - sinb0*cos(beta)*cos(lam)), 3) AS ey
-         |FROM g""".stripMargin,
+         | round(3210000.0 + (bb/dd)*(cosb0*sin(beta) - sinb0*cos(beta)*cos(lam)), 3) AS ey,
+         | round(rho * sin(wlam), 3) AS px,
+         | round(-rho * cos(wlam), 3) AS py
+         |FROM g JOIN wg ON g.custkey = wg.custkey""".stripMargin,
 
     "q_spatial_join_left" ->
       s"""WITH b(box_id, minx, miny, maxx, maxy) AS (VALUES $joinBoxes2SqlValues),

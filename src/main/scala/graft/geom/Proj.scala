@@ -165,13 +165,35 @@ object Proj {
     ell.a * m0 / (rq * math.cos(beta0))
   }
 
-  /** LAEA forward (Snyder 1987 eq. 24-17..24-20, oblique aspect);
-   *  lat0/lon0 in degrees. */
+  /** True when lat0 denotes a polar aspect (|lat_0| = 90 within PROJ's own
+   *  angular tolerance). */
+  @inline def laeaIsPolar(lat0Deg: Double): Boolean =
+    math.abs(math.abs(lat0Deg) - 90.0) < 1e-9
+
+  /** LAEA forward (Snyder 1987: eq. 24-17..24-20 oblique aspect,
+   *  eq. 24-23..24-25 polar aspects); lat0/lon0 in degrees. */
   def laeaForward(ell: Ellipsoid, lonDeg: Double, latDeg: Double,
                   lat0Deg: Double, lon0Deg: Double,
                   fe: Double, fn: Double): (Double, Double) = {
     val qp = authalicQ(ell, 1.0)
     val q = authalicQ(ell, math.sin(math.toRadians(latDeg)))
+    if (laeaIsPolar(lat0Deg)) {
+      // polar aspects (Snyder eq. 24-23/24-24 north, 24-25 south):
+      // rho = a*sqrt(qp -/+ q). q is re-evaluated with the sign folded out
+      // (q(-s) = -q(s) analytically, but not in floating point: the two log
+      // arguments are reciprocals, and sqrt amplifies that last-ulp residue
+      // to ~0.2 m at the pole itself); max(0,.) absorbs the remaining
+      // half-ulp when the projected point IS the center pole
+      val north = lat0Deg > 0
+      val sphi = math.sin(math.toRadians(latDeg))
+      val qa = authalicQ(ell, math.abs(sphi))
+      val qs = if (sphi < 0) -qa else qa
+      val rho = ell.a * math.sqrt(math.max(0.0, if (north) qp - qs else qp + qs))
+      val lam = math.toRadians(lonDeg - lon0Deg)
+      val x = fe + rho * math.sin(lam)
+      val y = if (north) fn - rho * math.cos(lam) else fn + rho * math.cos(lam)
+      return (x, y)
+    }
     val q0 = authalicQ(ell, math.sin(math.toRadians(lat0Deg)))
     val beta = math.asin(clamp1(q / qp))
     val beta0 = math.asin(clamp1(q0 / qp))
@@ -187,11 +209,24 @@ object Proj {
     (x, y)
   }
 
-  /** LAEA inverse. */
+  /** LAEA inverse (oblique and polar aspects). */
   def laeaInverse(ell: Ellipsoid, x0: Double, y0: Double,
                   lat0Deg: Double, lon0Deg: Double,
                   fe: Double, fn: Double): (Double, Double) = {
     val qp = authalicQ(ell, 1.0)
+    if (laeaIsPolar(lat0Deg)) {
+      // Snyder eq. 24-31/20-18: sin(beta) = +-(1 - rho^2/(a^2 qp));
+      // lambda = atan2(x, -y) north, atan2(x, y) south
+      val north = lat0Deg > 0
+      val x = x0 - fe; val y = y0 - fn
+      val rho = math.hypot(x, y)
+      if (rho < 1e-12) return (lon0Deg, lat0Deg)
+      val s = 1 - rho * rho / (ell.a * ell.a * qp)
+      val beta = math.asin(clamp1(if (north) s else -s))
+      val lam = if (north) math.atan2(x, -y) else math.atan2(x, y)
+      return (lon0Deg + math.toDegrees(lam),
+        math.toDegrees(authalicToGeodetic(ell, beta, qp)))
+    }
     val q0 = authalicQ(ell, math.sin(math.toRadians(lat0Deg)))
     val beta0 = math.asin(clamp1(q0 / qp))
     val rq = ell.a * math.sqrt(qp / 2)
@@ -205,8 +240,14 @@ object Proj {
       y * math.sin(ce) * math.cos(beta0) / rho))
     val lam = math.atan2(x * math.sin(ce),
       rho * math.cos(beta0) * math.cos(ce) - y * math.sin(beta0) * math.sin(ce))
-    // authalic -> geodetic latitude: series start, then Newton on q(sin phi)
-    // (the O(e^6) series alone leaves ~1e-9 deg; two Newton steps reach ulp)
+    (lon0Deg + math.toDegrees(lam),
+      math.toDegrees(authalicToGeodetic(ell, beta, qp)))
+  }
+
+  /** Authalic -> geodetic latitude: series start, then Newton on q(sin phi)
+   *  (the O(e^6) series alone leaves ~1e-9 deg; two Newton steps reach ulp).
+   *  Shared by the oblique and polar LAEA inverses. */
+  private def authalicToGeodetic(ell: Ellipsoid, beta: Double, qp: Double): Double = {
     val e2 = ell.e2; val e4 = e2 * e2; val e6 = e4 * e2
     var phi = beta +
       (e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) * math.sin(2 * beta) +
@@ -221,7 +262,7 @@ object Proj {
       if (math.abs(dq) > 1e-16) phi += (qTarget - authalicQ(ell, sphi)) / dq
       it += 1
     }
-    (lon0Deg + math.toDegrees(lam), math.toDegrees(phi))
+    phi
   }
 
   @inline private def clamp1(x: Double): Double = math.max(-1.0, math.min(1.0, x))

@@ -145,7 +145,8 @@ object ProjString {
           else Proj.tmForward(ell, lon0, lat0, lon0, k0, 0.0, 0.0)._2
         Spec(proj, ell, lat0, lon0, k0, x0, y0, 0, refY)
       case "laea" =>
-        if (math.abs(lat0) > 89.9999) fail(s, "polar-aspect laea not implemented")
+        // all aspects: oblique/equatorial (Snyder 24-17..24-20) and the
+        // polar forms (24-23..24-25), selected inside Proj.laeaForward
         Spec(proj, ell, lat0, lon0, k0, x0, y0, 0, 0)
       case other => fail(s, s"unsupported +proj=$other")
     }

@@ -177,7 +177,8 @@ class ProjSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](ProjString.parse("+proj=merc +units=ft"))
     intercept[IllegalArgumentException](
       ProjString.parse("+proj=merc +ellps=WGS84 +towgs84=598.1,73.7,418.2"))
-    intercept[IllegalArgumentException](ProjString.parse("+proj=laea +lat_0=90 +ellps=WGS84"))
+    // polar-aspect laea parses since r5 (it used to be a documented refusal)
+    assert(ProjString.parse("+proj=laea +lat_0=90 +ellps=WGS84").proj == "laea")
     intercept[IllegalArgumentException](ProjString.parse("EPSG:2154"))
     // the zero shift every exported WGS84 string carries is accepted
     assert(ProjString.parse("+proj=merc +ellps=WGS84 +towgs84=0,0,0").proj == "merc")
@@ -293,6 +294,66 @@ class ProjSpec extends AnyFunSuite {
         case _: IllegalArgumentException => // expected for malformed input
       }
     }
+  }
+
+  test("polar-aspect LAEA: Snyder's published sample, spherical closed form, " +
+    "south aspect, roundtrips (r5)") {
+    import graft.geom.Proj
+    // Snyder 1987 Appendix A, ellipsoidal polar LAEA numerical example:
+    // International 1924 (a=6378388, 1/f=297), north polar, lon_0=-100,
+    // point (80N, 5E) -> x=1077459.7, y=288704.5
+    val intl = Proj.Ellipsoid(6378388.0, 1.0 / 297.0)
+    val (x, y) = Proj.laeaForward(intl, 5.0, 80.0, 90.0, -100.0, 0, 0)
+    assert(math.abs(x - 1077459.7) < 0.1, s"x=$x")
+    assert(math.abs(y - 288704.5) < 0.1, s"y=$y")
+    val (lon, lat) = Proj.laeaInverse(intl, x, y, 90.0, -100.0, 0, 0)
+    assert(math.abs(lon - 5.0) < 1e-9 && math.abs(lat - 80.0) < 1e-9)
+    // spherical limit: rho must equal the closed form 2R sin((90-phi)/2)
+    val sph = Proj.Ellipsoid(6371000.0, 0.0)
+    for (phi <- Seq(-30.0, 0.0, 40.0, 70.0, 89.0, 90.0); lam <- Seq(-120.0, 15.0)) {
+      val (xs, ys) = Proj.laeaForward(sph, lam, phi, 90.0, 0.0, 0, 0)
+      val closed = 2 * 6371000.0 * math.sin(math.toRadians(90 - phi) / 2)
+      assert(math.abs(math.hypot(xs, ys) - closed) < 1e-6, s"phi=$phi")
+    }
+    // south aspect roundtrip + the pole maps to the origin
+    val (xw, yw) = Proj.laeaForward(Proj.Wgs84, 40.0, -75.0, -90.0, 30.0, 10000, 20000)
+    val (lo2, la2) = Proj.laeaInverse(Proj.Wgs84, xw, yw, -90.0, 30.0, 10000, 20000)
+    assert(math.abs(lo2 - 40.0) < 1e-9 && math.abs(la2 - (-75.0)) < 1e-9)
+    val (xp, yp) = Proj.laeaForward(Proj.Wgs84, 123.0, -90.0, -90.0, 30.0, 0, 0)
+    assert(math.hypot(xp, yp) < 1e-6)
+    // equal-area property on the ellipsoid: projected quad area equals the
+    // ellipsoidal authalic-sphere quad area (the projection's defining
+    // invariant; catches any D-factor/scaling mistake)
+    val ell = Proj.Wgs84
+    val qp = Proj.authalicQ(ell, 1.0)
+    def quadArea(lat1: Double, lat2: Double, lon1: Double, lon2: Double): Double = {
+      // exact ellipsoid area between parallels/meridians: a^2/2 * dlam * (q2-q1)
+      val q1 = Proj.authalicQ(ell, math.sin(math.toRadians(lat1)))
+      val q2 = Proj.authalicQ(ell, math.sin(math.toRadians(lat2)))
+      ell.a * ell.a / 2 * math.toRadians(lon2 - lon1) * (q2 - q1)
+    }
+    def shoelace(pts: Seq[(Double, Double)]): Double = {
+      val c = pts :+ pts.head
+      math.abs(c.sliding(2).map { case Seq((x1, y1), (x2, y2)) => x1 * y2 - x2 * y1 }.sum / 2)
+    }
+    // small quad at 75N: project a dense boundary polygon, compare areas
+    val (la1, lb1, lo1, lo2b) = (75.0, 75.5, 20.0, 21.0)
+    val n = 50
+    val boundary =
+      (0 to n).map(i => (lo1 + (lo2b - lo1) * i / n, la1)) ++
+      (0 to n).map(i => (lo2b, la1 + (lb1 - la1) * i / n)) ++
+      (0 to n).map(i => (lo2b - (lo2b - lo1) * i / n, lb1)) ++
+      (0 to n).map(i => (lo1, lb1 - (lb1 - la1) * i / n))
+    val projd = boundary.map { case (lo, la) => Proj.laeaForward(ell, lo, la, 90.0, 0.0, 0, 0) }
+    val aProj = shoelace(projd)
+    val aTrue = quadArea(la1, lb1, lo1, lo2b)
+    assert(math.abs(aProj / aTrue - 1) < 1e-6, s"area ratio ${aProj / aTrue}")
+    // proj-string polar LAEA no longer fails (r4 restriction removed)
+    val spec = graft.geom.ProjString.parse(
+      "+proj=laea +lat_0=90 +lon_0=10 +x_0=0 +y_0=0 +ellps=WGS84 +units=m +no_defs")
+    val (gx, gy) = graft.geom.ProjString.fromLonLat(spec, 15.0, 60.0)
+    val (glon, glat) = graft.geom.ProjString.toLonLat(spec, gx, gy)
+    assert(math.abs(glon - 15.0) < 1e-9 && math.abs(glat - 60.0) < 1e-9)
   }
 
   test("transform dispatch: 3857 <-> UTM via the lon/lat hub; bad srid throws") {
