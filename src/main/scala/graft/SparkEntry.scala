@@ -942,6 +942,15 @@ object SparkEntry {
       val vs = video_stats(avi)
       val lastF = video_frame_stats(avi, col("n") - 1)
       val pf = img_stats(video_frame_png(avi, lit(0)))
+      // MJPEG stream (r5): same clip parameters through the Motion-JPEG
+      // writer + ImageIO JPEG reader. Structure (codec id, frames, fps)
+      // stays exact; pixel means are lossy, so the gate carries a
+      // DC-quantization tolerance BOOLEAN (|mean - closed_form| < 3 levels),
+      // which the oracle re-asserts as a constant
+      val mavi = avi_mjpeg(col("w"), col("h"), col("n"), col("fps"),
+        col("r0"), col("g0"), col("b0"), col("stp"))
+      val mvs = video_stats(mavi)
+      val closed = col("r0") + col("stp") * (col("n") - 1) / lit(2.0)
       c.select(col("custkey"),
         vs.getField("width").as("width"),
         vs.getField("height").as("height"),
@@ -949,7 +958,10 @@ object SparkEntry {
         vs.getField("fps").as("fps"),
         round(vs.getField("mean_r"), 6).as("mean_r"),
         lastF.getField("mean_g").as("fr_g"),
-        pf.getField("mean_r").as("pf_r"))
+        pf.getField("mean_r").as("pf_r"),
+        video_codec(mavi).as("mj_codec"),
+        mvs.getField("n_frames").as("mj_frames"),
+        (abs(mvs.getField("mean_r") - closed) < 3.0).as("mj_mean_ok"))
     }),
 
     "q_pipeline_consistency" -> ((s, dir) => {
@@ -1949,7 +1961,9 @@ object SparkEntry {
         | CAST(n AS INTEGER) AS n_frames, CAST(fps AS INTEGER) AS fps,
         | round((n*r0 + s*(n*(n-1)/2)) / CAST(n AS DOUBLE), 6) AS mean_r,
         | CAST(g0 + s*(n-1) AS DOUBLE) AS fr_g,
-        | CAST(r0 AS DOUBLE) AS pf_r
+        | CAST(r0 AS DOUBLE) AS pf_r,
+        | CAST(1 AS INTEGER) AS mj_codec, CAST(n AS INTEGER) AS mj_frames,
+        | TRUE AS mj_mean_ok
         |FROM (SELECT c_custkey AS custkey,
         |  8 + c_custkey % 24 AS w, 8 + c_custkey % 16 AS h,
         |  1 + c_custkey % 5 AS n, 5 + c_custkey % 6 AS fps,

@@ -431,4 +431,16 @@ object st {
   def video_frame_png(bytes: Column, frame: Column): Column =
     invoke(V, "videoFramePng", BinaryType, true,
       bytes -> BinaryType, frame -> IntegerType)
+
+  /** Deterministic Motion-JPEG AVI clip (test/gate video source, r5). */
+  def avi_mjpeg(w: Column, h: Column, nFrames: Column, fps: Column,
+                r0: Column, g0: Column, b0: Column, step: Column): Column =
+    invoke(V, "aviMjpeg", BinaryType, false, w -> IntegerType, h -> IntegerType,
+      nFrames -> IntegerType, fps -> IntegerType, r0 -> IntegerType,
+      g0 -> IntegerType, b0 -> IntegerType, step -> IntegerType)
+
+  /** Codec id of an AVI clip: 0 = uncompressed DIB, 1 = MJPEG; NULL if the
+   *  bytes are not a well-formed AVI. */
+  def video_codec(bytes: Column): Column =
+    invoke(V, "videoCodec", IntegerType, true, bytes -> BinaryType)
 }

@@ -98,6 +98,49 @@ object SpatialJoin {
   }
 
   /**
+   * [[join]] with the broadcast decision made from DATA, not a caller guess:
+   * `broadcastRight` is a flag, and mis-set on a large polygon layer it
+   * broadcasts gigabytes to every executor (or worse, OOMs the driver). This
+   * variant estimates the exploded covering's size — `count()` (metadata-cheap
+   * on parquet) × per-row bytes × average covering-cell fan-out, both
+   * averaged over a bounded `sampleRows` prefix — and broadcasts only when
+   * the estimate fits `maxBroadcastBytes`. The same sampled-census pattern
+   * as [[AsofJoin.joinAuto]]/[[joinSalted]]; a borderline misclassification
+   * costs only the constant factor between broadcast and shuffled plans.
+   */
+  def joinAutoBroadcast(left: DataFrame, right: DataFrame,
+                        predicate: SpatialPredicate = SpatialPredicate.Intersects,
+                        joinType: String = "inner",
+                        lSuffix: String = "_left", rSuffix: String = "_right",
+                        cellLevel: Int = DefaultCellLevel,
+                        leftPointsOnly: Boolean = false,
+                        maxBroadcastBytes: Long = 128L << 20,
+                        sampleRows: Int = 2048): DataFrame = {
+    val est = estimateCoveringBytes(right, cellLevel, sampleRows)
+    join(left, right, predicate, joinType, lSuffix, rSuffix, cellLevel,
+      broadcastRight = est <= maxBroadcastBytes, leftPointsOnly)
+  }
+
+  /** Estimated bytes of the exploded (one row per covering cell) right side:
+   *  rowCount × avg(per-row bytes) × avg(cells per geometry), averages from
+   *  a bounded prefix sample. Geometry bytes are measured; other columns use
+   *  their schema default sizes. */
+  def estimateCoveringBytes(right: DataFrame, cellLevel: Int,
+                            sampleRows: Int = 2048): Long = {
+    val n = right.count()
+    if (n == 0) return 0L
+    val otherBytes = right.schema.fields
+      .filterNot(_.name == "geometry").map(_.dataType.defaultSize.toLong).sum + 16
+    val row = right.select(col("geometry")).limit(sampleRows)
+      .select(avg(length(col("geometry"))).as("g"),
+        avg(size(cellsFor(col("geometry"), cellLevel))).as("c"))
+      .head()
+    val gBytes = if (row.isNullAt(0)) 64.0 else row.getDouble(0)
+    val fanOut = if (row.isNullAt(1)) 1.0 else math.max(1.0, row.getDouble(1))
+    (n * fanOut * (gBytes + otherBytes)).toLong
+  }
+
+  /**
    * Join against a covering prepared once with [[prepare]] — the analogue of
    * the reference's precomputed-index reuse: `SpatialJoinArgs` accepts
    * `l_index`/`r_index` built ahead of time and its suite proves one index

@@ -57,6 +57,14 @@ object PartitionedJoinBench {
     // broadcast baseline on the same layer
     run("broadcast")(SpatialJoin.join(pts, layer, SpatialPredicate.Intersects, "inner",
       cellLevel = 6, broadcastRight = true, leftPointsOnly = true))
+    // r5 auto decision: the sampled estimate should pick broadcast for this
+    // 2048-rect layer (a few MB exploded) and the throughput should land on
+    // the broadcast line, not the shuffled one
+    val est = SpatialJoin.estimateCoveringBytes(layer, cellLevel = 6)
+    println(f"PARTJOIN auto_estimate_bytes=$est budget=${128L << 20} " +
+      s"decision=${if (est <= (128L << 20)) "broadcast" else "shuffle"}")
+    run("auto")(SpatialJoin.joinAutoBroadcast(pts, layer, SpatialPredicate.Intersects,
+      "inner", cellLevel = 6, leftPointsOnly = true))
     spark.stop()
   }
 }

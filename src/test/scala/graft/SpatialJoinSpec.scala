@@ -242,6 +242,33 @@ class SpatialJoinSpec extends SparkSpec {
     assert(out == Set((1L, 7L), (2L, -1L), (3L, -1L)))
   }
 
+  test("joinAutoBroadcast: sampled size estimate picks broadcast for a small " +
+    "layer, shuffle when over budget; rows identical (verdict r4 item 6)") {
+    val auto = SpatialJoin.joinAutoBroadcast(points, polys, SpatialPredicate.Intersects)
+    val aplan = auto.queryExecution.executedPlan.toString
+    assert(aplan.contains("BroadcastHashJoin"), s"small layer should broadcast:\n$aplan")
+    // force the over-budget path: 1-byte budget means NO broadcast hint from
+    // us. Spark's own size-based autoBroadcast must be silenced to observe
+    // the hint's absence on these tiny test tables (at real scale the table
+    // exceeds Spark's threshold too — that's the case the guard exists for).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val shuffled =
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val s = SpatialJoin.joinAutoBroadcast(points, polys,
+          SpatialPredicate.Intersects, maxBroadcastBytes = 1L)
+        val splan = s.queryExecution.executedPlan.toString
+        assert(!splan.contains("BroadcastHashJoin"), s"budget=1 must not broadcast:\n$splan")
+        s.select("point_values_left").collect().map(_.getDouble(0)).sorted.toSeq
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("point_values_left").collect().map(_.getDouble(0)).sorted.toSeq
+    assert(rows(auto) == shuffled && shuffled == Seq(2.0, 3.0))
+    // the estimate itself is sane: > raw bytes, scales with the fan-out
+    val est = SpatialJoin.estimateCoveringBytes(polys, cellLevel = 9)
+    assert(est > 0 && est < (10L << 20), s"estimate $est out of range")
+  }
+
   test("joinWithin: distance join equals JTS brute force, incl. cross-cell radii") {
     val rnd = new scala.util.Random(53)
     val pts = (0 until 400).map(i =>

@@ -91,6 +91,68 @@ class VideoSpec extends SparkSpec {
     }
   }
 
+  test("MJPEG: aviMjpeg clips decode via the ImageIO JPEG path (r5)") {
+    val avi = VideoKernel.aviMjpeg(32, 24, 4, 8, 20, 40, 60, 5)
+    assert(new String(avi, 0, 4) == "RIFF" && new String(avi, 8, 4) == "AVI ")
+    assert(VideoKernel.videoCodec(avi) == 1)           // MJPEG
+    assert(VideoKernel.videoCodec(
+      VideoKernel.aviGradient(8, 8, 1, 5, 1, 2, 3, 0)) == 0) // DIB
+    val s = VideoKernel.videoStats(avi)
+    // structure is exact even though pixels are lossy
+    assert(s.getInt(0) == 32 && s.getInt(1) == 24 && s.getInt(2) == 4 && s.getInt(3) == 8)
+    // solid-colour JPEG round-trips within DC-quantization error (few levels)
+    assert(math.abs(s.getDouble(4) - (20 + 5 * 1.5)) < 3.0, s"mean_r=${s.getDouble(4)}")
+    assert(math.abs(s.getDouble(5) - (40 + 5 * 1.5)) < 3.0)
+    assert(math.abs(s.getDouble(6) - (60 + 5 * 1.5)) < 3.0)
+    // per-frame sampling + PNG composition
+    for (i <- Seq(0, 3)) {
+      val f = VideoKernel.videoFrameStats(avi, i)
+      assert(math.abs(f.getDouble(0) - (20 + 5 * i)) < 3.0)
+      val png = VideoKernel.videoFramePng(avi, i)
+      assert(png != null && (png(1) & 0xff) == 0x50) // 'P' of PNG magic
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img.getWidth == 32 && img.getHeight == 24)
+    }
+    assert(VideoKernel.videoFrameStats(avi, 4) == null) // out of range
+    // corrupt ONE frame's JPEG body: whole-clip stats refuse (no silent skew)
+    val broken = avi.clone()
+    val soi = {
+      // find the second '00dc' chunk and stomp its SOI marker
+      var i = 12; var found = 0; var at = -1
+      while (i < broken.length - 4 && at < 0) {
+        if (broken(i) == '0' && broken(i + 1) == '0' && broken(i + 2) == 'd' &&
+          broken(i + 3) == 'c') { found += 1; if (found == 2) at = i + 8 }
+        i += 1
+      }
+      at
+    }
+    assert(soi > 0)
+    broken(soi) = 0x00
+    assert(VideoKernel.videoStats(broken) == null)
+    // codec dispatch: the batched pipeline decodes MJPEG rows too
+    import spark.implicits._
+    val rows = Seq(Multimodal.MediaRow(1L, avi,
+      Multimodal.MediaMeta("video", 32, 24, 0, 500L))).toDS()
+    val feats = Multimodal.extractFeatures(rows, AviDibCodec).collect()
+    assert(feats.length == 1 && feats(0).decodeOk && feats(0).features(2) == 4f)
+  }
+
+  test("MJPEG DSL: avi_mjpeg/video_codec/video_stats inside codegen (r5)") {
+    import spark.implicits._
+    val df = Seq((1, 10, 20, 30), (2, 40, 50, 60)).toDF("id", "r", "g", "b")
+      .withColumn("avi", avi_mjpeg(lit(24), lit(16), lit(3), lit(6),
+        col("r"), col("g"), col("b"), lit(4)))
+      .select(col("id"), video_codec(col("avi")).as("codec"),
+        video_stats(col("avi")).as("vs"), col("r"))
+      .select(col("id"), col("codec"), col("vs.n_frames"), col("vs.fps"),
+        col("vs.mean_r"), col("r"))
+    val rows = df.collect().sortBy(_.getInt(0))
+    rows.foreach { row =>
+      assert(row.getInt(1) == 1 && row.getInt(2) == 3 && row.getInt(3) == 6)
+      assert(math.abs(row.getDouble(4) - (row.getInt(5) + 4)) < 3.0)
+    }
+  }
+
   test("AviDibCodec through the batched multimodal pipeline") {
     import spark.implicits._
     val rows = (0 until 20).map { i =>
