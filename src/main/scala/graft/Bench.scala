@@ -100,7 +100,6 @@ object Bench {
       32 -> samples.collect { case (32, v) => v }.toVector)
     def best(c: Int) = raw(c).max
     def resample(c: Int): Unit = { raw(c) = raw(c) :+ pipelineThroughput(c, benchPages) }
-    val pps2 = best(2)
     // protocol guards for the recorded artifact (BENCH.md): a contended
     // sample can only UNDERSTATE a level's real throughput, so when a
     // best-of still contradicts the machine's documented behavior, the
@@ -111,7 +110,16 @@ object Bench {
     //    broadcast joins, no shuffle), so a sub-0.8 pair means the 8-core
     //    windows were stolen from. Re-sample the 8-core level.
     var retries8 = 0
-    while ((best(8) / pps2) / 4.0 < 0.8 && retries8 < 3) { resample(8); retries8 += 1 }
+    while ((best(8) / best(2)) / 4.0 < 0.8 && retries8 < 3) { resample(8); retries8 += 1 }
+    //  guard C (r5, the symmetric case): efficiency ABOVE 1.05 is
+    //    superlinear, which this shared-nothing pipeline cannot do — it
+    //    means the 2-core baseline was stolen from, which would flatter the
+    //    recorded efficiency. Re-sample the 2-core level; its best can only
+    //    rise, pushing efficiency back toward truth. Every level now has a
+    //    guard, each firing only against its own understatement direction.
+    var retries2 = 0
+    while ((best(8) / best(2)) / 4.0 > 1.05 && retries2 < 3) { resample(2); retries2 += 1 }
+    val pps2 = best(2)
     val pps8 = best(8)
     //  guard B: 32 cores measuring BELOW the best 8-core sample can only be
     //    host contention (the pure-ALU 8->32 ceiling on this box is ~0.67
@@ -147,6 +155,12 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
+    // every pass's per-query sample (r5): a best-of hides which samples were
+    // noise — with the raw passes in the artifact, a query regression is
+    // distinguishable from a steal burst without re-running anything
+    val qSamples = names.zipWithIndex.map { case (name, i) =>
+      "\"" + name + "\":" + passes.map(p => f"${p(i)}%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     def arr(c: Int) = raw(c).map(v => f"$v%.1f").mkString("[", ",", "]")
     val pipelineJson =
@@ -155,10 +169,11 @@ object Bench {
         f""""scaling_efficiency_n_to_4n":$efficiency%.3f,""" +
         f""""scaling_efficiency_8_to_32":$eff8to32%.3f,""" +
         s""""raw_samples":{"n2":${arr(2)},"n8":${arr(8)},"n32":${arr(32)}},""" +
-        s""""guard_retries":{"n8":$retries8,"n32":$retries32},""" +
-        s""""guard_retried":${retries8 + retries32 > 0}}"""
+        s""""guard_retries":{"n2":$retries2,"n8":$retries8,"n32":$retries32},""" +
+        s""""guard_retried":${retries2 + retries8 + retries32 > 0}}"""
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline":$pipelineJson}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+        f""""query_samples":$qSamples,"sf":"$sfDir","pipeline":$pipelineJson}""")
     spark.stop()
   }
 }
