@@ -874,12 +874,24 @@ object SparkEntry {
         where = Some("lat > 10 AND lat < 40 AND lon > 10 AND lon < 60"),
         bbox = Some((10.0, 10.0, 40.0, 60.0)))
       val rfColsOk = rf.columns.sameElements(Array("custkey", "lat", "lon"))
+      // r5: the three remaining read_file params (io/file.py:27-30,104-107).
+      // fids -> IN-list on the engine's explicit fid column (custkey here):
+      // exactly those rows, their custkey sum pinning identity not just count
+      val fidList = Seq(1L, 7L, 19L, 23L)
+      val rfFids = CellStore.readFile(s, root, fids = Some(fidList), fidCol = "custkey",
+        returnFids = true)
+      // sql -> full Spark SQL over the registered view
+      val rfSql = CellStore.readFile(s, root,
+        sql = Some("SELECT count(*) AS n, sum(custkey) AS ck FROM read_file WHERE lat > 0"))
       bboxRead
         .filter(col("lat") > 10 && col("lat") < 40 && col("lon") > 10 && col("lon") < 60)
         .agg(count(lit(1)).as("n_rows"))
         .withColumn("pruned", lit(prunedFiles > 0 && prunedFiles < all))
         .crossJoin(rf.agg(count(lit(1)).as("rf_rows"))
           .withColumn("rf_cols_ok", lit(rfColsOk)))
+        .crossJoin(rfFids.agg(count(lit(1)).as("rf_fids_n"),
+          sum(col("fid")).as("rf_fids_sum")))
+        .crossJoin(rfSql.select(col("n").as("rf_sql_n"), col("ck").as("rf_sql_ck")))
     }),
 
     "q_image_decode" -> ((s, dir) => {
@@ -1930,9 +1942,19 @@ object SparkEntry {
         | TRUE AS history_ok FROM documents""".stripMargin,
 
     "q_cellstore_prune" ->
-      s"""SELECT count(*) AS n_rows, TRUE AS pruned, count(*) AS rf_rows,
-         | TRUE AS rf_cols_ok FROM ($custPointsSql)
-         |WHERE lat > 10 AND lat < 40 AND lon > 10 AND lon < 60""".stripMargin,
+      s"""SELECT (SELECT count(*) FROM ($custPointsSql)
+         |   WHERE lat > 10 AND lat < 40 AND lon > 10 AND lon < 60) AS n_rows,
+         | TRUE AS pruned,
+         | (SELECT count(*) FROM ($custPointsSql)
+         |   WHERE lat > 10 AND lat < 40 AND lon > 10 AND lon < 60) AS rf_rows,
+         | TRUE AS rf_cols_ok,
+         | (SELECT count(*) FROM ($custPointsSql)
+         |   WHERE custkey IN (1, 7, 19, 23)) AS rf_fids_n,
+         | (SELECT CAST(sum(custkey) AS BIGINT) FROM ($custPointsSql)
+         |   WHERE custkey IN (1, 7, 19, 23)) AS rf_fids_sum,
+         | (SELECT count(*) FROM ($custPointsSql) WHERE lat > 0) AS rf_sql_n,
+         | (SELECT CAST(sum(custkey) AS BIGINT) FROM ($custPointsSql)
+         |   WHERE lat > 0) AS rf_sql_ck""".stripMargin,
 
     "q_image_decode" ->
       """SELECT c_custkey AS custkey,
