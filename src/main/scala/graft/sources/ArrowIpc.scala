@@ -29,8 +29,9 @@ import scala.collection.mutable.ArrayBuffer
  * Type subset: the Arrow types the golden data and common feather files use
  * — utf8/large-utf8, binary/large-binary, bool, int 8/16/32/64 signed and
  * unsigned (unsigned widens to the next signed Spark type; uint64 is
- * rejected rather than silently wrapped), float32/64. Anything else fails
- * fast with the field name.
+ * rejected rather than silently wrapped), float32/64, date (day/milli) and
+ * timestamp at every Arrow unit (normalized to Spark's microsecond
+ * timestamps; nanos floor). Anything else fails fast with the field name.
  */
 object ArrowIpc {
 
@@ -43,6 +44,23 @@ object ArrowIpc {
           new java.io.RandomAccessFile(path, "r").getChannel), alloc)
       try sparkSchema(reader.getVectorSchemaRoot.getSchema.getFields)
       finally reader.close()
+    } finally alloc.close()
+  }
+
+  /** Schema-level custom metadata of an IPC file (one footer read). The
+   *  reference's golden files carry a `geo` key (GeoParquet-style JSON with
+   *  the primary geometry column + CRS) and a `pandas` key; `geo`'s CRS can
+   *  be handed to the Proj/ProjString machinery. */
+  def metadataOf(path: String): Map[String, String] = {
+    val alloc = new RootAllocator()
+    try {
+      val reader = new ArrowFileReader(
+        new org.apache.arrow.vector.ipc.SeekableReadChannel(
+          new java.io.RandomAccessFile(path, "r").getChannel), alloc)
+      try {
+        import scala.jdk.CollectionConverters._
+        reader.getVectorSchemaRoot.getSchema.getCustomMetadata.asScala.toMap
+      } finally reader.close()
     } finally alloc.close()
   }
 
@@ -107,10 +125,28 @@ object ArrowIpc {
       case x: UInt2Vector => (x.get(i) & 0xffff).toInt   // uint16 -> int (get returns char)
       case x: UInt4Vector => x.get(i) & 0xffffffffL      // uint32 -> long
       case b: BitVector => b.get(i) == 1
+      case d: DateDayVector =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d.get(i).toLong))
+      case d: DateMilliVector =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(Math.floorDiv(d.get(i), 86400000L)))
+      case t: TimeStampMicroVector => microsToTimestamp(t.get(i))
+      case t: TimeStampMicroTZVector => microsToTimestamp(t.get(i))
+      case t: TimeStampMilliVector => microsToTimestamp(Math.multiplyExact(t.get(i), 1000L))
+      case t: TimeStampMilliTZVector => microsToTimestamp(Math.multiplyExact(t.get(i), 1000L))
+      case t: TimeStampSecVector => microsToTimestamp(Math.multiplyExact(t.get(i), 1000000L))
+      case t: TimeStampSecTZVector => microsToTimestamp(Math.multiplyExact(t.get(i), 1000000L))
+      case t: TimeStampNanoVector => microsToTimestamp(Math.floorDiv(t.get(i), 1000L))
+      case t: TimeStampNanoTZVector => microsToTimestamp(Math.floorDiv(t.get(i), 1000L))
       case other => throw new IllegalArgumentException(
         s"unsupported Arrow vector ${other.getClass.getSimpleName} for field ${other.getName}")
     }
   }
+
+  // java.sql types: Encoders.row's serializer expects the legacy external
+  // types (java.time.Instant needs the java8-datetime session flag)
+  private def microsToTimestamp(micros: Long): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L))
 
   private def sparkSchema(fields: java.util.List[Field]): StructType = {
     import scala.jdk.CollectionConverters._
@@ -142,6 +178,13 @@ object ArrowIpc {
           s"uint64 field ${f.getName} has no lossless Spark type; refusing to wrap")
         case (w, s) => throw new IllegalArgumentException(s"unsupported int($w, signed=$s)")
       }
+    case _: ArrowType.Date => DateType // day-unit; Spark dates are days
+    case ts: ArrowType.Timestamp =>
+      // all units normalize to Spark's microsecond timestamps (nanos floor);
+      // zone-tagged arrow timestamps land as instants, like Spark's own
+      // TimestampType (session-zone display, UTC storage)
+      val _ = ts.getUnit
+      TimestampType
     case t => throw new IllegalArgumentException(
       s"unsupported Arrow type $t for field ${f.getName}")
   }

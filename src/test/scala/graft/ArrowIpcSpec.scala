@@ -42,6 +42,56 @@ class ArrowIpcSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("geo schema metadata surfaces (CRS routing); timestamps/dates decode " +
+    "to Spark microsecond/day semantics") {
+    // the reference golden files carry GeoParquet-style `geo` metadata
+    val md = ArrowIpc.metadataOf(s"$RefDatasets/naturalearth_lowres.arrow")
+    assert(md.contains("geo") && md("geo").contains("\"geometry\""))
+    assert(md("geo").contains("crs"))
+
+    // write a tiny IPC file with ts/date columns via the arrow-java API
+    // (same jars the reader uses), read it back through the engine
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector._
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
+    import org.apache.arrow.vector.types.{DateUnit, TimeUnit}
+    import scala.jdk.CollectionConverters._
+    val path = java.nio.file.Files.createTempFile("tsdate", ".arrow").toString
+    val alloc = new RootAllocator()
+    val schema = new Schema(Seq(
+      new Field("ts", FieldType.nullable(new ArrowType.Timestamp(TimeUnit.MICROSECOND, null)), null),
+      new Field("tsms", FieldType.nullable(new ArrowType.Timestamp(TimeUnit.MILLISECOND, "UTC")), null),
+      new Field("d", FieldType.nullable(new ArrowType.Date(DateUnit.DAY)), null)).asJava)
+    val root = VectorSchemaRoot.create(schema, alloc)
+    val ts = root.getVector("ts").asInstanceOf[TimeStampMicroVector]
+    val tsms = root.getVector("tsms").asInstanceOf[TimeStampMilliTZVector]
+    val dv = root.getVector("d").asInstanceOf[DateDayVector]
+    ts.allocateNew(2); tsms.allocateNew(2); dv.allocateNew(2)
+    ts.set(0, 1700000000123456L); ts.setNull(1)
+    tsms.set(0, 1700000000123L); tsms.set(1, 0L)
+    dv.set(0, 19000); dv.setNull(1)
+    root.setRowCount(2)
+    val ch = new java.io.FileOutputStream(path).getChannel
+    val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(root, null, ch)
+    w.start(); w.writeBatch(); w.end(); w.close(); ch.close()
+    root.close(); alloc.close()
+
+    val df = ArrowIpc.read(spark, path)
+    assert(df.schema("ts").dataType == TimestampType &&
+      df.schema("d").dataType == DateType)
+    val rows = df.orderBy(col("d").desc_nulls_last).collect()
+    assert(rows.length == 2)
+    val r0 = rows(0)
+    assert(r0.getAs[java.sql.Timestamp]("ts").toInstant ==
+      java.time.Instant.ofEpochSecond(1700000000L, 123456000L))
+    assert(r0.getAs[java.sql.Timestamp]("tsms").toInstant.toEpochMilli == 1700000000123L)
+    assert(r0.getAs[java.sql.Date]("d").toLocalDate ==
+      java.time.LocalDate.ofEpochDay(19000))
+    assert(rows(1).isNullAt(rows(1).fieldIndex("ts")) &&
+      rows(1).isNullAt(rows(1).fieldIndex("d")))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(path))
+  }
+
   test("nybb.arrow: uint8 widens losslessly; multiple files union by schema") {
     val nybb = ArrowIpc.read(spark, s"$RefDatasets/nybb.arrow")
     assert(nybb.count() == 5)
