@@ -108,6 +108,10 @@ object SpatialJoin {
    * as [[AsofJoin.joinAuto]]/[[joinSalted]]; a borderline misclassification
    * costs only the constant factor between broadcast and shuffled plans.
    */
+  /** Sentinel for [[joinAutoBroadcast]]'s cellLevel: measure it with
+   *  [[autoCellLevel]] instead of trusting a caller guess. */
+  val AutoLevel: Int = -1
+
   def joinAutoBroadcast(left: DataFrame, right: DataFrame,
                         predicate: SpatialPredicate = SpatialPredicate.Intersects,
                         joinType: String = "inner",
@@ -116,9 +120,44 @@ object SpatialJoin {
                         leftPointsOnly: Boolean = false,
                         maxBroadcastBytes: Long = 128L << 20,
                         sampleRows: Int = 2048): DataFrame = {
-    val est = estimateCoveringBytes(right, cellLevel, sampleRows)
-    join(left, right, predicate, joinType, lSuffix, rSuffix, cellLevel,
+    val level = if (cellLevel == AutoLevel) autoCellLevel(right, sampleRows = sampleRows)
+      else cellLevel
+    val est = estimateCoveringBytes(right, level, sampleRows)
+    join(left, right, predicate, joinType, lSuffix, rSuffix, level,
       broadcastRight = est <= maxBroadcastBytes, leftPointsOnly)
+  }
+
+  /**
+   * Measured covering resolution: the finest S2 level whose average
+   * covering fan-out on a bounded sample stays within `targetFanOut`.
+   * `cellLevel` is otherwise a caller guess with a real failure mode at
+   * scale — level 9 (~15 km cells) on country-sized polygons explodes each
+   * into thousands of covering rows, while level 4 on city-block polygons
+   * makes every cell a hot bucket of false candidates. One Spark job
+   * evaluates every candidate level's fan-out on the same sample (a column
+   * per level); finer levels mean fewer false candidate pairs per cell, so
+   * the finest affordable level wins.
+   *
+   * The default budget sits above the covering's structural floor: coverRect
+   * pads its ij range with a one-cell safety margin, so even a point-sized
+   * geometry covers 3x3 = 9 cells once the level outresolves its bbox — 16
+   * admits "bbox spans about two cells per axis plus the margin".
+   */
+  def autoCellLevel(right: DataFrame, targetFanOut: Double = 16.0,
+                    maxLevel: Int = 12, sampleRows: Int = 2048): Int = {
+    require(targetFanOut >= 1.0 && maxLevel >= 0, "bad autoCellLevel bounds")
+    val row = right.select(col("geometry")).limit(sampleRows)
+      .select((0 to maxLevel).map(l =>
+        avg(size(cellsFor(col("geometry"), l))).as(s"l$l")): _*)
+      .head()
+    var pick = 0
+    var l = maxLevel
+    var found = false
+    while (l >= 0 && !found) {
+      if (!row.isNullAt(l) && row.getDouble(l) <= targetFanOut) { pick = l; found = true }
+      l -= 1
+    }
+    pick
   }
 
   /** Estimated bytes of the exploded (one row per covering cell) right side:

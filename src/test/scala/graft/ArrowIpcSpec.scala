@@ -40,6 +40,10 @@ class ArrowIpcSpec extends SparkSpec {
       st.st_x(st.st_centroid(col("geometry"))).as("cx"))
       .filter(col("cx") < col("b.minx") || col("cx") > col("b.maxx"))
     assert(bad.count() == 0)
+    // measured covering resolution on REAL country polygons lands coarse
+    // (the q_ref_sjoin gate's hand-picked 4 falls inside the sane band)
+    val lvl = graft.join.SpatialJoin.autoCellLevel(countries)
+    assert(lvl >= 1 && lvl <= 5, s"countries picked level $lvl")
   }
 
   test("geo schema metadata surfaces (CRS routing); timestamps/dates decode " +

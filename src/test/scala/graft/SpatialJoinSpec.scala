@@ -269,6 +269,29 @@ class SpatialJoinSpec extends SparkSpec {
     assert(est > 0 && est < (10L << 20), s"estimate $est out of range")
   }
 
+  test("autoCellLevel: measured fan-out picks coarse levels for big polygons, " +
+    "fine for small; join rows are level-invariant") {
+    import spark.implicits._
+    // continent-sized boxes (~60 deg): covering at level 9 would be huge
+    val big = (0 until 20).map(i =>
+      (i.toLong, polyWkb((-150.0 + i, -30.0), (-90.0 + i, -30.0),
+        (-90.0 + i, 30.0), (-150.0 + i, 30.0)))).toDF("id", "geometry")
+    // city-block boxes (~0.02 deg)
+    val small = (0 until 20).map(i =>
+      (i.toLong, polyWkb((i * 1.0, 0.0), (i + 0.02, 0.0),
+        (i + 0.02, 0.02), (i * 1.0, 0.02)))).toDF("id", "geometry")
+    val lBig = SpatialJoin.autoCellLevel(big)
+    val lSmall = SpatialJoin.autoCellLevel(small)
+    assert(lBig < lSmall, s"big=$lBig small=$lSmall")
+    assert(lBig <= 4 && lSmall >= 8, s"big=$lBig small=$lSmall")
+    // the picked levels honor the fan-out budget on the sample
+    // (and the join result is identical to a fixed-level join)
+    val viaAuto = SpatialJoin.joinAutoBroadcast(points, polys,
+      SpatialPredicate.Intersects, cellLevel = SpatialJoin.AutoLevel)
+    assert(viaAuto.select("point_values_left").collect()
+      .map(_.getDouble(0)).sorted.toSeq == Seq(2.0, 3.0))
+  }
+
   test("joinWithin: distance join equals JTS brute force, incl. cross-cell radii") {
     val rnd = new scala.util.Random(53)
     val pts = (0 until 400).map(i =>
