@@ -107,13 +107,25 @@ object SparkEntry {
         sum(floor(col("l_discount") * 10000 + 0.5)).as("sum_disc_c4"),
         count(lit(1)).as("cnt"))),
 
-    "q3_revenue" -> ((s, dir) => t(s, dir, "customer")
-      .filter(col("c_mktsegment") === "BUILDING")
-      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
-      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-      .groupBy("o_orderkey")
-      .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000 + 0.5))
-        .as("revenue_c4"))),
+    "q3_revenue" -> ((s, dir) => {
+      // dimension side reduced FIRST (1/5 of customers -> their order keys,
+      // one narrow column), then broadcast against the streamed fact scan —
+      // left alone the planner broadcasts the 10x-bigger lineitem build
+      // (measured r5: 1.97s -> 0.97s best-of-3 at sf0.1). The fact side
+      // never shuffles until it is down to (o_orderkey, partial_sum) pairs.
+      val co = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("c_custkey") === col("o_custkey"))
+        .select(col("o_orderkey"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(co), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000 + 0.5))
+          .as("revenue_c4"))
+    }),
 
     "q_window_topn" -> ((s, dir) => t(s, dir, "orders")
       .withColumn("rnk", row_number().over(
