@@ -123,21 +123,31 @@ object SpatialJoinRule extends Rule[LogicalPlan] {
       }
     }
 
+  /** Which join side an expression reads: 'l'/'r', 'c' for a constant (a
+   *  literal geometry after constant folding — still rewritable, its
+   *  covering folds to a literal array), 'x' for cross-side. */
+  private def sideOf(e: Expression, l: LogicalPlan, r: LogicalPlan): Char =
+    if (e.references.isEmpty) if (e.foldable) 'c' else 'x'
+    else if (e.references.subsetOf(l.outputSet)) 'l'
+    else if (e.references.subsetOf(r.outputSet)) 'r'
+    else 'x'
+
   /** Spatial conjunct normalized to (left-side geom, right-side geom, radius)
    *  — bbox covering is orientation-symmetric, so which side each geometry
-   *  comes from is all that matters; the exact predicate rides along whole. */
+   *  comes from is all that matters; the exact predicate rides along whole.
+   *  A constant geometry pairs with whichever side the other one reads
+   *  (both-constant means the predicate is not a join problem — skip). */
   private def spatialHit(cond: Expression, l: LogicalPlan,
                          r: LogicalPlan): Option[(Expression, Expression, Double)] =
-    conjuncts(cond).iterator.map(asSpatialPred).collectFirst {
-      case Some((a, b, d)) if d >= 0 &&
-        a.references.nonEmpty && b.references.nonEmpty &&
-        a.references.subsetOf(l.outputSet) && b.references.subsetOf(r.outputSet) =>
-        (a, b, d)
-      case Some((a, b, d)) if d >= 0 &&
-        a.references.nonEmpty && b.references.nonEmpty &&
-        b.references.subsetOf(l.outputSet) && a.references.subsetOf(r.outputSet) =>
-        (b, a, d)
-    }
+    conjuncts(cond).iterator.map(asSpatialPred).collectFirst(Function.unlift {
+      case Some((a, b, d)) if d >= 0 =>
+        (sideOf(a, l, r), sideOf(b, l, r)) match {
+          case ('l', 'r') | ('l', 'c') | ('c', 'r') => Some((a, b, d))
+          case ('r', 'l') | ('r', 'c') | ('c', 'l') => Some((b, a, d))
+          case _ => None
+        }
+      case _ => None
+    })
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     // the rewrite only rescues joins the planner has NOTHING to hash on: a

@@ -38,6 +38,28 @@ object Drive {
       " LEFTJOIN_NO_IDS=" + !ljPlan.contains("monotonically_increasing_id") +
       s" LEFTJOIN_ROWS=${lj.count()}")
 
+    // r5: generic (polygon-left) LEFT join is one-pass — no ExistingRDD
+    // (checkpoint) scan anywhere, the match-count Window present
+    val polyLeft = spark.range(50).select(col("id").as("lid"),
+      st_makeBox(col("id").cast("double"), lit(0.0),
+        col("id").cast("double") + 2.0, lit(2.0)).as("geometry"))
+    val glj = graft.join.SpatialJoin.join(polyLeft, polys,
+      graft.join.SpatialPredicate.Intersects, "left", cellLevel = 3,
+      leftPointsOnly = false)
+    val gljPlan = glj.queryExecution.executedPlan.toString
+    println("GENERIC_LEFT_NO_CKPT=" + !gljPlan.contains("ExistingRDD") +
+      " GENERIC_LEFT_WINDOW=" + gljPlan.contains("Window") +
+      s" GENERIC_LEFT_ROWS=${glj.count()}")
+
+    // r5: the optimizer rule rescues a naive LEFT OUTER contains join
+    graft.sql.GraftSql.registerRules(spark)
+    spark.conf.set(graft.sql.SpatialJoinRule.CellLevelConf, "3")
+    val naiveLeft = pts.join(polys.withColumnRenamed("geometry", "bgeom"),
+      st_contains(col("bgeom"), col("geometry")), "left")
+    val nlPlan = naiveLeft.queryExecution.executedPlan.toString
+    println("RULE_LEFT_NO_BNLJ=" + !nlPlan.contains("BroadcastNestedLoopJoin") +
+      s" RULE_LEFT_ROWS=${naiveLeft.count()}")
+
     // kNN through the bounded aggregate: partial agg, no Window operator
     val knnPlan = pts.crossJoin(broadcast(spark.range(2).select(col("id").as("qid"),
         lit(1.0).as("qx"), lit(2.0).as("qy"))))

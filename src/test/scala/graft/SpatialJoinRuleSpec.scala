@@ -149,6 +149,23 @@ class SpatialJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("constant-folded literal geometry still rewrites (refs-empty side)") {
+    // st_makeBox(lit...) constant-folds to a literal WKB before our batch
+    // runs, leaving the conjunct with references on only ONE side — the
+    // covering of the constant side folds to a literal array, so the
+    // rescue still applies (this is the Drive regression case)
+    val (pts, _) = fixtures()
+    import spark.implicits._
+    val tagged = Seq(1L, 2L).toDF("tag_id")
+      .withColumn("bgeom", st_makeBox(lit(-170.0), lit(-58.0), lit(-100.0), lit(-10.0)))
+    def build = pts.join(tagged, st_contains(col("bgeom"), col("geometry")), "left")
+    val (ruled, naive) = withAndWithoutRule(build)
+    assert(!ruled.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    def rowsL(df: DataFrame) = df.select("id", "tag_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).sorted.toSeq
+    assert(rowsL(ruled) == rowsL(naive))
+  }
+
   test("LEFT OUTER spatial join rewrites one-pass: BNLJ-free, null-extension " +
     "and row multiset identical") {
     val (pts, boxes) = fixtures()
