@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.arrow.compression.CommonsCompressionFactory
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector._
 import org.apache.arrow.vector.ipc.ArrowFileReader
@@ -27,7 +28,9 @@ import scala.collection.mutable.ArrayBuffer
  * is one footer read for the schema.
  *
  * Type subset: the Arrow types the golden data and common feather files use
- * — utf8/large-utf8, binary/large-binary, bool, int 8/16/32/64 signed and
+ * — dictionary-encoded columns (decoded to their value type) and
+ * LZ4/ZSTD-compressed record batches (pyarrow's feather default) included:
+ * utf8/large-utf8, binary/large-binary, bool, int 8/16/32/64 signed and
  * unsigned (unsigned widens to the next signed Spark type; uint64 is
  * rejected rather than silently wrapped), float32/64, date (day/milli) and
  * timestamp at every Arrow unit (normalized to Spark's microsecond
@@ -41,8 +44,9 @@ object ArrowIpc {
     try {
       val reader = new ArrowFileReader(
         new org.apache.arrow.vector.ipc.SeekableReadChannel(
-          new java.io.RandomAccessFile(path, "r").getChannel), alloc)
-      try sparkSchema(reader.getVectorSchemaRoot.getSchema.getFields)
+          new java.io.RandomAccessFile(path, "r").getChannel), alloc,
+        CommonsCompressionFactory.INSTANCE)
+      try sparkSchema(reader)
       finally reader.close()
     } finally alloc.close()
   }
@@ -56,7 +60,8 @@ object ArrowIpc {
     try {
       val reader = new ArrowFileReader(
         new org.apache.arrow.vector.ipc.SeekableReadChannel(
-          new java.io.RandomAccessFile(path, "r").getChannel), alloc)
+          new java.io.RandomAccessFile(path, "r").getChannel), alloc,
+        CommonsCompressionFactory.INSTANCE)
       try {
         import scala.jdk.CollectionConverters._
         reader.getVectorSchemaRoot.getSchema.getCustomMetadata.asScala.toMap
@@ -82,21 +87,33 @@ object ArrowIpc {
     val alloc = new RootAllocator()
     val out = ArrayBuffer.empty[Row]
     try {
-      val reader = new ArrowFileReader(new ByteArrayReadableSeekableByteChannel(bytes), alloc)
+      val reader = new ArrowFileReader(new ByteArrayReadableSeekableByteChannel(bytes), alloc,
+        CommonsCompressionFactory.INSTANCE)
       try {
         val root = reader.getVectorSchemaRoot
-        val fileSchema = sparkSchema(root.getSchema.getFields)
+        val fileSchema = sparkSchema(reader)
         require(fileSchema == schema,
           s"IPC file schema $fileSchema differs from the first file's $schema")
         while (reader.loadNextBatch()) {
           val n = root.getRowCount
           val vectors = root.getFieldVectors
+          // dictionary-encoded columns: the loaded vector holds indexes; the
+          // values live in the reader's dictionary vectors
+          val dicts: Array[FieldVector] = (0 until vectors.size()).map { c =>
+            val enc = vectors.get(c).getField.getDictionary
+            if (enc == null) null
+            else reader.getDictionaryVectors.get(enc.getId).getVector
+          }.toArray
           var i = 0
           while (i < n) {
             val vals = new Array[Any](vectors.size())
             var c = 0
             while (c < vectors.size()) {
-              vals(c) = readValue(vectors.get(c), i)
+              val v = vectors.get(c)
+              vals(c) =
+                if (dicts(c) == null) readValue(v, i)
+                else if (v.isNull(i)) null
+                else readValue(dicts(c), dictIndex(v, i))
               c += 1
             }
             out += Row.fromSeq(vals.toIndexedSeq)
@@ -148,10 +165,30 @@ object ArrowIpc {
     java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
       Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L))
 
-  private def sparkSchema(fields: java.util.List[Field]): StructType = {
+  /** Index value of a dictionary-encoded cell (index vectors are ints of
+   *  some width). */
+  private def dictIndex(v: FieldVector, i: Int): Int = v match {
+    case x: TinyIntVector => x.get(i).toInt
+    case x: SmallIntVector => x.get(i).toInt
+    case x: IntVector => x.get(i)
+    case x: BigIntVector => Math.toIntExact(x.get(i))
+    case x: UInt1Vector => x.get(i) & 0xff
+    case x: UInt2Vector => x.get(i) & 0xffff
+    case x: UInt4Vector => Math.toIntExact(x.get(i) & 0xffffffffL)
+    case other => throw new IllegalArgumentException(
+      s"unsupported dictionary index vector ${other.getClass.getSimpleName}")
+  }
+
+  /** Schema from an open reader; dictionary-encoded fields resolve to the
+   *  DICTIONARY's value type (the in-memory field carries the index type). */
+  private def sparkSchema(reader: ArrowFileReader): StructType = {
     import scala.jdk.CollectionConverters._
-    StructType(fields.asScala.toSeq.map { f =>
-      StructField(f.getName, sparkType(f), nullable = f.isNullable)
+    StructType(reader.getVectorSchemaRoot.getSchema.getFields.asScala.toSeq.map { f =>
+      val enc = f.getDictionary
+      val valueField =
+        if (enc == null) f
+        else reader.getDictionaryVectors.get(enc.getId).getVector.getField
+      StructField(f.getName, sparkType(valueField), nullable = f.isNullable)
     })
   }
 

@@ -96,6 +96,24 @@ class ArrowIpcSpec extends SparkSpec {
     java.nio.file.Files.delete(java.nio.file.Paths.get(path))
   }
 
+  test("pyarrow LZ4-compressed batches + dictionary-encoded column decode " +
+    "(the feather default wire format)") {
+    // committed fixture written by pyarrow: write_feather(compression='lz4',
+    // chunksize=64) with a pandas category column -> int8-indexed dictionary
+    val path = getClass.getResource("/compressed_dict.arrow").getPath
+    val df = ArrowIpc.read(spark, path)
+    assert(df.schema("name").dataType == StringType) // value type, not index
+    assert(df.count() == 240)
+    val byName = df.groupBy("name").count().collect()
+      .map(r => (if (r.isNullAt(0)) "NULL" else r.getString(0)) -> r.getLong(1)).toMap
+    assert(byName == Map("alpha" -> 80L, "beta" -> 80L, "gamma" -> 40L, "NULL" -> 40L))
+    // values line up with the dictionary per row (multi-batch: chunksize 64)
+    val rows = df.orderBy("n").collect()
+    assert(rows(0).getString(0) == "alpha" && rows(1).getString(0) == "beta")
+    assert(rows(4).isNullAt(0) && rows(239).getString(0) == "beta")
+    assert(rows.map(_.getDouble(1)).sum == (0 until 240).sum.toDouble)
+  }
+
   test("nybb.arrow: uint8 widens losslessly; multiple files union by schema") {
     val nybb = ArrowIpc.read(spark, s"$RefDatasets/nybb.arrow")
     assert(nybb.count() == 5)
