@@ -225,4 +225,132 @@ object ArrowIpc {
     case t => throw new IllegalArgumentException(
       s"unsupported Arrow type $t for field ${f.getName}")
   }
+
+  // ======================= write (export) =======================
+
+  /**
+   * Export a DataFrame as Arrow IPC files — one `part-NNNNN.arrow` per
+   * partition under `dir` (the parquet directory convention), so the write
+   * is executor-parallel and the driver never sees the data. The output is
+   * the reference ecosystem's wire format: `polars.read_ipc` /
+   * `pyarrow.feather.read_table` open each part directly. Batches of
+   * `batchRows` bound executor memory. Schema metadata (e.g. a GeoParquet
+   * `geo` document for WKB geometry columns) rides on every part file.
+   *
+   * Types: string, binary, bool, byte/short/int/long, float/double,
+   * timestamp (microsecond), date — the mirror of the read subset.
+   */
+  def write(df: DataFrame, dir: String, batchRows: Int = 4096,
+            metadata: Map[String, String] = Map.empty): Unit = {
+    import org.apache.arrow.vector.types.pojo.{ArrowType => AT, FieldType, Schema => ASchema}
+    val schema = df.schema
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val meta = metadata
+    schema.fields.foreach(f => arrowTypeOf(f.dataType, f.name)) // fail fast pre-job
+    val spark = df.sparkSession
+    import spark.implicits._
+    // the action IS the write; the per-partition row counts come back as the
+    // job result (cheap observability, parquet-writer style)
+    val counts = df.mapPartitions { rows =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val path = f"$dir/part-$pid%05d.arrow"
+      val alloc = new RootAllocator()
+      var written = 0L
+      try {
+        import scala.jdk.CollectionConverters._
+        val fields = schema.fields.map { f =>
+          new org.apache.arrow.vector.types.pojo.Field(f.name,
+            new FieldType(f.nullable, arrowTypeOf(f.dataType, f.name), null, null), null)
+        }.toSeq
+        val aschema = new ASchema(fields.asJava, meta.asJava)
+        val root = VectorSchemaRoot.create(aschema, alloc)
+        val ch = new java.io.FileOutputStream(path).getChannel
+        val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(root, null, ch)
+        w.start()
+        val buf = new Array[Row](batchRows)
+        var n = 0
+        def flush(): Unit = if (n > 0) {
+          root.allocateNew()
+          var c = 0
+          while (c < schema.fields.length) {
+            val v = root.getVector(c)
+            var i = 0
+            while (i < n) { writeValue(v, i, buf(i), c); i += 1 }
+            v.setValueCount(n)
+            c += 1
+          }
+          root.setRowCount(n)
+          w.writeBatch()
+          written += n
+          n = 0
+        }
+        while (rows.hasNext) {
+          buf(n) = rows.next(); n += 1
+          if (n == batchRows) flush()
+        }
+        flush()
+        w.end(); w.close(); ch.close(); root.close()
+      } finally alloc.close()
+      Iterator.single(written)
+    }.collect().sum
+    require(counts >= 0L, "unreachable — materializes the write job")
+  }
+
+  private def arrowTypeOf(dt: DataType, name: String): ArrowType = dt match {
+    case StringType => ArrowType.Utf8.INSTANCE
+    case BinaryType => ArrowType.Binary.INSTANCE
+    case BooleanType => ArrowType.Bool.INSTANCE
+    case ByteType => new ArrowType.Int(8, true)
+    case ShortType => new ArrowType.Int(16, true)
+    case IntegerType => new ArrowType.Int(32, true)
+    case LongType => new ArrowType.Int(64, true)
+    case FloatType => new ArrowType.FloatingPoint(
+      org.apache.arrow.vector.types.FloatingPointPrecision.SINGLE)
+    case DoubleType => new ArrowType.FloatingPoint(
+      org.apache.arrow.vector.types.FloatingPointPrecision.DOUBLE)
+    case TimestampType => new ArrowType.Timestamp(
+      org.apache.arrow.vector.types.TimeUnit.MICROSECOND, "UTC")
+    case DateType => new ArrowType.Date(org.apache.arrow.vector.types.DateUnit.DAY)
+    case other => throw new IllegalArgumentException(
+      s"ArrowIpc.write: unsupported Spark type $other for column $name")
+  }
+
+  private def writeValue(v: FieldVector, i: Int, row: Row, c: Int): Unit = {
+    if (row.isNullAt(c)) { setNull(v, i); return }
+    v match {
+      case x: VarCharVector => x.setSafe(i,
+        row.getString(c).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case x: VarBinaryVector => x.setSafe(i, row.getAs[Array[Byte]](c))
+      case x: BitVector => x.setSafe(i, if (row.getBoolean(c)) 1 else 0)
+      case x: TinyIntVector => x.setSafe(i, row.getByte(c))
+      case x: SmallIntVector => x.setSafe(i, row.getShort(c))
+      case x: IntVector => x.setSafe(i, row.getInt(c))
+      case x: BigIntVector => x.setSafe(i, row.getLong(c))
+      case x: Float4Vector => x.setSafe(i, row.getFloat(c))
+      case x: Float8Vector => x.setSafe(i, row.getDouble(c))
+      case x: TimeStampMicroTZVector =>
+        val inst = row.getAs[java.sql.Timestamp](c).toInstant
+        x.setSafe(i, Math.addExact(Math.multiplyExact(inst.getEpochSecond, 1000000L),
+          inst.getNano / 1000L))
+      case x: DateDayVector =>
+        x.setSafe(i, row.getAs[java.sql.Date](c).toLocalDate.toEpochDay.toInt)
+      case other => throw new IllegalArgumentException(
+        s"ArrowIpc.write: unsupported vector ${other.getClass.getSimpleName}")
+    }
+  }
+
+  private def setNull(v: FieldVector, i: Int): Unit = v match {
+    case x: VarCharVector => x.setNull(i)
+    case x: VarBinaryVector => x.setNull(i)
+    case x: BitVector => x.setNull(i)
+    case x: TinyIntVector => x.setNull(i)
+    case x: SmallIntVector => x.setNull(i)
+    case x: IntVector => x.setNull(i)
+    case x: BigIntVector => x.setNull(i)
+    case x: Float4Vector => x.setNull(i)
+    case x: Float8Vector => x.setNull(i)
+    case x: TimeStampMicroTZVector => x.setNull(i)
+    case x: DateDayVector => x.setNull(i)
+    case _ => throw new IllegalArgumentException("unsupported null vector")
+  }
 }

@@ -114,6 +114,50 @@ class ArrowIpcSpec extends SparkSpec {
     assert(rows.map(_.getDouble(1)).sum == (0 until 240).sum.toDouble)
   }
 
+  test("write: executor-parallel IPC export round-trips, incl. the real " +
+    "naturalearth bytes and metadata") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ipc_out").toString
+    // synthetic frame exercising every writable type + nulls
+    val df = spark.range(0, 500, 1, 4).select(
+      col("id"),
+      when(col("id") % 7 =!= 0, concat(lit("s"), col("id"))).as("s"),
+      (col("id") % 2 === 0).as("b"),
+      col("id").cast("int").as("i"),
+      col("id").cast("double").as("d"),
+      when(col("id") % 5 =!= 0, to_timestamp(lit("2026-08-17 01:02:03.000123"))).as("ts"),
+      to_date(lit("2026-08-17")).as("dt"),
+      st.st_point(col("id").cast("double"), lit(1.0)).as("geometry"))
+    ArrowIpc.write(df, dir, batchRows = 64, metadata = Map("graft" -> "r5"))
+    val parts = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".arrow"))
+    assert(parts.length == 4)
+    val back = ArrowIpc.read(spark, parts.map(_.getPath).toIndexedSeq: _*)
+    assert(back.count() == 500)
+    assert(ArrowIpc.metadataOf(parts.head.getPath) == Map("graft" -> "r5"))
+    val a = df.orderBy("id").collect()
+    val b = back.orderBy("id").collect()
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getLong(0) == y.getLong(0))
+      assert(x.isNullAt(1) == y.isNullAt(1) && (x.isNullAt(1) || x.getString(1) == y.getString(1)))
+      assert(x.getBoolean(2) == y.getBoolean(2) && x.getInt(3) == y.getInt(3))
+      assert(x.getDouble(4) == y.getDouble(4))
+      assert(x.isNullAt(5) == y.isNullAt(5) &&
+        (x.isNullAt(5) || x.getTimestamp(5) == y.getTimestamp(5)))
+      assert(x.getDate(6).toString == y.getDate(6).toString)
+      assert(java.util.Arrays.equals(x.getAs[Array[Byte]](7), y.getAs[Array[Byte]](7)))
+    }
+    // REAL data round trip: reference WKB bytes survive export byte-identical
+    val dir2 = java.nio.file.Files.createTempDirectory("ipc_ne").toString
+    val ne = ArrowIpc.read(spark, s"$RefDatasets/naturalearth_cities.arrow")
+    ArrowIpc.write(ne.repartition(2), dir2)
+    val ne2 = ArrowIpc.read(spark,
+      new java.io.File(dir2).listFiles().filter(_.getName.endsWith(".arrow"))
+        .map(_.getPath).toIndexedSeq: _*)
+    val h1 = ne.select(sum(crc32(col("geometry"))).as("h"), count(lit(1)).as("n")).head()
+    val h2 = ne2.select(sum(crc32(col("geometry"))).as("h"), count(lit(1)).as("n")).head()
+    assert(h1 == h2 && h2.getLong(1) == 243)
+  }
+
   test("nybb.arrow: uint8 widens losslessly; multiple files union by schema") {
     val nybb = ArrowIpc.read(spark, s"$RefDatasets/nybb.arrow")
     assert(nybb.count() == 5)
