@@ -159,7 +159,7 @@ object ProjString {
    *  arrays as List[Any], numbers as Double. No dependencies by design
    *  (the build allows none); PROJJSON payloads are tiny and arrive as
    *  cached column literals, so parser speed is irrelevant. */
-  private object Json {
+  private[graft] object Json {
     def parse(s: String): Any = {
       val p = new P(s); val v = p.value(); p.ws()
       if (!p.eof) throw new IllegalArgumentException("trailing JSON content")

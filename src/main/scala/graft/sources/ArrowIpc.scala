@@ -69,6 +69,53 @@ object ArrowIpc {
     } finally alloc.close()
   }
 
+  /**
+   * CRS of the primary geometry column, from the GeoParquet-style `geo`
+   * schema metadata, re-serialized as a PROJJSON string —
+   * `ProjString.parse`-ready, so `ArrowIpc.crsOf(f)` feeds straight into
+   * `st_transform(geom, ArrowIpc.crsOf(f).get, target)`. None when the file
+   * carries no geo metadata or no crs for its primary column.
+   */
+  def crsOf(path: String): Option[String] =
+    metadataOf(path).get("geo").flatMap { geoJson =>
+      graft.geom.ProjString.Json.parse(geoJson) match {
+        case m: Map[String @unchecked, Any @unchecked] =>
+          val primary = m.get("primary_column") match {
+            case Some(s: String) => s
+            case _ => "geometry"
+          }
+          for {
+            cols <- m.get("columns").collect { case c: Map[String @unchecked, Any @unchecked] => c }
+            colMeta <- cols.get(primary).collect { case c: Map[String @unchecked, Any @unchecked] => c }
+            crs <- colMeta.get("crs") if crs != null
+          } yield jsonText(crs)
+        case _ => None
+      }
+    }
+
+  /** Re-serialize a parsed JSON value (the Json parser's Map/List/Double/
+   *  String/Boolean/null shapes) back to JSON text. */
+  private def jsonText(v: Any): String = v match {
+    case null => "null"
+    case s: String => "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    case b: Boolean => b.toString
+    case d: Double => if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
+      else d.toString
+    case l: List[_] => l.map(jsonText).mkString("[", ",", "]")
+    case m: Map[_, _] => m.map { case (k, x) =>
+      jsonText(k.asInstanceOf[String]) + ":" + jsonText(x)
+    }.mkString("{", ",", "}")
+    case other => throw new IllegalArgumentException(s"unexpected JSON node $other")
+  }
+
   /** Read one or more Arrow IPC files as a DataFrame (schema from the first
    *  file; every file must share it, like a parquet directory). */
   def read(spark: SparkSession, paths: String*): DataFrame = {

@@ -52,6 +52,14 @@ class ArrowIpcSpec extends SparkSpec {
     val md = ArrowIpc.metadataOf(s"$RefDatasets/naturalearth_lowres.arrow")
     assert(md.contains("geo") && md("geo").contains("\"geometry\""))
     assert(md("geo").contains("crs"))
+    // the embedded PROJJSON CRS routes straight into the CRS machinery:
+    // naturalearth is WGS84 geographic -> the longlat identity spec
+    val crs = ArrowIpc.crsOf(s"$RefDatasets/naturalearth_lowres.arrow")
+    assert(crs.isDefined && crs.get.contains("GeographicCRS"))
+    val spec = graft.geom.ProjString.parse(crs.get)
+    assert(spec.proj == "longlat" && spec.ell == graft.geom.Proj.Wgs84)
+    // a file with no geo metadata yields None
+    assert(ArrowIpc.crsOf(getClass.getResource("/compressed_dict.arrow").getPath).isEmpty)
 
     // write a tiny IPC file with ts/date columns via the arrow-java API
     // (same jars the reader uses), read it back through the engine
