@@ -80,9 +80,14 @@ object CellStore {
    *                    columns/where/bbox/fids selection.
    *   returnFids    -> appends the FID column as `fid` (file.py:88-89) even
    *                    when `columns` did not list it.
+   *   readGeometry  -> false drops the geometry column (file.py:54-56
+   *                    "If False, geometry will be None"); the pruned
+   *                    ReadSchema then never touches the WKB bytes.
    *
    * `skip_features` is deliberately absent: it assumes OGR's sequential
-   * row order, which a distributed table does not have.
+   * row order, which a distributed table does not have. `layer`/`encoding`
+   * are likewise absent: a parquet relation has one layer and one encoding
+   * (UTF-8) by construction.
    */
   def readFile(spark: SparkSession, path: String,
                columns: Seq[String] = Nil,
@@ -95,7 +100,9 @@ object CellStore {
                sqlDialect: String = "spark",
                sqlView: String = "read_file",
                fidCol: String = "fid",
-               returnFids: Boolean = false): DataFrame = {
+               returnFids: Boolean = false,
+               readGeometry: Boolean = true,
+               geometryCol: String = "geometry"): DataFrame = {
     require(sqlDialect == "spark",
       s"sql_dialect '$sqlDialect' not supported: this engine executes Spark SQL only")
     require(fids.isEmpty || (where.isEmpty && bbox.isEmpty && maxFeatures.isEmpty),
@@ -122,6 +129,7 @@ object CellStore {
           df = df.select(cols.map(col): _*)
         }
         if (returnFids) df = df.withColumn("fid", col(fidCol))
+        if (!readGeometry) df = df.drop(geometryCol)
         maxFeatures.foreach(n => df = df.limit(math.min(n, Int.MaxValue.toLong).toInt))
         df
     }

@@ -118,6 +118,14 @@ class CellStoreSpec extends SparkSpec {
       fidCol = "fid", returnFids = true)
     assert(rf.columns.contains("fid") && rf.columns.contains("url"))
     assert(rf.count() == 500)
+
+    // read_geometry=False drops the geometry column (file.py:54-56)
+    val path2 = Files.createTempDirectory("readfile_geom").toString
+    geo.withColumn("geometry", graft.functions.st.st_point(col("lon"), col("lat")))
+      .write.mode("overwrite").parquet(path2)
+    val noGeom = CellStore.readFile(spark, path2, readGeometry = false)
+    assert(!noGeom.columns.contains("geometry") && noGeom.count() == 500)
+    assert(CellStore.readFile(spark, path2).columns.contains("geometry"))
   }
 
   test("bucketed tables join with zero exchanges (co-located join layout)") {
