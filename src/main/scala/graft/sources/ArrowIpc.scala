@@ -5,7 +5,6 @@ import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector._
 import org.apache.arrow.vector.ipc.ArrowFileReader
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field}
-import org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel
 import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.types._
 
@@ -19,13 +18,12 @@ import scala.collection.mutable.ArrayBuffer
  * This is what lets the engine's gates run on the reference's REAL bytes
  * rather than only on synthetic fixtures.
  *
- * Spark-first shape: files arrive through the built-in `binaryFile` source
- * (so listing, scheduling and locality are Catalyst's problem — one task per
- * file, the natural parallel grain of the IPC file format), and batches are
- * decoded on EXECUTORS with the Arrow jars Spark already ships. Memory is
- * bounded per task by the largest single record batch, not the file: each
- * batch is copied into Rows and released before the next loads. Driver work
- * is one footer read for the schema.
+ * Spark-first shape: the IPC footer indexes every record batch, so the scan
+ * parallelizes at RECORD-BATCH grain — one task per (file, batch), each
+ * seeking straight to its block and decoding on EXECUTORS with the Arrow
+ * jars Spark already ships. A single huge feather file fans out across the
+ * cluster; per-task memory is bounded by one batch, never a file. Driver
+ * work is one footer read per file (schema + batch index).
  *
  * Type subset: the Arrow types the golden data and common feather files use
  * — dictionary-encoded columns (decoded to their value type) and
@@ -116,56 +114,85 @@ object ArrowIpc {
     case other => throw new IllegalArgumentException(s"unexpected JSON node $other")
   }
 
-  /** Read one or more Arrow IPC files as a DataFrame (schema from the first
-   *  file; every file must share it, like a parquet directory). */
+  /** Record-batch count of an IPC file (from the footer's batch index). */
+  def blockCountOf(path: String): Int = {
+    val alloc = new RootAllocator()
+    try {
+      val reader = new ArrowFileReader(
+        new org.apache.arrow.vector.ipc.SeekableReadChannel(
+          new java.io.RandomAccessFile(path, "r").getChannel), alloc,
+        CommonsCompressionFactory.INSTANCE)
+      try reader.getRecordBlocks.size()
+      finally reader.close()
+    } finally alloc.close()
+  }
+
+  /**
+   * Read one or more Arrow IPC files as a DataFrame (schema from the first
+   * file; every file must share it, like a parquet directory).
+   *
+   * Parallel grain: one task per RECORD BATCH, not per file — the IPC
+   * footer indexes every batch, so each task opens its file and seeks
+   * straight to its block (`loadRecordBatch`). A single multi-gigabyte
+   * feather file therefore fans out across the cluster, and nothing ever
+   * materializes a whole file in memory (the per-task bound is one batch).
+   * Paths must be reachable from executors (local/shared filesystem — the
+   * golden-data and export layouts here; an HDFS-backed variant would swap
+   * the RandomAccessFile channel for the Hadoop stream).
+   */
   def read(spark: SparkSession, paths: String*): DataFrame = {
     require(paths.nonEmpty, "ArrowIpc.read needs at least one path")
     val schema = schemaOf(paths.head)
-    val bin = spark.read.format("binaryFile").load(paths: _*)
-      .select("content").as(Encoders.BINARY)
-    bin.mapPartitions { files =>
-      files.flatMap(decodeFile(_, schema))
-    }(Encoders.row(schema))
+    val blocks: Seq[(String, Int)] =
+      paths.flatMap(p => (0 until blockCountOf(p)).map(p -> _))
+    import spark.implicits._
+    val nSlices = math.max(1, math.min(blocks.size, spark.sparkContext.defaultParallelism))
+    spark.createDataset(blocks).repartition(nSlices)
+      .mapPartitions { iter =>
+        iter.flatMap { case (path, block) => decodeBlock(path, block, schema) }
+      }(Encoders.row(schema))
   }
 
-  /** Decode every record batch of one IPC file payload into Rows. Eager per
-   *  batch (bounded by batch size), allocator closed before returning. */
-  private def decodeFile(bytes: Array[Byte], schema: StructType): Iterator[Row] = {
+  /** Decode ONE record batch of one IPC file into Rows: open, seek to the
+   *  block, copy out, close — per-task memory is bounded by this batch. */
+  private def decodeBlock(path: String, block: Int, schema: StructType): Iterator[Row] = {
     val alloc = new RootAllocator()
     val out = ArrayBuffer.empty[Row]
     try {
-      val reader = new ArrowFileReader(new ByteArrayReadableSeekableByteChannel(bytes), alloc,
+      val reader = new ArrowFileReader(
+        new org.apache.arrow.vector.ipc.SeekableReadChannel(
+          new java.io.RandomAccessFile(path, "r").getChannel), alloc,
         CommonsCompressionFactory.INSTANCE)
       try {
         val root = reader.getVectorSchemaRoot
         val fileSchema = sparkSchema(reader)
         require(fileSchema == schema,
-          s"IPC file schema $fileSchema differs from the first file's $schema")
-        while (reader.loadNextBatch()) {
-          val n = root.getRowCount
-          val vectors = root.getFieldVectors
-          // dictionary-encoded columns: the loaded vector holds indexes; the
-          // values live in the reader's dictionary vectors
-          val dicts: Array[FieldVector] = (0 until vectors.size()).map { c =>
-            val enc = vectors.get(c).getField.getDictionary
-            if (enc == null) null
-            else reader.getDictionaryVectors.get(enc.getId).getVector
-          }.toArray
-          var i = 0
-          while (i < n) {
-            val vals = new Array[Any](vectors.size())
-            var c = 0
-            while (c < vectors.size()) {
-              val v = vectors.get(c)
-              vals(c) =
-                if (dicts(c) == null) readValue(v, i)
-                else if (v.isNull(i)) null
-                else readValue(dicts(c), dictIndex(v, i))
-              c += 1
-            }
-            out += Row.fromSeq(vals.toIndexedSeq)
-            i += 1
+          s"IPC file schema $fileSchema of $path differs from the first file's $schema")
+        require(reader.loadRecordBatch(reader.getRecordBlocks.get(block)),
+          s"failed to load record batch $block of $path")
+        val n = root.getRowCount
+        val vectors = root.getFieldVectors
+        // dictionary-encoded columns: the loaded vector holds indexes; the
+        // values live in the reader's dictionary vectors
+        val dicts: Array[FieldVector] = (0 until vectors.size()).map { c =>
+          val enc = vectors.get(c).getField.getDictionary
+          if (enc == null) null
+          else reader.getDictionaryVectors.get(enc.getId).getVector
+        }.toArray
+        var i = 0
+        while (i < n) {
+          val vals = new Array[Any](vectors.size())
+          var c = 0
+          while (c < vectors.size()) {
+            val v = vectors.get(c)
+            vals(c) =
+              if (dicts(c) == null) readValue(v, i)
+              else if (v.isNull(i)) null
+              else readValue(dicts(c), dictIndex(v, i))
+            c += 1
           }
+          out += Row.fromSeq(vals.toIndexedSeq)
+          i += 1
         }
       } finally reader.close()
     } finally alloc.close()

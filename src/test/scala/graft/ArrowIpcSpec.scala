@@ -109,9 +109,13 @@ class ArrowIpcSpec extends SparkSpec {
     // committed fixture written by pyarrow: write_feather(compression='lz4',
     // chunksize=64) with a pandas category column -> int8-indexed dictionary
     val path = getClass.getResource("/compressed_dict.arrow").getPath
+    // parallel grain: the footer indexes 4 record batches (chunksize 64) —
+    // the scan fans out per batch, so one big file never becomes one task
+    assert(ArrowIpc.blockCountOf(path) == 4)
     val df = ArrowIpc.read(spark, path)
     assert(df.schema("name").dataType == StringType) // value type, not index
     assert(df.count() == 240)
+    assert(df.rdd.getNumPartitions >= 2 && df.rdd.getNumPartitions <= 4)
     val byName = df.groupBy("name").count().collect()
       .map(r => (if (r.isNullAt(0)) "NULL" else r.getString(0)) -> r.getLong(1)).toMap
     assert(byName == Map("alpha" -> 80L, "beta" -> 80L, "gamma" -> 40L, "NULL" -> 40L))
