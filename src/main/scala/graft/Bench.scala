@@ -109,16 +109,26 @@ object Bench {
     //    true band at 0.83-1.00 on this pipeline (shared-nothing scan ->
     //    broadcast joins, no shuffle), so a sub-0.8 pair means the 8-core
     //    windows were stolen from. Re-sample the 8-core level.
-    var retries8 = 0
-    while ((best(8) / best(2)) / 4.0 < 0.8 && retries8 < 3) { resample(8); retries8 += 1 }
     //  guard C (r5, the symmetric case): efficiency ABOVE 1.05 is
     //    superlinear, which this shared-nothing pipeline cannot do — it
     //    means the 2-core baseline was stolen from, which would flatter the
     //    recorded efficiency. Re-sample the 2-core level; its best can only
     //    rise, pushing efficiency back toward truth. Every level now has a
     //    guard, each firing only against its own understatement direction.
+    //    A and C iterate to a FIXPOINT: raising best(2) via C can push the
+    //    ratio back under A's 0.8 floor (and vice versa), so a single
+    //    sequential pass could record a value both guards exist to prevent.
+    //    Each firing strictly raises one level's best, so the loop is
+    //    monotone and the per-guard retry caps bound it.
+    var retries8 = 0
     var retries2 = 0
-    while ((best(8) / best(2)) / 4.0 > 1.05 && retries2 < 3) { resample(2); retries2 += 1 }
+    var again = true
+    while (again) {
+      again = false
+      val ratio = (best(8) / best(2)) / 4.0
+      if (ratio < 0.8 && retries8 < 3) { resample(8); retries8 += 1; again = true }
+      else if (ratio > 1.05 && retries2 < 3) { resample(2); retries2 += 1; again = true }
+    }
     val pps2 = best(2)
     val pps8 = best(8)
     //  guard B: 32 cores measuring BELOW the best 8-core sample can only be

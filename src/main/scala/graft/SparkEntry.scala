@@ -109,10 +109,13 @@ object SparkEntry {
 
     "q3_revenue" -> ((s, dir) => {
       // dimension side reduced FIRST (1/5 of customers -> their order keys,
-      // one narrow column), then broadcast against the streamed fact scan —
-      // left alone the planner broadcasts the 10x-bigger lineitem build
-      // (measured r5: 1.97s -> 0.97s best-of-3 at sf0.1). The fact side
-      // never shuffles until it is down to (o_orderkey, partial_sum) pairs.
+      // one narrow column), then joined against the narrow 3-column fact
+      // scan — the original formulation made the planner broadcast the full
+      // lineitem build (measured r5: 1.97s -> ~0.7-1.0s best-of at sf0.1).
+      // Deliberately NO broadcast() hint: a hint ignores size thresholds,
+      // so at a scale factor where the key set outgrows memory it would
+      // force a broadcast OOM — left to stats/AQE the plan degrades
+      // gracefully to a shuffle join instead (review r5 finding).
       val co = t(s, dir, "customer")
         .filter(col("c_mktsegment") === "BUILDING")
         .select(col("c_custkey"))
@@ -121,7 +124,7 @@ object SparkEntry {
         .select(col("o_orderkey"))
       t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-        .join(broadcast(co), col("o_orderkey") === col("l_orderkey"))
+        .join(co, col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderkey")
         .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000 + 0.5))
           .as("revenue_c4"))

@@ -85,14 +85,17 @@ object Wkb {
         def countFits(n: Long, unitBytes: Long): Boolean =
           n >= 0 && n <= (b.length - pos - 4).max(0).toLong / unitBytes.max(1)
 
+        // every count field itself needs 4 bytes of buffer before reading
         base match {
           case 1 => // Point (empty point = NaN coords, still dims doubles)
             if (pos + ptBytes > b.length) return false
             pos += ptBytes
           case 2 => // LineString
+            if (pos + 4 > b.length) return false
             val n = u32(le, pos); if (!countFits(n, ptBytes)) return false
             pos += 4 + (n * ptBytes).toInt
           case 3 => // Polygon: nrings, each ring = count + points
+            if (pos + 4 > b.length) return false
             val nr = u32(le, pos); if (!countFits(nr, 4)) return false
             pos += 4
             var i = 0L
@@ -103,6 +106,7 @@ object Wkb {
               i += 1
             }
           case 4 | 5 | 6 | 7 => // Multi* / GeometryCollection: n nested geoms
+            if (pos + 4 > b.length) return false
             val n = u32(le, pos)
             // each nested geometry needs >= 5 bytes of header
             if (!countFits(n, 5)) return false

@@ -162,15 +162,19 @@ object AsofJoin {
                maxKeyRows: Long = 10000000L,
                sampleRate: Double = 0.001): DataFrame = {
     require(sampleRate > 0 && sampleRate <= 1, "sampleRate in (0, 1]")
-    def hottest(df: DataFrame): Long =
-      df.select(col(keyCol)).sample(withReplacement = false, sampleRate, seed = 42)
-        .groupBy(keyCol).count()
-        .agg(max("count").as("m"))
-        .head().getAs[Any]("m") match {
-          case null => 0L
-          case n: Long => n
-        }
-    val hottestSampled = math.max(hottest(left), hottest(right))
+    // ONE census job over the union of both key columns — the window task
+    // sorts a key's left AND right rows together, so their combined count is
+    // exactly the per-task bound being guarded (and one job halves the
+    // pre-join latency of two sequential censuses)
+    val hottestSampled = left.select(col(keyCol))
+      .unionByName(right.select(col(keyCol)))
+      .sample(withReplacement = false, sampleRate, seed = 42)
+      .groupBy(keyCol).count()
+      .agg(max("count").as("m"))
+      .head().getAs[Any]("m") match {
+        case null => 0L
+        case n: Long => n
+      }
     if (hottestSampled > maxKeyRows * sampleRate)
       joinBucketed(left, right, keyCol, tsCol, valueCols, bucket)
     else join(left, right, keyCol, tsCol, valueCols)

@@ -220,14 +220,18 @@ object ArrowIpc {
         java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d.get(i).toLong))
       case d: DateMilliVector =>
         java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(Math.floorDiv(d.get(i), 86400000L)))
-      case t: TimeStampMicroVector => microsToTimestamp(t.get(i))
+      // zone-tagged timestamps are instants (Spark TimestampType); NAIVE
+      // (tz=null) timestamps are wall-clock values and land as
+      // TimestampNTZ/LocalDateTime — decoding them as UTC instants would
+      // shift them by the session-zone offset vs polars/pandas semantics
       case t: TimeStampMicroTZVector => microsToTimestamp(t.get(i))
-      case t: TimeStampMilliVector => microsToTimestamp(Math.multiplyExact(t.get(i), 1000L))
       case t: TimeStampMilliTZVector => microsToTimestamp(Math.multiplyExact(t.get(i), 1000L))
-      case t: TimeStampSecVector => microsToTimestamp(Math.multiplyExact(t.get(i), 1000000L))
       case t: TimeStampSecTZVector => microsToTimestamp(Math.multiplyExact(t.get(i), 1000000L))
-      case t: TimeStampNanoVector => microsToTimestamp(Math.floorDiv(t.get(i), 1000L))
       case t: TimeStampNanoTZVector => microsToTimestamp(Math.floorDiv(t.get(i), 1000L))
+      case t: TimeStampMicroVector => microsToLocal(t.get(i))
+      case t: TimeStampMilliVector => microsToLocal(Math.multiplyExact(t.get(i), 1000L))
+      case t: TimeStampSecVector => microsToLocal(Math.multiplyExact(t.get(i), 1000000L))
+      case t: TimeStampNanoVector => microsToLocal(Math.floorDiv(t.get(i), 1000L))
       case other => throw new IllegalArgumentException(
         s"unsupported Arrow vector ${other.getClass.getSimpleName} for field ${other.getName}")
     }
@@ -238,6 +242,11 @@ object ArrowIpc {
   private def microsToTimestamp(micros: Long): java.sql.Timestamp =
     java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
       Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L))
+
+  /** Naive wall-clock micros -> LocalDateTime (TimestampNTZ external type). */
+  private def microsToLocal(micros: Long): java.time.LocalDateTime =
+    java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(micros, 1000000L),
+      (Math.floorMod(micros, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
 
   /** Index value of a dictionary-encoded cell (index vectors are ints of
    *  some width). */
@@ -291,11 +300,11 @@ object ArrowIpc {
       }
     case _: ArrowType.Date => DateType // day-unit; Spark dates are days
     case ts: ArrowType.Timestamp =>
-      // all units normalize to Spark's microsecond timestamps (nanos floor);
-      // zone-tagged arrow timestamps land as instants, like Spark's own
-      // TimestampType (session-zone display, UTC storage)
-      val _ = ts.getUnit
-      TimestampType
+      // all units normalize to microseconds (nanos floor). Zone-tagged
+      // timestamps are instants (TimestampType); NAIVE ones are wall-clock
+      // (TimestampNTZType) — conflating them shifts values by the session
+      // zone offset
+      if (ts.getTimezone == null) TimestampNTZType else TimestampType
     case t => throw new IllegalArgumentException(
       s"unsupported Arrow type $t for field ${f.getName}")
   }
@@ -338,32 +347,41 @@ object ArrowIpc {
         }.toSeq
         val aschema = new ASchema(fields.asJava, meta.asJava)
         val root = VectorSchemaRoot.create(aschema, alloc)
-        val ch = new java.io.FileOutputStream(path).getChannel
-        val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(root, null, ch)
-        w.start()
-        val buf = new Array[Row](batchRows)
-        var n = 0
-        def flush(): Unit = if (n > 0) {
-          root.allocateNew()
-          var c = 0
-          while (c < schema.fields.length) {
-            val v = root.getVector(c)
-            var i = 0
-            while (i < n) { writeValue(v, i, buf(i), c); i += 1 }
-            v.setValueCount(n)
-            c += 1
-          }
-          root.setRowCount(n)
-          w.writeBatch()
-          written += n
-          n = 0
-        }
-        while (rows.hasNext) {
-          buf(n) = rows.next(); n += 1
-          if (n == batchRows) flush()
-        }
-        flush()
-        w.end(); w.close(); ch.close(); root.close()
+        // every resource closes on EVERY path: an unclosed root otherwise
+        // makes the outer alloc.close() throw "Memory leaked", masking the
+        // real failure (a bad value, a full disk) behind an allocator error
+        try {
+          val ch = new java.io.FileOutputStream(path).getChannel
+          try {
+            val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(root, null, ch)
+            try {
+              w.start()
+              val buf = new Array[Row](batchRows)
+              var n = 0
+              def flush(): Unit = if (n > 0) {
+                root.allocateNew()
+                var c = 0
+                while (c < schema.fields.length) {
+                  val v = root.getVector(c)
+                  var i = 0
+                  while (i < n) { writeValue(v, i, buf(i), c); i += 1 }
+                  v.setValueCount(n)
+                  c += 1
+                }
+                root.setRowCount(n)
+                w.writeBatch()
+                written += n
+                n = 0
+              }
+              while (rows.hasNext) {
+                buf(n) = rows.next(); n += 1
+                if (n == batchRows) flush()
+              }
+              flush()
+              w.end()
+            } finally w.close()
+          } finally ch.close()
+        } finally root.close()
       } finally alloc.close()
       Iterator.single(written)
     }.collect().sum

@@ -77,7 +77,11 @@ object CellStore {
    *                    OGR-engine dialects with no distributed counterpart,
    *                    and silently mis-parsing them would be worse than
    *                    refusing. As in the reference, `sql` replaces
-   *                    columns/where/bbox/fids selection.
+   *                    columns/where/bbox/fids selection. NOTE the temp view
+   *                    is SESSION-global (createOrReplaceTempView): two
+   *                    concurrent sql= readers in one session must pass
+   *                    distinct `sqlView` names, or the later registration
+   *                    wins for both lazy plans.
    *   returnFids    -> appends the FID column as `fid` (file.py:88-89) even
    *                    when `columns` did not list it.
    *   readGeometry  -> false drops the geometry column (file.py:54-56
@@ -109,11 +113,14 @@ object CellStore {
       "fids cannot be combined with where/bbox/maxFeatures (read_file contract)")
     require(sql.isEmpty || (columns.isEmpty && where.isEmpty && bbox.isEmpty && fids.isEmpty),
       "sql replaces columns/where/bbox/fids selection (read_file contract)")
+    require(sql.isEmpty || !returnFids,
+      "return_fids cannot combine with sql — select the fid column in the SQL instead")
 
     sql match {
       case Some(q) =>
         spark.read.parquet(path).createOrReplaceTempView(sqlView)
         var out = spark.sql(q)
+        if (!readGeometry) out = out.drop(geometryCol)
         maxFeatures.foreach(n => out = out.limit(math.min(n, Int.MaxValue.toLong).toInt))
         out
       case None =>

@@ -240,8 +240,12 @@ object SpatialJoinRule extends Rule[LogicalPlan] {
 
     val lIdAlias = Alias(MonotonicallyIncreasingID(), "__lidx")()
     val lWithId = Project(l.output :+ lIdAlias, l)
-    val lCell = AttributeReference("__lcell", LongType, nullable = false)()
-    // outer generate: a left row with no covering cells survives null-celled
+    // outer=true emits a NULL cell for rows with no covering cells — the
+    // attribute MUST declare nullable (Spark's own ResolveGenerate widens
+    // generator output nullability for outer generates; a hand-built plan
+    // that lies here lets codegen skip the null check on the join key and
+    // probe with the zeroed word instead of skipping the row)
+    val lCell = AttributeReference("__lcell", LongType, nullable = true)()
     val lGen = Generate(Explode(cellsOf(lg, 0.0, level)), unrequiredChildIndex = Nil,
       outer = true, qualifier = None, generatorOutput = Seq(lCell), child = lWithId)
     val lIdx = lIdAlias.toAttribute

@@ -89,13 +89,16 @@ class ArrowIpcSpec extends SparkSpec {
     root.close(); alloc.close()
 
     val df = ArrowIpc.read(spark, path)
-    assert(df.schema("ts").dataType == TimestampType &&
+    // naive (tz=null) arrow timestamps are WALL-CLOCK -> TimestampNTZ; only
+    // zone-tagged ones are instants (TimestampType)
+    assert(df.schema("ts").dataType == TimestampNTZType &&
+      df.schema("tsms").dataType == TimestampType &&
       df.schema("d").dataType == DateType)
     val rows = df.orderBy(col("d").desc_nulls_last).collect()
     assert(rows.length == 2)
     val r0 = rows(0)
-    assert(r0.getAs[java.sql.Timestamp]("ts").toInstant ==
-      java.time.Instant.ofEpochSecond(1700000000L, 123456000L))
+    assert(r0.getAs[java.time.LocalDateTime]("ts") ==
+      java.time.LocalDateTime.ofEpochSecond(1700000000L, 123456000, java.time.ZoneOffset.UTC))
     assert(r0.getAs[java.sql.Timestamp]("tsms").toInstant.toEpochMilli == 1700000000123L)
     assert(r0.getAs[java.sql.Date]("d").toLocalDate ==
       java.time.LocalDate.ofEpochDay(19000))

@@ -151,6 +151,16 @@ class GeomKernelSpec extends AnyFunSuite {
     (0 until 64).foreach(_ => deep.put(1.toByte).putInt(7).putInt(1))
     deep.put(1.toByte).putInt(1).putDouble(1).putDouble(2)
     assert(!stIsValidWkb(deep.array()))
+    // buffer ends exactly where a COUNT FIELD starts: the scanner must
+    // return false, not read past the end (review regression: the header
+    // check passed but the 4-byte count read was unguarded)
+    for (tpe <- Seq(2, 3, 6, 7); extra <- 0 to 3) {
+      val short = ByteBuffer.allocate(5 + extra).order(ByteOrder.LITTLE_ENDIAN)
+        .put(1.toByte).putInt(tpe).array()
+      val padded = java.util.Arrays.copyOf(short, 5 + extra) // zero pad bytes
+      assert(!graft.geom.Wkb.structurallyValid(padded), s"tpe=$tpe extra=$extra")
+      assert(!stIsValidWkb(padded))
+    }
     // leniency parity with WKBReader: trailing bytes after a complete
     // geometry are ignored, and big-endian + nested multis still pass
     assert(stIsValidWkb(stPoint(1, 2) ++ Array[Byte](0, 1, 2, 3)))
