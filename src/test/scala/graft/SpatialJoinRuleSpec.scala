@@ -149,6 +149,37 @@ class SpatialJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("property: rule LEFT rewrite == API left join == BNLJ truth on random " +
+    "boxes/points (the two one-pass implementations agree)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(97)
+    for (trial <- 0 until 5) {
+      val pts = (0 until 120).map { i =>
+        (i.toLong, rnd.nextDouble() * 160 - 80, rnd.nextDouble() * 100 - 50)
+      }.toDF("id", "x", "y")
+        .select(col("id"), st_point(col("x"), col("y")).as("geometry"))
+      val boxes = (0 until 6).map { b =>
+        val x0 = rnd.nextDouble() * 120 - 70; val y0 = rnd.nextDouble() * 70 - 45
+        (b.toLong, boxWkb(x0, y0, x0 + rnd.nextDouble() * 40, y0 + rnd.nextDouble() * 30))
+      }.toDF("box_id", "bgeom")
+      def rows(df: DataFrame) = df.select("id", "box_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).sorted.toSeq
+      // rule path (naive formulation through the optimizer rewrite)
+      val ruled = pts.join(boxes, st_contains(col("bgeom"), col("geometry")), "left")
+      assert(!ruled.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+      // API path (generic one-pass left join, leftPointsOnly=false so the
+      // window machinery — not the point fast path — is exercised)
+      val api = graft.join.SpatialJoin.join(
+          pts, boxes.withColumnRenamed("bgeom", "geometry"),
+          graft.join.SpatialPredicate.Contains, "left", cellLevel = 4,
+          leftPointsOnly = false)
+        .select(col("id_left").as("id"), col("box_id_right").as("box_id"))
+      val expect = rows(api)
+      assert(rows(ruled) == expect, s"trial $trial diverged")
+      assert(expect.length >= 120) // every left point survives
+    }
+  }
+
   test("constant-folded literal geometry still rewrites (refs-empty side)") {
     // st_makeBox(lit...) constant-folds to a literal WKB before our batch
     // runs, leaving the conjunct with references on only ONE side — the
