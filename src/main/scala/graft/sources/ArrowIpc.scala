@@ -312,6 +312,25 @@ object ArrowIpc {
   // ======================= write (export) =======================
 
   /**
+   * GeoParquet-style `geo` schema-metadata document for a WKB geometry
+   * column — the key the reference's own golden files carry and that
+   * geopandas/geoarrow readers use to recognize the geometry column. Pass
+   * the result in [[write]]'s `metadata` (`Map("geo" -> geoMetadata(...))`)
+   * and [[crsOf]] round-trips it. `crsProjJson` is a PROJJSON document
+   * (e.g. `crsOf` of a source file, carrying provenance through a
+   * transform pipeline); omitted means crs null = the consumer's default
+   * (OGC:CRS84 per the GeoParquet spec).
+   */
+  def geoMetadata(geometryCol: String = "geometry",
+                  crsProjJson: Option[String] = None,
+                  encoding: String = "WKB"): String = {
+    val crs = crsProjJson.getOrElse("null")
+    s"""{"version":"1.0.0","primary_column":${jsonText(geometryCol)},""" +
+      s""""columns":{${jsonText(geometryCol)}:{"encoding":${jsonText(encoding)},""" +
+      s""""crs":$crs,"geometry_types":[]}}}"""
+  }
+
+  /**
    * Export a DataFrame as Arrow IPC files — one `part-NNNNN.arrow` per
    * partition under `dir` (the parquet directory convention), so the write
    * is executor-parallel and the driver never sees the data. The output is

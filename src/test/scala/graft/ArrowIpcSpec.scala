@@ -161,16 +161,24 @@ class ArrowIpcSpec extends SparkSpec {
       assert(x.getDate(6).toString == y.getDate(6).toString)
       assert(java.util.Arrays.equals(x.getAs[Array[Byte]](7), y.getAs[Array[Byte]](7)))
     }
-    // REAL data round trip: reference WKB bytes survive export byte-identical
+    // REAL data round trip: reference WKB bytes survive export byte-identical,
+    // and the geo metadata (incl. the source's PROJJSON CRS) rides along so
+    // geoarrow-aware consumers recognize the geometry column
     val dir2 = java.nio.file.Files.createTempDirectory("ipc_ne").toString
     val ne = ArrowIpc.read(spark, s"$RefDatasets/naturalearth_cities.arrow")
-    ArrowIpc.write(ne.repartition(2), dir2)
+    val srcCrs = ArrowIpc.crsOf(s"$RefDatasets/naturalearth_cities.arrow")
+    ArrowIpc.write(ne.repartition(2), dir2,
+      metadata = Map("geo" -> ArrowIpc.geoMetadata("geometry", srcCrs)))
     val ne2 = ArrowIpc.read(spark,
       new java.io.File(dir2).listFiles().filter(_.getName.endsWith(".arrow"))
         .map(_.getPath).toIndexedSeq: _*)
     val h1 = ne.select(sum(crc32(col("geometry"))).as("h"), count(lit(1)).as("n")).head()
     val h2 = ne2.select(sum(crc32(col("geometry"))).as("h"), count(lit(1)).as("n")).head()
     assert(h1 == h2 && h2.getLong(1) == 243)
+    // the exported parts' CRS round-trips through crsOf identically
+    val outPart = new java.io.File(dir2).listFiles()
+      .filter(_.getName.endsWith(".arrow")).head.getPath
+    assert(ArrowIpc.crsOf(outPart) == srcCrs && srcCrs.isDefined)
   }
 
   test("nybb.arrow: uint8 widens losslessly; multiple files union by schema") {
