@@ -31,8 +31,9 @@ import scala.collection.mutable.ArrayBuffer
  * utf8/large-utf8, binary/large-binary, bool, int 8/16/32/64 signed and
  * unsigned (unsigned widens to the next signed Spark type; uint64 is
  * rejected rather than silently wrapped), float32/64, date (day/milli) and
- * timestamp at every Arrow unit (normalized to Spark's microsecond
- * timestamps; nanos floor). Anything else fails fast with the field name.
+ * timestamp at every Arrow unit (normalized to microseconds, nanos floor;
+ * zone-tagged -> TimestampType instants, naive -> TimestampNTZ wall-clock).
+ * Anything else fails fast with the field name.
  */
 object ArrowIpc {
 
