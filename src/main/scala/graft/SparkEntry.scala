@@ -898,6 +898,23 @@ object SparkEntry {
       // sql -> full Spark SQL over the registered view
       val rfSql = CellStore.readFile(s, root,
         sql = Some("SELECT count(*) AS n, sum(custkey) AS ck FROM read_file WHERE lat > 0"))
+      // force_2d (io/file.py:57-59): a table with ISO-Z (type 1001) point
+      // geometries reads back as canonical 21-byte XY WKB, coordinates intact
+      val f2dRoot = root + "-f2d"
+      val zRows = (0 until 25).map { i =>
+        val buf = java.nio.ByteBuffer.allocate(33).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.put(1.toByte).putInt(1001)
+          .putDouble(i.toDouble).putDouble(2.0 * i).putDouble(99.0)
+        (i.toLong, buf.array())
+      }
+      s.createDataFrame(zRows).toDF("fid", "geometry")
+        .write.mode("overwrite").parquet(f2dRoot)
+      val rfF2d = CellStore.readFile(s, f2dRoot, force2d = true)
+        .agg(count(lit(1)).as("rf_f2d_n"),
+          min((length(col("geometry")) === 21 &&
+            st_x(col("geometry")) === col("fid").cast("double") &&
+            st_y(col("geometry")) === col("fid").cast("double") * 2.0)
+            .cast("int")).cast("boolean").as("rf_f2d_ok"))
       bboxRead
         .filter(col("lat") > 10 && col("lat") < 40 && col("lon") > 10 && col("lon") < 60)
         .agg(count(lit(1)).as("n_rows"))
@@ -907,6 +924,37 @@ object SparkEntry {
         .crossJoin(rfFids.agg(count(lit(1)).as("rf_fids_n"),
           sum(col("fid")).as("rf_fids_sum")))
         .crossJoin(rfSql.select(col("n").as("rf_sql_n"), col("ck").as("rf_sql_ck")))
+        .crossJoin(rfF2d)
+    }),
+
+    "q_geojson" -> ((s, dir) => {
+      // GeoJSON interchange (reference read_file's OGR GeoJSON/GeoJSONSeq
+      // drivers, io/file.py:15-119): the point field writes out as
+      // newline-delimited features (executor-parallel text sink), reads back
+      // distributed, and every coordinate must survive BIT-EXACTLY (the
+      // emitter uses shortest-round-trip doubles). Identity rides in the
+      // properties object through Spark's native to_json; polygons prove the
+      // ring path via an emit->parse round-trip inside codegen.
+      val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft-geojson-gate-${Integer.toHexString(dir.hashCode)}").toString
+      val src = custPoints(s, dir).select(col("custkey"),
+        st_point(col("lon"), col("lat")).as("geometry"))
+      CellStore.writeGeoJsonSeq(src, root)
+      val back = CellStore.readGeoJsonSeq(s, root).select(
+        get_json_object(col("properties"), "$.custkey").cast("long").as("ck"),
+        st_x(col("geometry")).as("x"), st_y(col("geometry")).as("y"))
+      val polyRt = custPoints(s, dir)
+        .select(st_makeBox(col("lon"), col("lat"),
+          col("lon") + 2.5, col("lat") + 1.25).as("g"))
+        .select((col("g") === st_geomFromGeoJson(st_asGeoJson(col("g"))))
+          .cast("int").as("ok"))
+        .agg(min(col("ok")).cast("boolean").as("poly_rt_ok"))
+      back.agg(count(lit(1)).as("n_rows"),
+          sum(col("ck")).as("ck_sum"),
+          sum((col("x") === ((col("ck") * 37) % 340 - 170 + 0.5).cast("double") &&
+            col("y") === ((col("ck") * 17) % 116 - 58 + 0.5).cast("double"))
+            .cast("long")).as("xy_exact"))
+        .crossJoin(polyRt)
     }),
 
     "q_image_decode" -> ((s, dir) => {
@@ -1969,7 +2017,15 @@ object SparkEntry {
          |   WHERE custkey IN (1, 7, 19, 23)) AS rf_fids_sum,
          | (SELECT count(*) FROM ($custPointsSql) WHERE lat > 0) AS rf_sql_n,
          | (SELECT CAST(sum(custkey) AS BIGINT) FROM ($custPointsSql)
-         |   WHERE lat > 0) AS rf_sql_ck""".stripMargin,
+         |   WHERE lat > 0) AS rf_sql_ck,
+         | CAST(25 AS BIGINT) AS rf_f2d_n, TRUE AS rf_f2d_ok""".stripMargin,
+
+    "q_geojson" ->
+      s"""SELECT count(*) AS n_rows,
+         | CAST(sum(custkey) AS BIGINT) AS ck_sum,
+         | count(*) AS xy_exact,
+         | TRUE AS poly_rt_ok
+         |FROM ($custPointsSql)""".stripMargin,
 
     "q_image_decode" ->
       """SELECT c_custkey AS custkey,

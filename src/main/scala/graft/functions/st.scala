@@ -36,6 +36,7 @@ object st {
   private val G = GeomKernel.getClass
   private val I = IndexKernel.getClass
   private val T = TextKernel.getClass
+  private val GJ = graft.geom.GeoJson.getClass
 
   private def geom1(name: String, dt: DataType, wkb: Column, nullable: Boolean = false) =
     invoke(G, name, dt, nullable, wkb -> BinaryType)
@@ -58,6 +59,31 @@ object st {
     invoke(G, "stGeomFromText", BinaryType, false, wkt -> StringType)
   def st_asText(wkb: Column): Column = geom1("stAsText", StringType, wkb)
 
+  /** GeoJSON geometry-object text of a WKB geometry (RFC 7946; OGR
+   *  GeoJSON-driver parity for the reference's read_file surface). */
+  def st_asGeoJson(wkb: Column): Column =
+    invoke(GJ, "asGeoJson", StringType, false, wkb -> BinaryType)
+
+  /** Parse GeoJSON text (geometry object or Feature) to canonical WKB. */
+  def st_geomFromGeoJson(json: Column): Column =
+    invoke(GJ, "fromGeoJson", BinaryType, false, json -> StringType)
+
+  /** Schema of one parsed GeoJSONSeq feature line. */
+  val geojsonFeatureSchema: StructType = StructType(Seq(
+    StructField("geometry", BinaryType, nullable = true),
+    StructField("properties", StringType, nullable = false),
+    StructField("id", StringType, nullable = true)))
+
+  /** Parse one GeoJSONSeq line -> struct(geometry, properties, id). */
+  def geojson_feature(line: Column): Column =
+    invoke(GJ, "featureRow", geojsonFeatureSchema, false, line -> StringType)
+
+  /** Parse a whole GeoJSON FeatureCollection document -> array of feature
+   *  structs (explode for rows). */
+  def geojson_collection(doc: Column): Column =
+    invoke(GJ, "featureCollectionRows", ArrayType(geojsonFeatureSchema, containsNull = false),
+      false, doc -> StringType)
+
   // ---------- accessors / measures ----------
   def st_area(wkb: Column): Column = geom1("stArea", DoubleType, wkb)
   def st_centroid(wkb: Column): Column = geom1("stCentroid", BinaryType, wkb)
@@ -78,6 +104,10 @@ object st {
   def st_exterior(wkb: Column): Column = geom1("stExterior", BinaryType, wkb, nullable = true)
   def st_geomType(wkb: Column): Column = geom1("stGeomType", IntegerType, wkb)
   def st_isEmpty(wkb: Column): Column = geom1("stIsEmpty", BooleanType, wkb)
+
+  /** Drop Z/M ordinates, re-encoding as canonical XY little-endian WKB
+   *  (reference read_file's `force_2d`, io/file.py:57-59). */
+  def st_force2d(wkb: Column): Column = geom1("stForce2d", BinaryType, wkb)
   /** Ingest-boundary quarantine predicate: do the bytes parse as WKB? The
    *  other kernels stay fail-fast on malformed input by design. */
   def st_is_valid_wkb(wkb: Column): Column = geom1("stIsValidWkb", BooleanType, wkb)

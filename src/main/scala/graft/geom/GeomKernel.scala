@@ -203,6 +203,17 @@ object GeomKernel {
 
   def stIsEmpty(wkb: Array[Byte]): Boolean = g(wkb).isEmpty
 
+  /** Re-encode WKB as 2D (XY) in the engine's canonical little-endian form,
+   *  dropping Z/M ordinates — `read_file(force_2d=True)`
+   *  (reference: py-geopolars io/file.py:57-59 "If the geometry has Z
+   *  values, setting this to True will cause those to be ignored and 2D
+   *  geometries to be returned"). Accepts both ISO (+1000/+2000/+3000 type
+   *  offsets) and EWKB (flag-bit) Z/M encodings, either byte order — the
+   *  same input envelope as JTS's reader; output is always this engine's
+   *  canonical XY little-endian WKB, so already-canonical input round-trips
+   *  byte-identically. */
+  def stForce2d(wkb: Array[Byte]): Array[Byte] = out(g(wkb))
+
   /** True when the bytes parse as WKB this engine accepts. The geometry
    *  kernels stay FAIL-FAST on malformed bytes (corruption must not
    *  silently become NULLs mid-pipeline); this is the ingest-boundary

@@ -87,6 +87,10 @@ object CellStore {
    *   readGeometry  -> false drops the geometry column (file.py:54-56
    *                    "If False, geometry will be None"); the pruned
    *                    ReadSchema then never touches the WKB bytes.
+   *   force2d       -> re-encodes the geometry column as XY-only WKB
+   *                    (file.py:57-59 "Z values ... ignored and 2D
+   *                    geometries returned") via `st_force2d`, inside
+   *                    codegen on the scan's own projection.
    *
    * `skip_features` is deliberately absent: it assumes OGR's sequential
    * row order, which a distributed table does not have. `layer`/`encoding`
@@ -106,7 +110,12 @@ object CellStore {
                fidCol: String = "fid",
                returnFids: Boolean = false,
                readGeometry: Boolean = true,
+               force2d: Boolean = false,
                geometryCol: String = "geometry"): DataFrame = {
+    def applyForce2d(df: DataFrame): DataFrame =
+      if (force2d && readGeometry && df.columns.contains(geometryCol))
+        df.withColumn(geometryCol, graft.functions.st.st_force2d(col(geometryCol)))
+      else df
     require(sqlDialect == "spark",
       s"sql_dialect '$sqlDialect' not supported: this engine executes Spark SQL only")
     require(fids.isEmpty || (where.isEmpty && bbox.isEmpty && maxFeatures.isEmpty),
@@ -121,6 +130,7 @@ object CellStore {
         spark.read.parquet(path).createOrReplaceTempView(sqlView)
         var out = spark.sql(q)
         if (!readGeometry) out = out.drop(geometryCol)
+        out = applyForce2d(out)
         maxFeatures.foreach(n => out = out.limit(math.min(n, Int.MaxValue.toLong).toInt))
         out
       case None =>
@@ -137,6 +147,7 @@ object CellStore {
         }
         if (returnFids) df = df.withColumn("fid", col(fidCol))
         if (!readGeometry) df = df.drop(geometryCol)
+        df = applyForce2d(df)
         maxFeatures.foreach(n => df = df.limit(math.min(n, Int.MaxValue.toLong).toInt))
         df
     }
@@ -158,4 +169,74 @@ object CellStore {
       .option("path", s"$path/$table")
       .format("parquet")
       .saveAsTable(table)
+
+  // ======================= GeoJSON drivers =======================
+  //
+  // The reference's read_file is an OGR front-end (py-geopolars
+  // io/file.py:15-119); OGR's two GeoJSON drivers map here as:
+  //   GeoJSONSeq (.geojsonl, newline/RS-delimited features, RFC 8142) —
+  //     the SCALE path: spark.read.text splits big files at line grain, the
+  //     parse is a StaticInvoke inside codegen, the write is built from
+  //     st_asgeojson + to_json so every part file writes executor-parallel.
+  //   GeoJSON (one FeatureCollection document) — interchange-grain: one task
+  //     per FILE (a single JSON document cannot split), for golden-data-size
+  //     inputs; convert to GeoJSONSeq or parquet for bulk corpora.
+
+  /**
+   * Read newline-delimited GeoJSON features (OGR `GeoJSONSeq`). Columns:
+   * `geometry` (canonical WKB, null for geometry-less features),
+   * `properties` (the feature's properties object re-serialized as JSON
+   * text — extract typed fields with `get_json_object`/`from_json`), `id`
+   * (the optional RFC 7946 §3.2 feature id, as text). Accepts RFC 8142
+   * record-separator prefixes and bare geometry-object lines.
+   */
+  def readGeoJsonSeq(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(graft.functions.st.geojson_feature(col("value")).as("f"))
+      .select(col("f.geometry").as("geometry"),
+        col("f.properties").as("properties"),
+        col("f.id").as("id"))
+
+  /**
+   * Write a DataFrame with a WKB `geometry` column as newline-delimited
+   * GeoJSON features under `dir` (one part file per partition,
+   * executor-parallel). Every non-geometry column becomes a member of the
+   * feature's `properties` object via Spark's native `to_json` (codegen;
+   * nested structs/arrays/maps serialize as JSON naturally). Null geometries
+   * emit `"geometry":null` features, mirroring the read path.
+   */
+  def writeGeoJsonSeq(df: DataFrame, dir: String,
+                      geometryCol: String = "geometry"): Unit = {
+    require(df.columns.contains(geometryCol),
+      s"writeGeoJsonSeq needs a '$geometryCol' column")
+    val props = df.columns.filterNot(_ == geometryCol)
+    val propsJson =
+      if (props.isEmpty) lit("{}")
+      // to_json drops null fields by default; keep them as JSON nulls so the
+      // round-trip preserves row shape (ignoreNullFields=false)
+      else to_json(struct(props.map(col).toIndexedSeq: _*),
+        Map("ignoreNullFields" -> "false"))
+    val line = concat(
+      lit("""{"type":"Feature","geometry":"""),
+      when(col(geometryCol).isNull, lit("null"))
+        .otherwise(graft.functions.st.st_asGeoJson(col(geometryCol))),
+      lit(""","properties":"""), propsJson, lit("}"))
+    df.select(line.as("value")).write.mode("overwrite").text(dir)
+  }
+
+  /**
+   * Read GeoJSON FeatureCollection documents (OGR `GeoJSON` driver): every
+   * file under `path` is ONE JSON document; parallelism is per file.
+   * Same output schema as [[readGeoJsonSeq]].
+   */
+  def readGeoJson(spark: SparkSession, path: String): DataFrame = {
+    // wholeText keeps each document intact; a FeatureCollection is a single
+    // JSON value so it cannot split at line grain
+    spark.read.option("wholetext", "true").text(path)
+      .select(explode(graft.functions.st.geojson_collection(col("value"))).as("f"))
+      .select(col("f.geometry").as("geometry"),
+        col("f.properties").as("properties"),
+        col("f.id").as("id"))
+  }
 }

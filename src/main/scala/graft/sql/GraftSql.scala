@@ -32,6 +32,11 @@ object GraftSql {
     "st_exterior" -> (1, a => st.st_exterior(a(0))),
     "st_geomtype" -> (1, a => st.st_geomType(a(0))),
     "st_isempty" -> (1, a => st.st_isEmpty(a(0))),
+    "st_force2d" -> (1, a => st.st_force2d(a(0))),
+    "st_asgeojson" -> (1, a => st.st_asGeoJson(a(0))),
+    "st_geomfromgeojson" -> (1, a => st.st_geomFromGeoJson(a(0))),
+    "geojson_feature" -> (1, a => st.geojson_feature(a(0))),
+    "geojson_collection" -> (1, a => st.geojson_collection(a(0))),
     "st_is_valid_wkb" -> (1, a => st.st_is_valid_wkb(a(0))),
     "st_isring" -> (1, a => st.st_isRing(a(0))),
     "st_x" -> (1, a => st.st_x(a(0))),
