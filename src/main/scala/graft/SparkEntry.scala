@@ -957,6 +957,31 @@ object SparkEntry {
         .crossJoin(polyRt)
     }),
 
+    "q_shapefile" -> ((s, dir) => {
+      // ESRI Shapefile sink + source (reference read_file's canonical OGR
+      // format, io/file.py:83-87): the point field writes as part-shapefile
+      // triples (executor-parallel), reads back at record-range grain via
+      // the .shx index. Geometry coordinates are IEEE doubles in .shp
+      // (bit-exact by construction); dbf attributes go through fixed-width
+      // decimal text and must still survive bit-exactly (17 sig digits).
+      // fid_ok pins the 0-based globally-sequential FID contract.
+      val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft-shp-gate-${Integer.toHexString(dir.hashCode)}").toString
+      val src = custPoints(s, dir).select(col("custkey"), col("lat"), col("lon"),
+        st_point(col("lon"), col("lat")).as("geometry"))
+      graft.sources.Shapefile.write(src, root)
+      val back = graft.sources.Shapefile.read(s, root)
+      back.agg(count(lit(1)).as("n_rows"),
+          sum(col("custkey")).as("ck_sum"),
+          sum((st_x(col("geometry")) === col("lon") &&
+            st_y(col("geometry")) === col("lat") &&
+            col("lat") === ((col("custkey") * 17) % 116 - 58 + 0.5).cast("double"))
+            .cast("long")).as("xy_exact"),
+          (countDistinct(col("fid")) === count(lit(1)) &&
+            min(col("fid")) === 0 && max(col("fid")) === count(lit(1)) - 1)
+            .as("fid_ok"))
+    }),
+
     "q_image_decode" -> ((s, dir) => {
       // REAL image decode (javax.imageio): encode a solid-colour PNG per row,
       // decode it back, resize it — dimensions and channel means are exact
@@ -2025,6 +2050,13 @@ object SparkEntry {
          | CAST(sum(custkey) AS BIGINT) AS ck_sum,
          | count(*) AS xy_exact,
          | TRUE AS poly_rt_ok
+         |FROM ($custPointsSql)""".stripMargin,
+
+    "q_shapefile" ->
+      s"""SELECT count(*) AS n_rows,
+         | CAST(sum(custkey) AS BIGINT) AS ck_sum,
+         | count(*) AS xy_exact,
+         | TRUE AS fid_ok
          |FROM ($custPointsSql)""".stripMargin,
 
     "q_image_decode" ->

@@ -1,0 +1,545 @@
+package graft.sources
+
+import java.io.RandomAccessFile
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.locationtech.jts.algorithm.Orientation
+import org.locationtech.jts.geom.{Coordinate, Geometry, LineString, LinearRing, MultiPolygon, Point, Polygon}
+
+import graft.geom.Wkb
+
+/**
+ * ESRI Shapefile source/sink — the canonical OGR vector format behind the
+ * reference's `read_file` (py-geopolars io/file.py:15-119; its own FID
+ * docstring, file.py:83-87, names Shapefile's 0-based FIDs). Original
+ * implementation from the public ESRI whitepaper (July 1998) and dBASE III
+ * layout; no GDAL in this environment.
+ *
+ * Spark-first shape, mirroring [[ArrowIpc]]:
+ *
+ *  - READ parallelizes at RECORD-RANGE grain: the `.shx` index (8 bytes per
+ *    record: offset + length) is one small driver-side read; executors then
+ *    seek straight into `.shp`/`.dbf` for their contiguous slice, so one
+ *    multi-gigabyte shapefile fans out across the cluster and per-task
+ *    memory is bounded by its slice.
+ *  - WRITE is executor-parallel: one `part-NNNNN.{shp,shx,dbf}` triple per
+ *    partition under a directory (the parquet convention); each part is a
+ *    complete valid shapefile that OGR/geopandas open directly.
+ *
+ * Geometry mapping (shapefile -> JTS -> canonical WKB):
+ *   0 Null -> null geometry; 1/11/21 Point[ZM] -> Point;
+ *   8/18/28 MultiPoint[ZM] -> MultiPoint;
+ *   3/13/23 PolyLine[ZM] -> LineString (one part) | MultiLineString;
+ *   5/15/25 Polygon[ZM] -> Polygon | MultiPolygon — outer rings are CW per
+ *   spec, holes CCW; holes attach to the outer ring containing them.
+ *   Z/M ordinates are dropped (the XY engine contract; `read_file`'s
+ *   force_2d semantics, io/file.py:57-59).
+ *
+ * Attributes (dBASE III): C -> string, N/F -> long (no decimals) | double,
+ * L -> boolean, D -> date. DBF stores numerics as fixed-width decimal TEXT —
+ * an inherent format property (OGR shares it), so doubles survive only to
+ * the emitted precision (17 significant digits here, lossless for every
+ * double whose shortest repr fits).
+ */
+object Shapefile {
+
+  // ---- shape type ids (ESRI whitepaper p.4) ----
+  private final val NULL_SHAPE = 0
+  private final val POINT = 1
+  private final val POLYLINE = 3
+  private final val POLYGON = 5
+  private final val MULTIPOINT = 8
+
+  /** base type of a possibly-Z/M shape id (Z = +10, M = +20). */
+  private def baseType(t: Int): Int = if (t > 20) t - 20 else if (t > 10) t - 10 else t
+
+  // ======================= read =======================
+
+  /** Spark schema of a shapefile: dbf attributes + fid + geometry. */
+  def schemaOf(pathNoExt: String): StructType = {
+    val fields = readDbfHeader(pathNoExt + ".dbf")._3.map(f =>
+      StructField(f.name, f.sparkType, nullable = true))
+    StructType(StructField("fid", LongType, nullable = false) +:
+      fields :+ StructField("geometry", BinaryType, nullable = true))
+  }
+
+  /** Record count from the `.shx` index (file length in the 100-byte
+   *  big-endian header, minus the header, 8 bytes per record). */
+  def recordCountOf(pathNoExt: String): Int = {
+    val raf = new RandomAccessFile(pathNoExt + ".shx", "r")
+    try {
+      val head = new Array[Byte](100)
+      raf.readFully(head)
+      val buf = ByteBuffer.wrap(head).order(ByteOrder.BIG_ENDIAN)
+      require(buf.getInt(0) == 9994, s"not a shapefile index: $pathNoExt.shx")
+      val fileWords = buf.getInt(24) // 16-bit words incl. header
+      (fileWords * 2 - 100) / 8
+    } finally raf.close()
+  }
+
+  /**
+   * Read one shapefile (pass the path without extension, or a directory of
+   * part files written by [[write]]) as a DataFrame. `fid` is the 0-based
+   * feature id (OGR's Shapefile convention, reference io/file.py:84-86).
+   * Parallel grain: contiguous record ranges from the `.shx` index, one
+   * range per task (`maxRecordsPerTask` bounds a task's slice).
+   */
+  def read(spark: SparkSession, path: String,
+           maxRecordsPerTask: Int = 65536): DataFrame = {
+    val bases = partBases(path)
+    require(bases.nonEmpty, s"no .shp files under $path")
+    val schema = schemaOf(bases.head)
+    bases.tail.foreach(b => require(schemaOf(b) == schema,
+      s"shapefile part $b schema differs from ${bases.head}"))
+    // (base, firstRecord, count, fidBase): fids stay globally sequential
+    // across parts in part order, like a single OGR layer
+    var fidBase = 0L
+    val ranges = bases.flatMap { b =>
+      val n = recordCountOf(b)
+      val rs = (0 until n by maxRecordsPerTask).map { s =>
+        (b, s, math.min(maxRecordsPerTask, n - s), fidBase + s)
+      }
+      fidBase += n
+      rs
+    }
+    val nSlices = math.max(1, math.min(ranges.size, spark.sparkContext.defaultParallelism))
+    import spark.implicits._
+    spark.createDataset(ranges).repartition(nSlices)
+      .mapPartitions { iter =>
+        iter.flatMap { case (base, first, count, fb) =>
+          decodeRange(base, first, count, fb, schema)
+        }
+      }(Encoders.row(schema))
+  }
+
+  /** All part bases (path minus extension) under a path: a bare base, a
+   *  `.shp` path, or a directory of part-*.shp. */
+  private def partBases(path: String): Seq[String] = {
+    val f = new java.io.File(path)
+    if (f.isDirectory)
+      f.listFiles().filter(_.getName.endsWith(".shp")).map(_.getPath.stripSuffix(".shp"))
+        .sorted.toSeq
+    else if (path.endsWith(".shp")) Seq(path.stripSuffix(".shp"))
+    else Seq(path)
+  }
+
+  /** Decode one contiguous record range: one `.shx` slice read, then direct
+   *  seeks into `.shp` and fixed-stride reads of `.dbf`. */
+  private def decodeRange(base: String, first: Int, count: Int, fidBase: Long,
+                          schema: StructType): Iterator[Row] = {
+    val shx = new RandomAccessFile(base + ".shx", "r")
+    val shp = new RandomAccessFile(base + ".shp", "r")
+    val dbf = new RandomAccessFile(base + ".dbf", "r")
+    try {
+      // offsets of our records, from the index
+      val idx = new Array[Byte](count * 8)
+      shx.seek(100L + first * 8L)
+      shx.readFully(idx)
+      val ibuf = ByteBuffer.wrap(idx).order(ByteOrder.BIG_ENDIAN)
+      val (nRec, headerSize, fields) = readDbfHeader(base + ".dbf")
+      require(first + count <= nRec, s"dbf has $nRec records, need ${first + count}")
+      val recSize = 1 + fields.map(_.length).sum
+      val dbfBytes = new Array[Byte](recSize * count)
+      dbf.seek(headerSize + first.toLong * recSize)
+      dbf.readFully(dbfBytes)
+
+      val out = new Array[Row](count)
+      var i = 0
+      while (i < count) {
+        val offWords = ibuf.getInt(i * 8)
+        val lenWords = ibuf.getInt(i * 8 + 4)
+        val content = new Array[Byte](lenWords * 2)
+        shp.seek(offWords * 2L + 8L) // skip 8-byte record header
+        shp.readFully(content)
+        val geom = decodeShape(ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN))
+        val vals = new Array[Any](schema.length)
+        vals(0) = fidBase + i
+        var c = 0
+        var pos = i * recSize + 1 // skip deletion flag
+        while (c < fields.length) {
+          val f = fields(c)
+          vals(c + 1) = f.parse(dbfBytes, pos)
+          pos += f.length
+          c += 1
+        }
+        vals(schema.length - 1) = if (geom == null) null else Wkb.write(geom)
+        out(i) = Row.fromSeq(vals.toIndexedSeq)
+        i += 1
+      }
+      out.iterator
+    } finally { shx.close(); shp.close(); dbf.close() }
+  }
+
+  /** One shape record's content -> JTS geometry (null for Null shapes). */
+  private def decodeShape(b: ByteBuffer): Geometry = {
+    val t = b.getInt(0)
+    if (t == NULL_SHAPE) return null
+    baseType(t) match {
+      case POINT =>
+        Wkb.factory.createPoint(new Coordinate(b.getDouble(4), b.getDouble(12)))
+      case MULTIPOINT =>
+        val n = b.getInt(36)
+        val cs = new Array[Coordinate](n)
+        var i = 0
+        while (i < n) {
+          cs(i) = new Coordinate(b.getDouble(40 + i * 16), b.getDouble(48 + i * 16))
+          i += 1
+        }
+        Wkb.factory.createMultiPointFromCoords(cs)
+      case POLYLINE =>
+        val parts = readParts(b)
+        if (parts.length == 1) Wkb.factory.createLineString(parts(0))
+        else Wkb.factory.createMultiLineString(
+          parts.map(Wkb.factory.createLineString))
+      case POLYGON => assemblePolygon(readParts(b))
+      case other => throw new IllegalArgumentException(s"unsupported shape type $other")
+    }
+  }
+
+  /** Parts (rings) of a PolyLine/Polygon record: NumParts/NumPoints at
+   *  bytes 36/40, part-start indexes, then XY pairs. */
+  private def readParts(b: ByteBuffer): Array[Array[Coordinate]] = {
+    val nParts = b.getInt(36)
+    val nPts = b.getInt(40)
+    val starts = (0 until nParts).map(i => b.getInt(44 + i * 4)) :+ nPts
+    val ptBase = 44 + nParts * 4
+    Array.tabulate(nParts) { p =>
+      Array.tabulate(starts(p + 1) - starts(p)) { j =>
+        val k = ptBase + (starts(p) + j) * 16
+        new Coordinate(b.getDouble(k), b.getDouble(k + 8))
+      }
+    }
+  }
+
+  /** Shapefile polygon rings -> Polygon | MultiPolygon. Spec: outer rings
+   *  CW, holes CCW; a hole belongs to the outer ring containing it. */
+  private def assemblePolygon(parts: Array[Array[Coordinate]]): Geometry = {
+    val rings = parts.map(Wkb.factory.createLinearRing(_))
+    val (holes, shells) = rings.partition(r => Orientation.isCCW(r.getCoordinateSequence))
+    if (shells.isEmpty) {
+      // degenerate (all-CCW) file: treat the rings as shells, like OGR's
+      // permissive reader
+      if (holes.length == 1) return Wkb.factory.createPolygon(holes(0))
+      return Wkb.factory.createMultiPolygon(holes.map(Wkb.factory.createPolygon))
+    }
+    val shellPolys = shells.map(Wkb.factory.createPolygon)
+    val assigned = shells.map(_ => List.newBuilder[LinearRing])
+    holes.foreach { h =>
+      val p = h.getCoordinateN(0)
+      val owner = shellPolys.indexWhere(sp =>
+        sp.contains(Wkb.factory.createPoint(p)))
+      // hole outside every shell: keep the file readable, attach to shell 0
+      assigned(math.max(owner, 0)) += h
+    }
+    val polys = shells.indices.map(i =>
+      Wkb.factory.createPolygon(shells(i), assigned(i).result().toArray)).toArray
+    if (polys.length == 1) polys(0) else Wkb.factory.createMultiPolygon(polys)
+  }
+
+  // ======================= dbf =======================
+
+  private final case class DbfField(name: String, ftype: Char, length: Int, decimals: Int) {
+    def sparkType: DataType = ftype match {
+      case 'C' => StringType
+      case 'N' | 'F' => if (decimals == 0 && ftype == 'N') LongType else DoubleType
+      case 'L' => BooleanType
+      case 'D' => DateType
+      case other => throw new IllegalArgumentException(s"unsupported dbf type '$other' ($name)")
+    }
+    def parse(rec: Array[Byte], pos: Int): Any = {
+      val s = new String(rec, pos, length, StandardCharsets.ISO_8859_1).trim
+      if (s.isEmpty) return null
+      ftype match {
+        case 'C' => s
+        case 'N' => if (decimals == 0) s.toLong else s.toDouble
+        case 'F' => s.toDouble
+        case 'L' => s.charAt(0) match {
+          case 'T' | 't' | 'Y' | 'y' => true
+          case 'F' | 'f' | 'N' | 'n' => false
+          case _ => null
+        }
+        case 'D' => java.sql.Date.valueOf(
+          java.time.LocalDate.of(s.substring(0, 4).toInt,
+            s.substring(4, 6).toInt, s.substring(6, 8).toInt))
+      }
+    }
+  }
+
+  /** (recordCount, headerSize, fields) from a dBASE III header. */
+  private def readDbfHeader(path: String): (Int, Int, Array[DbfField]) = {
+    val raf = new RandomAccessFile(path, "r")
+    try {
+      val head = new Array[Byte](32)
+      raf.readFully(head)
+      val hb = ByteBuffer.wrap(head).order(ByteOrder.LITTLE_ENDIAN)
+      val nRec = hb.getInt(4)
+      val headerSize = hb.getShort(8) & 0xffff
+      val nFields = (headerSize - 33) / 32
+      val fdBytes = new Array[Byte](nFields * 32)
+      raf.readFully(fdBytes)
+      val fields = Array.tabulate(nFields) { i =>
+        val o = i * 32
+        var end = o
+        while (end < o + 11 && fdBytes(end) != 0) end += 1
+        DbfField(new String(fdBytes, o, end - o, StandardCharsets.ISO_8859_1),
+          (fdBytes(o + 11) & 0xff).toChar,
+          fdBytes(o + 16) & 0xff, fdBytes(o + 17) & 0xff)
+      }
+      (nRec, headerSize, fields)
+    } finally raf.close()
+  }
+
+  // ======================= write =======================
+
+  /**
+   * Write a DataFrame with a WKB `geometry` column as a directory of
+   * shapefile parts — one complete `part-NNNNN.{shp,shx,dbf}` triple per
+   * partition, executor-parallel (the [[ArrowIpc.write]] convention; OGR
+   * and geopandas open each part directly). All geometries in one part must
+   * share a shape class (point / line / polygon / multipoint — the format
+   * requires one shape type per file; Multi* of the same class is fine).
+   * Attribute types: string (C), long (N 18), double (N 24.15, 17
+   * significant digits), boolean (L), date (D).
+   */
+  def write(df: DataFrame, dir: String, geometryCol: String = "geometry"): Unit = {
+    require(df.columns.contains(geometryCol),
+      s"Shapefile.write needs a '$geometryCol' column")
+    val schema = df.schema
+    val gIdx = schema.fieldIndex(geometryCol)
+    val attrs = schema.fields.zipWithIndex.filter(_._2 != gIdx)
+    attrs.foreach { case (f, _) => dbfSpec(f.dataType, f.name) } // fail fast
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.mapPartitions { rows =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val base = f"$dir/part-$pid%05d"
+      Iterator.single(writePart(rows, base, schema, gIdx, attrs))
+    }.collect().sum
+    require(counts >= 0L, "unreachable — materializes the write job")
+  }
+
+  /** (type char, width, decimals) for an attribute column. */
+  private def dbfSpec(dt: DataType, name: String): (Char, Int, Int) = dt match {
+    case StringType => ('C', 254, 0)
+    case LongType | IntegerType | ShortType | ByteType => ('N', 18, 0)
+    case DoubleType | FloatType => ('N', 24, 15)
+    case BooleanType => ('L', 1, 0)
+    case DateType => ('D', 8, 0)
+    case other => throw new IllegalArgumentException(
+      s"Shapefile.write: unsupported attribute type $other for column $name")
+  }
+
+  private def writePart(rows: Iterator[Row], base: String, schema: StructType,
+                        gIdx: Int, attrs: Array[(StructField, Int)]): Long = {
+    val buffered = rows.toArray // a part must know its record count + bbox up front
+    val geoms = buffered.map(r =>
+      if (r.isNullAt(gIdx)) null else Wkb.read(r.getAs[Array[Byte]](gIdx)))
+    val shapeType = geoms.collectFirst {
+      case g if g != null => g match {
+        case _: Point => POINT
+        case _: org.locationtech.jts.geom.MultiPoint => MULTIPOINT
+        case _: LineString | _: org.locationtech.jts.geom.MultiLineString => POLYLINE
+        case _: Polygon | _: MultiPolygon => POLYGON
+        case other => throw new IllegalArgumentException(
+          s"Shapefile.write: unsupported geometry ${other.getGeometryType}")
+      }
+    }.getOrElse(NULL_SHAPE)
+
+    // ---- shape records ----
+    val recs = geoms.map(g => encodeShape(g, shapeType))
+    val contentWords = recs.map(r => r.length / 2)
+    val fileWords = 50 + recs.indices.map(i => 4 + contentWords(i)).sum
+    var minX = Double.MaxValue; var minY = Double.MaxValue
+    var maxX = -Double.MaxValue; var maxY = -Double.MaxValue
+    geoms.foreach { g =>
+      if (g != null && !g.isEmpty) {
+        val e = g.getEnvelopeInternal
+        minX = math.min(minX, e.getMinX); minY = math.min(minY, e.getMinY)
+        maxX = math.max(maxX, e.getMaxX); maxY = math.max(maxY, e.getMaxY)
+      }
+    }
+    if (minX > maxX) { minX = 0; minY = 0; maxX = 0; maxY = 0 }
+
+    def header(words: Int): Array[Byte] = {
+      val h = ByteBuffer.allocate(100)
+      h.order(ByteOrder.BIG_ENDIAN)
+      h.putInt(0, 9994)
+      h.putInt(24, words)
+      h.order(ByteOrder.LITTLE_ENDIAN)
+      h.putInt(28, 1000)
+      h.putInt(32, shapeType)
+      h.putDouble(36, minX); h.putDouble(44, minY)
+      h.putDouble(52, maxX); h.putDouble(60, maxY)
+      h.array()
+    }
+
+    val shp = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(base + ".shp")))
+    val shx = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(base + ".shx")))
+    try {
+      shp.write(header(fileWords))
+      shx.write(header(50 + recs.length * 4))
+      var off = 50
+      var i = 0
+      while (i < recs.length) {
+        shx.writeInt(off); shx.writeInt(contentWords(i))
+        shp.writeInt(i + 1); shp.writeInt(contentWords(i)) // record header, BE
+        shp.write(recs(i))
+        off += 4 + contentWords(i)
+        i += 1
+      }
+    } finally { shp.close(); shx.close() }
+
+    // ---- dbf ----
+    val specs = attrs.map { case (f, _) => dbfSpec(f.dataType, f.name) }
+    val recSize = 1 + specs.map(_._2).sum
+    val headerSize = 33 + attrs.length * 32
+    val dbf = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(base + ".dbf")))
+    try {
+      val hb = ByteBuffer.allocate(headerSize).order(ByteOrder.LITTLE_ENDIAN)
+      hb.put(0, 3.toByte) // dBASE III, no memo
+      hb.putInt(4, buffered.length)
+      hb.putShort(8, headerSize.toShort)
+      hb.putShort(10, recSize.toShort)
+      attrs.indices.foreach { i =>
+        val o = 32 + i * 32
+        val nm = attrs(i)._1.name.getBytes(StandardCharsets.ISO_8859_1)
+        require(nm.length <= 10, s"dbf field name > 10 bytes: ${attrs(i)._1.name}")
+        var j = 0
+        while (j < nm.length) { hb.put(o + j, nm(j)); j += 1 }
+        hb.put(o + 11, specs(i)._1.toByte)
+        hb.put(o + 16, specs(i)._2.toByte)
+        hb.put(o + 17, specs(i)._3.toByte)
+      }
+      hb.put(headerSize - 1, 0x0d.toByte) // field-descriptor terminator
+      dbf.write(hb.array())
+      val rec = new Array[Byte](recSize)
+      buffered.foreach { row =>
+        java.util.Arrays.fill(rec, ' '.toByte)
+        rec(0) = ' ' // not deleted
+        var pos = 1
+        attrs.indices.foreach { i =>
+          val (tpe, width, dec) = specs(i)
+          val (_, colIdx) = attrs(i)
+          val s: String =
+            if (row.isNullAt(colIdx)) ""
+            else tpe match {
+              case 'C' => row.get(colIdx).toString
+              case 'N' if dec == 0 => row.get(colIdx) match {
+                case l: Long => l.toString
+                case n: Number => n.longValue().toString
+              }
+              case 'N' => fmtDouble(row.get(colIdx) match {
+                case d: Double => d
+                case n: Number => n.doubleValue()
+              })
+              case 'L' => if (row.getBoolean(colIdx)) "T" else "F"
+              case 'D' =>
+                val d = row.getAs[java.sql.Date](colIdx).toLocalDate
+                f"${d.getYear}%04d${d.getMonthValue}%02d${d.getDayOfMonth}%02d"
+            }
+          val b = s.getBytes(StandardCharsets.ISO_8859_1)
+          require(b.length <= width, s"value wider than dbf field (${attrs(i)._1.name}): $s")
+          // text left-justified, numbers right-justified (dBASE convention)
+          val start = if (tpe == 'C') pos else pos + width - b.length
+          System.arraycopy(b, 0, rec, start, b.length)
+          pos += width
+        }
+        dbf.write(rec)
+      }
+      dbf.write(0x1a) // EOF marker
+    } finally dbf.close()
+    buffered.length.toLong
+  }
+
+  /** 17-significant-digit plain decimal — lossless for every double whose
+   *  shortest repr fits the N(24,15) field. */
+  private def fmtDouble(d: Double): String = {
+    val s = new java.math.BigDecimal(d, new java.math.MathContext(17))
+      .stripTrailingZeros().toPlainString
+    s
+  }
+
+  /** Shape-record content bytes (LE) for one geometry. */
+  private def encodeShape(g: Geometry, shapeType: Int): Array[Byte] = {
+    if (g == null || g.isEmpty) {
+      val b = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(0, NULL_SHAPE)
+      return b.array()
+    }
+    g match {
+      case p: Point =>
+        val b = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
+        b.putInt(0, POINT)
+        b.putDouble(4, p.getX); b.putDouble(12, p.getY)
+        b.array()
+      case mp: org.locationtech.jts.geom.MultiPoint =>
+        val n = mp.getNumPoints
+        val b = ByteBuffer.allocate(40 + n * 16).order(ByteOrder.LITTLE_ENDIAN)
+        b.putInt(0, MULTIPOINT)
+        putBox(b, mp)
+        b.putInt(36, n)
+        val cs = mp.getCoordinates
+        cs.indices.foreach { i =>
+          b.putDouble(40 + i * 16, cs(i).x); b.putDouble(48 + i * 16, cs(i).y)
+        }
+        b.array()
+      case l: LineString => encodeParts(POLYLINE, l, Array(l.getCoordinates))
+      case m: org.locationtech.jts.geom.MultiLineString =>
+        encodeParts(POLYLINE, m, Array.tabulate(m.getNumGeometries)(
+          i => m.getGeometryN(i).getCoordinates))
+      case p: Polygon => encodeParts(POLYGON, p, polygonRings(p))
+      case m: MultiPolygon =>
+        encodeParts(POLYGON, m, (0 until m.getNumGeometries).flatMap(
+          i => polygonRings(m.getGeometryN(i).asInstanceOf[Polygon])).toArray)
+      case other => throw new IllegalArgumentException(
+        s"Shapefile.write: unsupported geometry ${other.getGeometryType}")
+    }
+  }
+
+  /** Rings of a polygon in shapefile orientation: shell CW, holes CCW. */
+  private def polygonRings(p: Polygon): Array[Array[Coordinate]] = {
+    def oriented(r: LineString, wantCCW: Boolean): Array[Coordinate] = {
+      val cs = r.getCoordinates
+      if (Orientation.isCCW(r.getCoordinateSequence) == wantCCW) cs else cs.reverse
+    }
+    oriented(p.getExteriorRing, wantCCW = false) +:
+      Array.tabulate(p.getNumInteriorRing)(i =>
+        oriented(p.getInteriorRingN(i), wantCCW = true))
+  }
+
+  private def encodeParts(tpe: Int, g: Geometry,
+                          parts: Array[Array[Coordinate]]): Array[Byte] = {
+    val nPts = parts.map(_.length).sum
+    val b = ByteBuffer.allocate(44 + parts.length * 4 + nPts * 16)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    b.putInt(0, tpe)
+    putBox(b, g)
+    b.putInt(36, parts.length)
+    b.putInt(40, nPts)
+    var start = 0
+    parts.indices.foreach { i =>
+      b.putInt(44 + i * 4, start)
+      start += parts(i).length
+    }
+    val ptBase = 44 + parts.length * 4
+    var k = 0
+    parts.foreach(_.foreach { c =>
+      b.putDouble(ptBase + k * 16, c.x); b.putDouble(ptBase + k * 16 + 8, c.y)
+      k += 1
+    })
+    b.array()
+  }
+
+  private def putBox(b: ByteBuffer, g: Geometry): Unit = {
+    val e = g.getEnvelopeInternal
+    b.putDouble(4, e.getMinX); b.putDouble(12, e.getMinY)
+    b.putDouble(20, e.getMaxX); b.putDouble(28, e.getMaxY)
+  }
+}
