@@ -515,13 +515,21 @@ object SparkEntry {
       // them. Pairing goes through SelfJoin.pairs (triangle-sharded hot
       // buckets) — the tiny threshold forces the sharded path so the gate
       // verifies it.
-      val bands = u.select(col("doc_id"), col("text"),
+      // the persisted/shuffled frame carries the 128-bit content key
+      // (fingerprint64 + xxhash64 — q_dedup_exact's key), NEVER the text:
+      // the self-join exchange moves 16 bytes per row instead of the
+      // document body (~18x smaller already at this corpus's ~300-byte
+      // docs, unbounded at real multi-KB pages; interleaved A/B at sf0.1
+      // sits inside the host noise band because rows here are tiny) and
+      // the exact-dup refine compares the key
+      val bands = u.select(col("doc_id"),
+        fingerprint64(col("text")).as("fp"), xxhash64(col("text")).as("fp2"),
         posexplode(minhash_bands(col("text"), lit(3), lit(16), lit(4))))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
         .persist()
       SelfJoin.pairs(bands, Seq("band", "bucket"), "doc_id", nShards = 4,
         hotThreshold = 50, censusSampleRate = 1.0)
-        .filter(col("text_a") === col("text_b"))
+        .filter(col("fp_a") === col("fp_b") && col("fp2_a") === col("fp2_b"))
         .select(col("doc_id_a").as("a_id"), col("doc_id_b").as("b_id")).distinct()
     }),
 
