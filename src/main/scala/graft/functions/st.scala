@@ -84,6 +84,12 @@ object st {
     invoke(GJ, "featureCollectionRows", ArrayType(geojsonFeatureSchema, containsNull = false),
       false, doc -> StringType)
 
+  /** Quarantine predicate: does the line parse as a GeoJSON feature?
+   *  (the `st_is_valid_wkb` analogue for text ingest; the parse kernels
+   *  stay fail-fast by design). */
+  def geojson_valid(line: Column): Column =
+    invoke(GJ, "geoJsonValid", BooleanType, false, line -> StringType)
+
   // ---------- accessors / measures ----------
   def st_area(wkb: Column): Column = geom1("stArea", DoubleType, wkb)
   def st_centroid(wkb: Column): Column = geom1("stCentroid", BinaryType, wkb)

@@ -255,6 +255,17 @@ object GeoJson {
       if (id == null) null else UTF8String.fromString(id)))
   }
 
+  /** Ingest-boundary quarantine predicate for GeoJSONSeq lines — the text
+   *  analogue of `st_is_valid_wkb`: does the line parse as a feature this
+   *  engine accepts? The parse kernels themselves stay FAIL-FAST (corruption
+   *  must not silently become NULLs mid-pipeline); filter or flag bad lines
+   *  ONCE at the edge of a crawl-scale corpus, then run the fail-fast
+   *  kernels on what survives. Pure-JVM parse — no VM-error exposure, so
+   *  NonFatal is the complete net here. */
+  def geoJsonValid(line: UTF8String): Boolean =
+    try { featureRow(line); true }
+    catch { case scala.util.control.NonFatal(_) => false }
+
   /** Whole GeoJSON document -> array of feature structs (same shape as
    *  [[featureRow]]). Accepts a FeatureCollection (RFC 7946 §3.3), a single
    *  Feature, or a bare geometry object. */

@@ -322,10 +322,11 @@ object Shapefile {
     require(counts >= 0L, "unreachable — materializes the write job")
   }
 
-  /** (type char, width, decimals) for an attribute column. */
+  /** (type char, width, decimals) for an attribute column. N 20 holds every
+   *  long incl. the sign of Long.MinValue (20 chars). */
   private def dbfSpec(dt: DataType, name: String): (Char, Int, Int) = dt match {
     case StringType => ('C', 254, 0)
-    case LongType | IntegerType | ShortType | ByteType => ('N', 18, 0)
+    case LongType | IntegerType | ShortType | ByteType => ('N', 20, 0)
     case DoubleType | FloatType => ('N', 24, 15)
     case BooleanType => ('L', 1, 0)
     case DateType => ('D', 8, 0)
@@ -399,6 +400,10 @@ object Shapefile {
     val specs = attrs.map { case (f, _) => dbfSpec(f.dataType, f.name) }
     val recSize = 1 + specs.map(_._2).sum
     val headerSize = 33 + attrs.length * 32
+    // dbf header stores both as unsigned 16-bit — putShort would silently
+    // wrap a very wide schema into a corrupt file
+    require(recSize <= 0xffff, s"dbf record size $recSize exceeds the format's u16 limit")
+    require(headerSize <= 0xffff, s"dbf header size $headerSize exceeds the format's u16 limit")
     val dbf = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
       new java.io.FileOutputStream(base + ".dbf")))
     try {

@@ -37,6 +37,7 @@ object GraftSql {
     "st_geomfromgeojson" -> (1, a => st.st_geomFromGeoJson(a(0))),
     "geojson_feature" -> (1, a => st.geojson_feature(a(0))),
     "geojson_collection" -> (1, a => st.geojson_collection(a(0))),
+    "geojson_valid" -> (1, a => st.geojson_valid(a(0))),
     "st_is_valid_wkb" -> (1, a => st.st_is_valid_wkb(a(0))),
     "st_isring" -> (1, a => st.st_isRing(a(0))),
     "st_x" -> (1, a => st.st_x(a(0))),

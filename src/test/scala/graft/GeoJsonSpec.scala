@@ -130,6 +130,23 @@ class GeoJsonSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("geojson_valid quarantines malformed lines; parse kernels stay fail-fast") {
+    val lines = Seq(
+      """{"type":"Feature","properties":{},"geometry":{"type":"Point","coordinates":[1,2]}}""",
+      """{"type":"Point","coordinates":[5,6]}""",
+      """{"type":"Blob","coordinates":[]}""",
+      """not json at all""",
+      """{"type":"Feature","geometry":{"type":"Point","coordinates":"oops"}}""")
+    val df = spark.createDataFrame(lines.map(Tuple1(_))).toDF("value")
+      .select(col("value"), geojson_valid(col("value")).as("ok"))
+    assert(df.collect().map(_.getBoolean(1)).toSeq ==
+      Seq(true, true, false, false, false))
+    // quarantine-then-parse composes: only valid lines reach the kernel
+    val parsed = df.filter(col("ok"))
+      .select(geojson_feature(col("value")).as("f")).collect()
+    assert(parsed.length == 2)
+  }
+
   test("readGeoJson: one FeatureCollection document per file") {
     val dir = java.nio.file.Files.createTempDirectory("geojsonfc")
     val doc =
