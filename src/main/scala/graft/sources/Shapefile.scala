@@ -334,69 +334,16 @@ object Shapefile {
       s"Shapefile.write: unsupported attribute type $other for column $name")
   }
 
+  /**
+   * ONE streaming pass over the partition with bounded memory: the three
+   * headers need totals (file length, bbox, shape type, record count) that
+   * are only known at the end, so placeholder headers go out first and the
+   * real ones are PATCHED over them when the stream is done — the standard
+   * shapefile-writer shape (OGR does the same); no `rows.toArray`, a
+   * billion-row partition streams through a few record buffers.
+   */
   private def writePart(rows: Iterator[Row], base: String, schema: StructType,
                         gIdx: Int, attrs: Array[(StructField, Int)]): Long = {
-    val buffered = rows.toArray // a part must know its record count + bbox up front
-    val geoms = buffered.map(r =>
-      if (r.isNullAt(gIdx)) null else Wkb.read(r.getAs[Array[Byte]](gIdx)))
-    val shapeType = geoms.collectFirst {
-      case g if g != null => g match {
-        case _: Point => POINT
-        case _: org.locationtech.jts.geom.MultiPoint => MULTIPOINT
-        case _: LineString | _: org.locationtech.jts.geom.MultiLineString => POLYLINE
-        case _: Polygon | _: MultiPolygon => POLYGON
-        case other => throw new IllegalArgumentException(
-          s"Shapefile.write: unsupported geometry ${other.getGeometryType}")
-      }
-    }.getOrElse(NULL_SHAPE)
-
-    // ---- shape records ----
-    val recs = geoms.map(g => encodeShape(g, shapeType))
-    val contentWords = recs.map(r => r.length / 2)
-    val fileWords = 50 + recs.indices.map(i => 4 + contentWords(i)).sum
-    var minX = Double.MaxValue; var minY = Double.MaxValue
-    var maxX = -Double.MaxValue; var maxY = -Double.MaxValue
-    geoms.foreach { g =>
-      if (g != null && !g.isEmpty) {
-        val e = g.getEnvelopeInternal
-        minX = math.min(minX, e.getMinX); minY = math.min(minY, e.getMinY)
-        maxX = math.max(maxX, e.getMaxX); maxY = math.max(maxY, e.getMaxY)
-      }
-    }
-    if (minX > maxX) { minX = 0; minY = 0; maxX = 0; maxY = 0 }
-
-    def header(words: Int): Array[Byte] = {
-      val h = ByteBuffer.allocate(100)
-      h.order(ByteOrder.BIG_ENDIAN)
-      h.putInt(0, 9994)
-      h.putInt(24, words)
-      h.order(ByteOrder.LITTLE_ENDIAN)
-      h.putInt(28, 1000)
-      h.putInt(32, shapeType)
-      h.putDouble(36, minX); h.putDouble(44, minY)
-      h.putDouble(52, maxX); h.putDouble(60, maxY)
-      h.array()
-    }
-
-    val shp = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
-      new java.io.FileOutputStream(base + ".shp")))
-    val shx = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
-      new java.io.FileOutputStream(base + ".shx")))
-    try {
-      shp.write(header(fileWords))
-      shx.write(header(50 + recs.length * 4))
-      var off = 50
-      var i = 0
-      while (i < recs.length) {
-        shx.writeInt(off); shx.writeInt(contentWords(i))
-        shp.writeInt(i + 1); shp.writeInt(contentWords(i)) // record header, BE
-        shp.write(recs(i))
-        off += 4 + contentWords(i)
-        i += 1
-      }
-    } finally { shp.close(); shx.close() }
-
-    // ---- dbf ----
     val specs = attrs.map { case (f, _) => dbfSpec(f.dataType, f.name) }
     val recSize = 1 + specs.map(_._2).sum
     val headerSize = 33 + attrs.length * 32
@@ -404,12 +351,30 @@ object Shapefile {
     // wrap a very wide schema into a corrupt file
     require(recSize <= 0xffff, s"dbf record size $recSize exceeds the format's u16 limit")
     require(headerSize <= 0xffff, s"dbf header size $headerSize exceeds the format's u16 limit")
-    val dbf = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
-      new java.io.FileOutputStream(base + ".dbf")))
+
+    var shapeType = NULL_SHAPE
+    var minX = Double.MaxValue; var minY = Double.MaxValue
+    var maxX = -Double.MaxValue; var maxY = -Double.MaxValue
+    var n = 0
+    var offWords = 50L
+
+    val shpF = new RandomAccessFile(base + ".shp", "rw")
+    val shxF = new RandomAccessFile(base + ".shx", "rw")
+    val dbfF = new RandomAccessFile(base + ".dbf", "rw")
     try {
+      shpF.setLength(0); shxF.setLength(0); dbfF.setLength(0)
+      val shp = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+        new FileSection(shpF)))
+      val shx = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+        new FileSection(shxF)))
+      val dbf = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+        new FileSection(dbfF)))
+      shp.write(new Array[Byte](100)) // placeholder headers, patched below
+      shx.write(new Array[Byte](100))
+
+      // dbf header: everything except the record count is known up front
       val hb = ByteBuffer.allocate(headerSize).order(ByteOrder.LITTLE_ENDIAN)
       hb.put(0, 3.toByte) // dBASE III, no memo
-      hb.putInt(4, buffered.length)
       hb.putShort(8, headerSize.toShort)
       hb.putShort(10, recSize.toShort)
       attrs.indices.foreach { i =>
@@ -424,8 +389,33 @@ object Shapefile {
       }
       hb.put(headerSize - 1, 0x0d.toByte) // field-descriptor terminator
       dbf.write(hb.array())
+
       val rec = new Array[Byte](recSize)
-      buffered.foreach { row =>
+      rows.foreach { row =>
+        val g = if (row.isNullAt(gIdx)) null else Wkb.read(row.getAs[Array[Byte]](gIdx))
+        // a shapefile holds ONE shape class; a mixed partition must fail
+        // loudly, never write a structurally corrupt file
+        val t = shapeClassOf(g)
+        if (t != NULL_SHAPE) {
+          if (shapeType == NULL_SHAPE) shapeType = t
+          else require(t == shapeType,
+            s"mixed shape classes in one partition ($shapeType vs $t): " +
+              "a shapefile holds one shape type — split by geometry class first")
+          val e = g.getEnvelopeInternal
+          if (!g.isEmpty) {
+            minX = math.min(minX, e.getMinX); minY = math.min(minY, e.getMinY)
+            maxX = math.max(maxX, e.getMaxX); maxY = math.max(maxY, e.getMaxY)
+          }
+        }
+        val content = encodeShape(g, t)
+        val words = content.length / 2
+        shx.writeInt(offWords.toInt); shx.writeInt(words)
+        shp.writeInt(n + 1); shp.writeInt(words) // record header, BE
+        shp.write(content)
+        offWords += 4 + words
+        require(offWords * 2 <= Int.MaxValue.toLong * 2,
+          s".shp part exceeds the format's 32-bit word offsets; write more partitions")
+
         java.util.Arrays.fill(rec, ' '.toByte)
         rec(0) = ' ' // not deleted
         var pos = 1
@@ -438,11 +428,11 @@ object Shapefile {
               case 'C' => row.get(colIdx).toString
               case 'N' if dec == 0 => row.get(colIdx) match {
                 case l: Long => l.toString
-                case n: Number => n.longValue().toString
+                case nm: Number => nm.longValue().toString
               }
               case 'N' => fmtDouble(row.get(colIdx) match {
                 case d: Double => d
-                case n: Number => n.doubleValue()
+                case nm: Number => nm.doubleValue()
               })
               case 'L' => if (row.getBoolean(colIdx)) "T" else "F"
               case 'D' =>
@@ -457,10 +447,53 @@ object Shapefile {
           pos += width
         }
         dbf.write(rec)
+        n += 1
       }
       dbf.write(0x1a) // EOF marker
-    } finally dbf.close()
-    buffered.length.toLong
+      shp.flush(); shx.flush(); dbf.flush()
+
+      // ---- patch the real headers ----
+      if (minX > maxX) { minX = 0; minY = 0; maxX = 0; maxY = 0 }
+      val h = ByteBuffer.allocate(100)
+      def fillHeader(words: Long): Array[Byte] = {
+        java.util.Arrays.fill(h.array(), 0.toByte)
+        h.order(ByteOrder.BIG_ENDIAN)
+        h.putInt(0, 9994)
+        h.putInt(24, Math.toIntExact(words))
+        h.order(ByteOrder.LITTLE_ENDIAN)
+        h.putInt(28, 1000)
+        h.putInt(32, shapeType)
+        h.putDouble(36, minX); h.putDouble(44, minY)
+        h.putDouble(52, maxX); h.putDouble(60, maxY)
+        h.array()
+      }
+      shpF.seek(0); shpF.write(fillHeader(offWords))
+      shxF.seek(0); shxF.write(fillHeader(50L + n * 4L))
+      dbfF.seek(4)
+      val cnt = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+      cnt.putInt(0, n)
+      dbfF.write(cnt.array())
+    } finally { shpF.close(); shxF.close(); dbfF.close() }
+    n.toLong
+  }
+
+  /** Append-only OutputStream view of a RandomAccessFile (so the same handle
+   *  streams the body and then patches the header). */
+  private final class FileSection(raf: RandomAccessFile) extends java.io.OutputStream {
+    override def write(b: Int): Unit = raf.write(b)
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = raf.write(b, off, len)
+  }
+
+  /** Shape class id of a geometry (NULL_SHAPE for null/unsupported handled
+   *  by the caller's encode). */
+  private def shapeClassOf(g: Geometry): Int = g match {
+    case null => NULL_SHAPE
+    case _: Point => POINT
+    case _: org.locationtech.jts.geom.MultiPoint => MULTIPOINT
+    case _: LineString | _: org.locationtech.jts.geom.MultiLineString => POLYLINE
+    case _: Polygon | _: MultiPolygon => POLYGON
+    case other => throw new IllegalArgumentException(
+      s"Shapefile.write: unsupported geometry ${other.getGeometryType}")
   }
 
   /** 17-significant-digit plain decimal — lossless for every double whose

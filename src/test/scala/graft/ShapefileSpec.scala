@@ -128,6 +128,19 @@ class ShapefileSpec extends SparkSpec {
     assert(rows(1).getAs[Array[Byte]]("geometry") == null)
   }
 
+  test("mixed shape classes in one partition fail loudly (no corrupt file)") {
+    val f = Wkb.factory
+    val dir = tmp("shp-mixed")
+    val src = spark.createDataFrame(Seq(
+      (1L, Wkb.write(f.createPoint(new Coordinate(1, 2)))),
+      (2L, Wkb.write(f.createLineString(Array(
+        new Coordinate(0, 0), new Coordinate(1, 1)))))))
+      .toDF("id", "geometry").repartition(1)
+    val e = intercept[org.apache.spark.SparkException](Shapefile.write(src, dir))
+    assert(e.getMessage.contains("mixed shape classes") ||
+      e.getCause != null)
+  }
+
   test("record-range fan-out: small maxRecordsPerTask reads the same rows") {
     val dir = tmp("shp-ranges")
     val src = spark.range(500).select(col("id"),
