@@ -92,6 +92,16 @@ object CellStore {
    *                    geometries returned") via `st_force2d`, inside
    *                    codegen on the scan's own projection.
    *
+   *   format        -> source routing, the "any OGR path" axis of
+   *                    read_file: `parquet` (default; bbox = partition
+   *                    pruning), `geojsonseq` / `geojson` (the GeoJSON
+   *                    drivers below), `shapefile` ([[Shapefile.read]],
+   *                    which carries a native 0-based `fid` column — the
+   *                    fids/returnFids params compose with it directly).
+   *                    Non-parquet sources have no partition structure, so
+   *                    their bbox is the exact bbox-intersects predicate
+   *                    (io/file.py:73-78's GEOS-absent contract).
+   *
    * `skip_features` is deliberately absent: it assumes OGR's sequential
    * row order, which a distributed table does not have. `layer`/`encoding`
    * are likewise absent: a parquet relation has one layer and one encoding
@@ -111,6 +121,7 @@ object CellStore {
                returnFids: Boolean = false,
                readGeometry: Boolean = true,
                force2d: Boolean = false,
+               format: String = "parquet",
                geometryCol: String = "geometry"): DataFrame = {
     def applyForce2d(df: DataFrame): DataFrame =
       if (force2d && readGeometry && df.columns.contains(geometryCol))
@@ -125,20 +136,45 @@ object CellStore {
     require(sql.isEmpty || !returnFids,
       "return_fids cannot combine with sql — select the fid column in the SQL instead")
 
+    // source routing (read_file takes ANY OGR path; here: format param).
+    // parquet's bbox is cell-PARTITION pruning (a covering superset); the
+    // other drivers have no partition structure, so bbox refines to the
+    // exact bbox-intersects predicate on the geometry itself — both honor
+    // the reference's "geometries whose bounding boxes intersect" contract
+    // (io/file.py:73-78).
+    def source(withBbox: Boolean): DataFrame = {
+      def bboxFilter(df: DataFrame): DataFrame = bbox match {
+        case Some((minLat, minLon, maxLat, maxLon)) if withBbox =>
+          df.filter(graft.functions.st.st_bboxIntersects(col(geometryCol),
+            graft.functions.st.st_makeBox(lit(minLon), lit(minLat),
+              lit(maxLon), lit(maxLat))))
+        case _ => df
+      }
+      format match {
+        case "parquet" => bbox match {
+          case Some((minLat, minLon, maxLat, maxLon)) if withBbox =>
+            readBbox(spark, path, minLat, minLon, maxLat, maxLon, partLevel)
+          case _ => spark.read.parquet(path)
+        }
+        case "geojsonseq" => bboxFilter(readGeoJsonSeq(spark, path))
+        case "geojson" => bboxFilter(readGeoJson(spark, path))
+        case "shapefile" => bboxFilter(Shapefile.read(spark, path))
+        case other => throw new IllegalArgumentException(
+          s"read_file format '$other' not supported " +
+            "(parquet | geojsonseq | geojson | shapefile)")
+      }
+    }
+
     sql match {
       case Some(q) =>
-        spark.read.parquet(path).createOrReplaceTempView(sqlView)
+        source(withBbox = false).createOrReplaceTempView(sqlView)
         var out = spark.sql(q)
         if (!readGeometry) out = out.drop(geometryCol)
         out = applyForce2d(out)
         maxFeatures.foreach(n => out = out.limit(math.min(n, Int.MaxValue.toLong).toInt))
         out
       case None =>
-        var df = bbox match {
-          case Some((minLat, minLon, maxLat, maxLon)) =>
-            readBbox(spark, path, minLat, minLon, maxLat, maxLon, partLevel)
-          case None => spark.read.parquet(path)
-        }
+        var df = source(withBbox = true)
         fids.foreach(ids => df = df.filter(col(fidCol).isin(ids: _*)))
         where.foreach(w => df = df.filter(expr(w)))
         if (columns.nonEmpty) {

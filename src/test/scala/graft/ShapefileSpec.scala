@@ -128,6 +128,31 @@ class ShapefileSpec extends SparkSpec {
     assert(rows(1).getAs[Array[Byte]]("geometry") == null)
   }
 
+  test("readFile(format=shapefile|geojsonseq): routing + bbox/fids/where compose") {
+    val dirShp = tmp("rf-shp"); val dirGj = tmp("rf-gj")
+    val src = spark.range(100).select(col("id"),
+      st_point(col("id") * 1.0, col("id") * 2.0).as("geometry"))
+    Shapefile.write(src, dirShp)
+    graft.sources.CellStore.writeGeoJsonSeq(src, dirGj)
+    // shapefile: native fid column composes with the fids param
+    val viaFids = graft.sources.CellStore.readFile(spark, dirShp,
+      format = "shapefile", fids = Some(Seq(3L, 7L)), returnFids = true)
+    assert(viaFids.select("fid").collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 7L))
+    // bbox on a non-parquet source is the exact bbox-intersects predicate:
+    // points (id, 2id) with id in [10, 20] -> lat in [20, 40], lon in [10, 20]
+    val viaBbox = graft.sources.CellStore.readFile(spark, dirShp,
+      format = "shapefile", bbox = Some((20.0, 10.0, 40.0, 20.0)),
+      where = Some("id % 2 = 0"))
+    assert(viaBbox.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (10L to 20L by 2).toSeq)
+    // geojsonseq route: columns prune, maxFeatures limits
+    val gj = graft.sources.CellStore.readFile(spark, dirGj,
+      format = "geojsonseq", columns = Seq("properties"), maxFeatures = Some(5L))
+    assert(gj.columns.toSeq == Seq("properties") && gj.count() == 5)
+    intercept[IllegalArgumentException](
+      graft.sources.CellStore.readFile(spark, dirShp, format = "gpkg"))
+  }
+
   test("mixed shape classes in one partition fail loudly (no corrupt file)") {
     val f = Wkb.factory
     val dir = tmp("shp-mixed")
