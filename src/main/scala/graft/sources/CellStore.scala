@@ -102,10 +102,15 @@ object CellStore {
    *                    their bbox is the exact bbox-intersects predicate
    *                    (io/file.py:73-78's GEOS-absent contract).
    *
+   *   layer         -> shapefile-directory layer selection by basename
+   *                    (io/file.py:40-44; OGR's one-layer-per-.shp model).
+   *                    Parquet/GeoJSON relations have exactly one layer, so
+   *                    the param is shapefile-only here.
+   *
    * `skip_features` is deliberately absent: it assumes OGR's sequential
-   * row order, which a distributed table does not have. `layer`/`encoding`
-   * are likewise absent: a parquet relation has one layer and one encoding
-   * (UTF-8) by construction.
+   * row order, which a distributed table does not have. `encoding` is
+   * likewise absent: every source here is UTF-8 (dbf: ISO-8859-1) by
+   * construction.
    */
   def readFile(spark: SparkSession, path: String,
                columns: Seq[String] = Nil,
@@ -122,7 +127,11 @@ object CellStore {
                readGeometry: Boolean = true,
                force2d: Boolean = false,
                format: String = "parquet",
+               layer: Option[String] = None,
                geometryCol: String = "geometry"): DataFrame = {
+    require(layer.isEmpty || format == "shapefile",
+      "layer selects a shapefile basename in a directory datasource " +
+        "(parquet/GeoJSON relations have exactly one layer)")
     def applyForce2d(df: DataFrame): DataFrame =
       if (force2d && readGeometry && df.columns.contains(geometryCol))
         df.withColumn(geometryCol, graft.functions.st.st_force2d(col(geometryCol)))
@@ -158,7 +167,7 @@ object CellStore {
         }
         case "geojsonseq" => bboxFilter(readGeoJsonSeq(spark, path))
         case "geojson" => bboxFilter(readGeoJson(spark, path))
-        case "shapefile" => bboxFilter(Shapefile.read(spark, path))
+        case "shapefile" => bboxFilter(Shapefile.read(spark, path, layer = layer))
         case other => throw new IllegalArgumentException(
           s"read_file format '$other' not supported " +
             "(parquet | geojsonseq | geojson | shapefile)")

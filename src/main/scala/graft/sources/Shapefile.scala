@@ -88,8 +88,20 @@ object Shapefile {
    * range per task (`maxRecordsPerTask` bounds a task's slice).
    */
   def read(spark: SparkSession, path: String,
-           maxRecordsPerTask: Int = 65536): DataFrame = {
-    val bases = partBases(path)
+           maxRecordsPerTask: Int = 65536,
+           layer: Option[String] = None): DataFrame = {
+    val all = partBases(path)
+    // OGR's Shapefile-directory model: a directory is a datasource with one
+    // LAYER per .shp basename (reference read_file's `layer` param,
+    // io/file.py:40-44); None reads every file (our part-file convention)
+    val bases = layer match {
+      case Some(l) =>
+        val hit = all.filter(b => new java.io.File(b).getName == l)
+        require(hit.nonEmpty,
+          s"layer '$l' not found; available: ${all.map(new java.io.File(_).getName).mkString(", ")}")
+        hit
+      case None => all
+    }
     require(bases.nonEmpty, s"no .shp files under $path")
     val schema = schemaOf(bases.head)
     bases.tail.foreach(b => require(schemaOf(b) == schema,

@@ -151,6 +151,16 @@ class ShapefileSpec extends SparkSpec {
     assert(gj.columns.toSeq == Seq("properties") && gj.count() == 5)
     intercept[IllegalArgumentException](
       graft.sources.CellStore.readFile(spark, dirShp, format = "gpkg"))
+    // layer selects one shapefile basename from a directory datasource
+    val oneLayer = graft.sources.CellStore.readFile(spark, dirShp,
+      format = "shapefile", layer = Some("part-00000"))
+    assert(oneLayer.count() > 0 && oneLayer.count() < 100)
+    intercept[IllegalArgumentException](
+      graft.sources.CellStore.readFile(spark, dirShp,
+        format = "shapefile", layer = Some("nope")))
+    intercept[IllegalArgumentException](
+      graft.sources.CellStore.readFile(spark, dirGj,
+        format = "geojsonseq", layer = Some("x")))
   }
 
   test("mixed shape classes in one partition fail loudly (no corrupt file)") {
