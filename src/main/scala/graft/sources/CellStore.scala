@@ -107,9 +107,14 @@ object CellStore {
    *                    Parquet/GeoJSON relations have exactly one layer, so
    *                    the param is shapefile-only here.
    *
-   * `skip_features` is deliberately absent: it assumes OGR's sequential
-   * row order, which a distributed table does not have. `encoding` is
-   * likewise absent: every source here is UTF-8 (dbf: ISO-8859-1) by
+   *   skipFeatures  -> sequential offset (io/file.py:58-61), shapefile-only:
+   *                    a shapefile HAS a physical record order, so the skip
+   *                    pushes into .shx range slicing (skipped records are
+   *                    never read). A distributed parquet/GeoJSON table has
+   *                    no such order, and combining with where/bbox/fids
+   *                    would change what the offset counts — both refused.
+   *
+   * `encoding` is absent: every source here is UTF-8 (dbf: ISO-8859-1) by
    * construction.
    */
   def readFile(spark: SparkSession, path: String,
@@ -128,10 +133,19 @@ object CellStore {
                force2d: Boolean = false,
                format: String = "parquet",
                layer: Option[String] = None,
+               skipFeatures: Long = 0L,
                geometryCol: String = "geometry"): DataFrame = {
     require(layer.isEmpty || format == "shapefile",
       "layer selects a shapefile basename in a directory datasource " +
         "(parquet/GeoJSON relations have exactly one layer)")
+    // skip_features needs the source's physical record order — real for a
+    // shapefile (where it pushes into .shx range slicing), meaningless for
+    // a distributed table. Selection params would change which features the
+    // offset counts (pyogrio applies them first), so the combination is
+    // refused rather than silently misordered.
+    require(skipFeatures == 0L || (format == "shapefile" && where.isEmpty &&
+      bbox.isEmpty && fids.isEmpty && sql.isEmpty),
+      "skipFeatures requires format=shapefile and no where/bbox/fids/sql")
     def applyForce2d(df: DataFrame): DataFrame =
       if (force2d && readGeometry && df.columns.contains(geometryCol))
         df.withColumn(geometryCol, graft.functions.st.st_force2d(col(geometryCol)))
@@ -167,7 +181,9 @@ object CellStore {
         }
         case "geojsonseq" => bboxFilter(readGeoJsonSeq(spark, path))
         case "geojson" => bboxFilter(readGeoJson(spark, path))
-        case "shapefile" => bboxFilter(Shapefile.read(spark, path, layer = layer))
+        case "shapefile" => bboxFilter(Shapefile.read(spark, path, layer = layer,
+          skipFeatures = skipFeatures,
+          maxFeatures = if (skipFeatures > 0) maxFeatures else None))
         case other => throw new IllegalArgumentException(
           s"read_file format '$other' not supported " +
             "(parquet | geojsonseq | geojson | shapefile)")

@@ -87,9 +87,19 @@ object Shapefile {
    * Parallel grain: contiguous record ranges from the `.shx` index, one
    * range per task (`maxRecordsPerTask` bounds a task's slice).
    */
+  /**
+   * `skipFeatures`/`maxFeatures` are OGR `read_file`'s sequential
+   * offset/limit (io/file.py:58-64) — meaningful here because a shapefile
+   * HAS a physical record order. They push down into the `.shx` range
+   * slicing: skipped/clipped records are never read, not filtered after.
+   * `fid` stays the record's REAL file position (OGR semantics).
+   */
   def read(spark: SparkSession, path: String,
            maxRecordsPerTask: Int = 65536,
-           layer: Option[String] = None): DataFrame = {
+           layer: Option[String] = None,
+           skipFeatures: Long = 0L,
+           maxFeatures: Option[Long] = None): DataFrame = {
+    require(skipFeatures >= 0, "skipFeatures must be >= 0")
     val all = partBases(path)
     // OGR's Shapefile-directory model: a directory is a datasource with one
     // LAYER per .shp basename (reference read_file's `layer` param,
@@ -107,16 +117,26 @@ object Shapefile {
     bases.tail.foreach(b => require(schemaOf(b) == schema,
       s"shapefile part $b schema differs from ${bases.head}"))
     // (base, firstRecord, count, fidBase): fids stay globally sequential
-    // across parts in part order, like a single OGR layer
+    // across parts in part order, like a single OGR layer. The global
+    // [skipFeatures, skipFeatures + maxFeatures) window clips each file's
+    // record range BEFORE task planning — skipped records are never read.
+    val last = maxFeatures.map(m => skipFeatures + m)
     var fidBase = 0L
     val ranges = bases.flatMap { b =>
       val n = recordCountOf(b)
-      val rs = (0 until n by maxRecordsPerTask).map { s =>
-        (b, s, math.min(maxRecordsPerTask, n - s), fidBase + s)
-      }
+      val lo = math.max(0L, skipFeatures - fidBase)
+      val hi = math.min(n.toLong, last.map(_ - fidBase).getOrElse(n.toLong))
+      val rs =
+        if (lo >= hi) Nil
+        else (lo until hi by maxRecordsPerTask.toLong).map { s =>
+          (b, s.toInt, math.min(maxRecordsPerTask.toLong, hi - s).toInt, fidBase + s)
+        }
       fidBase += n
       rs
     }
+    if (ranges.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val nSlices = math.max(1, math.min(ranges.size, spark.sparkContext.defaultParallelism))
     import spark.implicits._
     spark.createDataset(ranges).repartition(nSlices)

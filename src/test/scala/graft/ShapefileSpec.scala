@@ -161,6 +161,19 @@ class ShapefileSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       graft.sources.CellStore.readFile(spark, dirGj,
         format = "geojsonseq", layer = Some("x")))
+    // skip_features pushes into .shx range slicing; fids stay the REAL
+    // file positions (OGR semantics) and maxFeatures clips the window
+    val skipped = graft.sources.CellStore.readFile(spark, dirShp,
+      format = "shapefile", skipFeatures = 95L, maxFeatures = Some(3L))
+    assert(skipped.select("fid").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(95L, 96L, 97L))
+    val skipPastEnd = graft.sources.Shapefile.read(spark, dirShp, skipFeatures = 1000L)
+    assert(skipPastEnd.count() == 0)
+    intercept[IllegalArgumentException](
+      graft.sources.CellStore.readFile(spark, dirShp, format = "shapefile",
+        skipFeatures = 5L, where = Some("id > 3")))
+    intercept[IllegalArgumentException](
+      graft.sources.CellStore.readFile(spark, dirShp, skipFeatures = 5L))
   }
 
   test("mixed shape classes in one partition fail loudly (no corrupt file)") {
