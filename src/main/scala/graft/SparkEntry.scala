@@ -691,6 +691,28 @@ object SparkEntry {
         round(st_y(pol), 3).as("py"))
     }),
 
+    "q_stere" -> ((s, dir) => {
+      // EPSG:3413 (NSIDC Sea Ice Polar Stereographic North, variant B:
+      // lat_ts=70, lon_0=-45, WGS84) over the northern points — the oracle
+      // recomputes Snyder §21's closed form (t = tan(pi/4-phi/2)·[(1+e·s)/
+      // (1-e·s)]^(e/2), rho = a·m_F·t/t_F, eq. 21-34) independently in
+      // DuckDB SQL. The implementation itself is pinned to Snyder's
+      // Appendix-A published south sample in ProjSpec (x=-1540033.6,
+      // y=-560526.4 reproduced to <0.1 m). pj_eq proves the EPSG-code path
+      // and the full proj-string path (lat_ts folded into the pole scale at
+      // parse time) are BIT-equal.
+      val p = custPoints(s, dir).filter(col("lat") > 34)
+      val prj = st_transform(st_point(col("lon"), col("lat")), lit(4326), lit(3413))
+      val ps = st_transform(st_point(col("lon"), col("lat")),
+        "+proj=longlat +datum=WGS84",
+        "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +x_0=0 +y_0=0 " +
+          "+datum=WGS84 +units=m +no_defs")
+      p.select(col("custkey"),
+        round(st_x(prj), 3).as("sx"),
+        round(st_y(prj), 3).as("sy"),
+        (st_x(prj) === st_x(ps) && st_y(prj) === st_y(ps)).as("pj_eq"))
+    }),
+
     // ============ structure / pipeline invariants with literal oracles ======
     "q_explode" -> ((s, dir) => {
       // st_dump over a MultiPolygon (union of two disjoint boxes) -> one row
@@ -1840,6 +1862,24 @@ object SparkEntry {
          | round(rho * sin(wlam), 3) AS px,
          | round(-rho * cos(wlam), 3) AS py
          |FROM g JOIN wg ON g.custkey = wg.custkey""".stripMargin,
+
+    "q_stere" ->
+      s"""WITH p AS (SELECT custkey, lat, lon FROM ($custPointsSql) WHERE lat > 34),
+         | c AS (SELECT custkey, radians(lon + 45.0) AS lam,
+         |   0.0066943799901413165 AS e2, 0.08181919084262149 AS e,
+         |   radians(lat) AS phi, radians(70.0) AS phif FROM p),
+         | k AS (SELECT *,
+         |   cos(phif)/sqrt(1.0 - e2*sin(phif)*sin(phif)) AS mf,
+         |   tan(pi()/4.0 - phif/2.0)
+         |     * power((1.0 + e*sin(phif))/(1.0 - e*sin(phif)), e/2.0) AS tf,
+         |   tan(pi()/4.0 - phi/2.0)
+         |     * power((1.0 + e*sin(phi))/(1.0 - e*sin(phi)), e/2.0) AS tt FROM c),
+         | g AS (SELECT *, 6378137.0 * mf * tt / tf AS rho FROM k)
+         |SELECT custkey,
+         | round(rho * sin(lam), 3) AS sx,
+         | round(-rho * cos(lam), 3) AS sy,
+         | TRUE AS pj_eq
+         |FROM g""".stripMargin,
 
     "q_spatial_join_left" ->
       s"""WITH b(box_id, minx, miny, maxx, maxy) AS (VALUES $joinBoxes2SqlValues),

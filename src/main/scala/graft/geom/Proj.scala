@@ -280,13 +280,107 @@ object Proj {
     math.min(60, math.max(1, (math.floor((lon + 180.0) / 6.0) + 1).toInt))
   }
 
+  // ---------------- Polar Stereographic (Snyder §21; EPSG 9810/9829) --------
+
+  /** Snyder t (eq. 15-9): the conformal-latitude exponential,
+   *  t = tan(π/4 − φ/2)·[(1 + e·sinφ)/(1 − e·sinφ)]^(e/2). t(90°)=0, t(0)=1. */
+  def conformalT(ell: Ellipsoid, phi: Double): Double = {
+    val s = ell.e * math.sin(phi)
+    math.tan(math.Pi / 4 - phi / 2) * math.pow((1 + s) / (1 - s), ell.e / 2)
+  }
+
+  /** Snyder m (eq. 14-15): cosφ/√(1 − e²sin²φ) — the parallel-radius factor. */
+  @inline def mFactor(ell: Ellipsoid, phi: Double): Double = {
+    val s = math.sin(phi)
+    math.cos(phi) / math.sqrt(1 - ell.e2 * s * s)
+  }
+
+  /** Snyder's polar constant √((1+e)^(1+e)·(1−e)^(1−e)) (in eq. 21-33). */
+  @inline private def stereC(ell: Ellipsoid): Double =
+    math.sqrt(math.pow(1 + ell.e, 1 + ell.e) * math.pow(1 - ell.e, 1 - ell.e))
+
+  /**
+   * Variant-B (standard parallel `lat_ts`, EPSG 9829 — the EPSG:3413/3031
+   * form) reduced to variant A's pole scale: ρ = a·m_F·t/t_F ≡ 2·a·k₀·t/C
+   * with k₀ = m_F·C/(2·t_F) (eq. 21-34 vs 21-33; PROJ does the same
+   * reduction internally). lat_ts = ±90 means the pole itself, k₀ = 1.
+   */
+  def stereK0FromTs(ell: Ellipsoid, latTsDeg: Double): Double = {
+    val phiF = math.toRadians(math.abs(latTsDeg))
+    if (phiF > math.toRadians(90.0) - 1e-12) 1.0
+    else mFactor(ell, phiF) * stereC(ell) / (2 * conformalT(ell, phiF))
+  }
+
+  /** True when lat0 denotes a polar aspect (same tolerance as LAEA). */
+  @inline def stereIsPolar(lat0Deg: Double): Boolean = laeaIsPolar(lat0Deg)
+
+  /** Polar Stereographic forward (Snyder eq. 21-33/21-30/21-31; south via
+   *  the (−φ, −λ, −x, −y) mirror, eq. 21-32 remarks). lat0 = ±90 only. */
+  def stereForward(ell: Ellipsoid, lonDeg: Double, latDeg: Double,
+                   lat0Deg: Double, lon0Deg: Double, k0: Double,
+                   fe: Double, fn: Double): (Double, Double) = {
+    val north = lat0Deg > 0
+    val phi = math.toRadians(if (north) latDeg else -latDeg)
+    val lam = math.toRadians(if (north) lonDeg - lon0Deg else -(lonDeg - lon0Deg))
+    val rho = 2 * ell.a * k0 * conformalT(ell, phi) / stereC(ell)
+    val x = rho * math.sin(lam)
+    val y = -rho * math.cos(lam)
+    if (north) (fe + x, fn + y) else (fe - x, fn - y)
+  }
+
+  /** Polar Stereographic inverse (Snyder eq. 21-39, then conformal →
+   *  geodetic latitude: series 3-5 + fixed-point 7-9 polish to ulp). */
+  def stereInverse(ell: Ellipsoid, x0: Double, y0: Double,
+                   lat0Deg: Double, lon0Deg: Double, k0: Double,
+                   fe: Double, fn: Double): (Double, Double) = {
+    val north = lat0Deg > 0
+    var x = x0 - fe
+    var y = y0 - fn
+    if (!north) { x = -x; y = -y }
+    val rho = math.hypot(x, y)
+    if (rho < 1e-12) return (lon0Deg, lat0Deg)
+    val t = rho * stereC(ell) / (2 * ell.a * k0)
+    val chi = math.Pi / 2 - 2 * math.atan(t)
+    // conformal -> geodetic: O(e^8) trig series (Snyder eq. 3-5) ...
+    val e2 = ell.e2; val e4 = e2 * e2; val e6 = e4 * e2; val e8 = e6 * e2
+    var phi = chi +
+      (e2 / 2 + 5 * e4 / 24 + e6 / 12 + 13 * e8 / 360) * math.sin(2 * chi) +
+      (7 * e4 / 48 + 29 * e6 / 240 + 811 * e8 / 11520) * math.sin(4 * chi) +
+      (7 * e6 / 120 + 81 * e8 / 1120) * math.sin(6 * chi) +
+      (4279 * e8 / 161280) * math.sin(8 * chi)
+    // ... then two Snyder 7-9 fixed-point steps (contraction ~e², so the
+    // series' ~1e-10 residual drops below a ulp)
+    var it = 0
+    while (it < 2) {
+      val s = ell.e * math.sin(phi)
+      phi = math.Pi / 2 - 2 * math.atan(t * math.pow((1 - s) / (1 + s), ell.e / 2))
+      it += 1
+    }
+    val lam = math.atan2(x, -y)
+    // lon0 +- lam can leave (-180, 180] (Snyder's own example: -100 - 110 =
+    // -210 for a point at 150E) — normalize like PROJ does
+    def wrap(d: Double): Double = {
+      val w = ((d + 180.0) % 360.0 + 360.0) % 360.0 - 180.0
+      if (w == -180.0 && d > 0) 180.0 else w
+    }
+    if (north) (wrap(lon0Deg + math.toDegrees(lam)), math.toDegrees(phi))
+    else (wrap(lon0Deg - math.toDegrees(lam)), -math.toDegrees(phi))
+  }
+
   /** EPSG code of the WGS84 UTM zone containing a point. */
   def utmSrid(latDeg: Double, lonDeg: Double): Int =
     (if (latDeg >= 0) 32600 else 32700) + utmZone(lonDeg)
 
   def isSupported(srid: Int): Boolean =
     srid == 4326 || srid == 3857 || srid == 3035 ||
+      srid == 3413 || srid == 3031 ||
       (srid > 32600 && srid <= 32660) || (srid > 32700 && srid <= 32760)
+
+  /** EPSG:3413 (NSIDC Sea Ice Polar Stereographic North: lat_ts=70,
+   *  lon_0=−45) and EPSG:3031 (Antarctic Polar Stereographic: lat_ts=−71,
+   *  lon_0=0), both WGS84, variant B. k₀ precomputed from lat_ts once. */
+  private lazy val K3413 = stereK0FromTs(Wgs84, 70.0)
+  private lazy val K3031 = stereK0FromTs(Wgs84, -71.0)
 
   private val R3857 = 6378137.0
 
@@ -297,13 +391,15 @@ object Proj {
       (math.toDegrees(x / R3857),
         math.toDegrees(2 * math.atan(math.exp(y / R3857)) - math.Pi / 2))
     case 3035 => laeaInverse(Grs80, x, y, 52.0, 10.0, 4321000.0, 3210000.0)
+    case 3413 => stereInverse(Wgs84, x, y, 90.0, -45.0, K3413, 0.0, 0.0)
+    case 3031 => stereInverse(Wgs84, x, y, -90.0, 0.0, K3031, 0.0, 0.0)
     case z if z > 32600 && z <= 32660 =>
       tmInverse(Wgs84, x, y, (z - 32600) * 6.0 - 183.0, UtmK0, 500000.0, 0.0)
     case z if z > 32700 && z <= 32760 =>
       tmInverse(Wgs84, x, y, (z - 32700) * 6.0 - 183.0, UtmK0, 500000.0, 10000000.0)
     case other =>
       throw new IllegalArgumentException(s"st_transform: unsupported CRS $other " +
-        "(supported: 4326, 3857, 3035, 326xx/327xx UTM)")
+        "(supported: 4326, 3857, 3035, 3413, 3031, 326xx/327xx UTM)")
   }
 
   /** lon/lat degrees -> projected CRS. Identity for 4326. */
@@ -313,12 +409,14 @@ object Proj {
       (math.toRadians(lon) * R3857,
         math.log(math.tan(math.Pi / 4 + math.toRadians(lat) / 2)) * R3857)
     case 3035 => laeaForward(Grs80, lon, lat, 52.0, 10.0, 4321000.0, 3210000.0)
+    case 3413 => stereForward(Wgs84, lon, lat, 90.0, -45.0, K3413, 0.0, 0.0)
+    case 3031 => stereForward(Wgs84, lon, lat, -90.0, 0.0, K3031, 0.0, 0.0)
     case z if z > 32600 && z <= 32660 =>
       tmForward(Wgs84, lon, lat, (z - 32600) * 6.0 - 183.0, UtmK0, 500000.0, 0.0)
     case z if z > 32700 && z <= 32760 =>
       tmForward(Wgs84, lon, lat, (z - 32700) * 6.0 - 183.0, UtmK0, 500000.0, 10000000.0)
     case other =>
       throw new IllegalArgumentException(s"st_transform: unsupported CRS $other " +
-        "(supported: 4326, 3857, 3035, 326xx/327xx UTM)")
+        "(supported: 4326, 3857, 3035, 3413, 3031, 326xx/327xx UTM)")
   }
 }

@@ -92,7 +92,7 @@ object ProjString {
       kv += (if (i < 0) (t, "") else (t.take(i), t.drop(i + 1)))
     }
     val known = Set("proj", "ellps", "datum", "a", "b", "rf", "f", "R",
-      "lat_0", "lon_0", "k", "k_0", "x_0", "y_0", "units", "no_defs",
+      "lat_0", "lon_0", "lat_ts", "k", "k_0", "x_0", "y_0", "units", "no_defs",
       "towgs84", "type")
     kv.keys.find(!known.contains(_)).foreach(k => fail(s, s"unknown parameter +$k"))
     kv.get("units").filter(_ != "m").foreach(u => fail(s, s"unsupported units $u"))
@@ -128,8 +128,18 @@ object ProjString {
     val k0 = if (kv.contains("k_0")) num("k_0", 1.0) else num("k", 1.0)
     val x0 = num("x_0", 0.0)
     val y0 = num("y_0", 0.0)
+    // +lat_ts (standard parallel) folds into the pole scale at parse time
+    // (variant B -> variant A, Proj.stereK0FromTs; PROJ's own reduction).
+    // PROJ treats +lat_ts and +k/+k_0 as mutually exclusive for stere.
+    val k0eff =
+      if (kv.contains("lat_ts")) {
+        if (proj != "stere") fail(s, "+lat_ts is only supported for +proj=stere")
+        if (kv.contains("k") || kv.contains("k_0"))
+          fail(s, "+lat_ts and +k/+k_0 are mutually exclusive for stere")
+        Proj.stereK0FromTs(ell, num("lat_ts", 90.0))
+      } else k0
 
-    mkSpec(s, proj, ell, lat0, lon0, k0, x0, y0)
+    mkSpec(s, proj, ell, lat0, lon0, k0eff, x0, y0)
   }
 
   private def mkSpec(s: String, proj: String, ell: Proj.Ellipsoid,
@@ -147,6 +157,16 @@ object ProjString {
       case "laea" =>
         // all aspects: oblique/equatorial (Snyder 24-17..24-20) and the
         // polar forms (24-23..24-25), selected inside Proj.laeaForward
+        Spec(proj, ell, lat0, lon0, k0, x0, y0, 0, 0)
+      case "stere" =>
+        // POLAR aspects only (Snyder 21-30..21-39; EPSG 9810/9829 — the
+        // EPSG:3413/3031 family). The oblique/equatorial ellipsoidal
+        // stereographic is a different EPSG method (9809, Gauss conformal
+        // sphere) this engine does not implement — fail fast, never
+        // approximate.
+        if (!Proj.stereIsPolar(lat0))
+          fail(s, s"+proj=stere lat_0=$lat0: only the polar aspects" +
+            " (lat_0=+-90) are implemented")
         Spec(proj, ell, lat0, lon0, k0, x0, y0, 0, 0)
       case other => fail(s, s"unsupported +proj=$other")
     }
@@ -258,12 +278,16 @@ object ProjString {
     9807 -> "tmerc", // Transverse Mercator
     9804 -> "merc",  // Mercator (variant A)
     1024 -> "webmerc", // Popular Visualisation Pseudo Mercator
-    9820 -> "laea")  // Lambert Azimuthal Equal Area
+    9820 -> "laea",  // Lambert Azimuthal Equal Area
+    9810 -> "stere", // Polar Stereographic (variant A)
+    9829 -> "stere") // Polar Stereographic (variant B)
   private val projJsonMethodNames: Map[String, String] = Map(
     "transverse mercator" -> "tmerc",
     "mercator (variant a)" -> "merc",
     "popular visualisation pseudo mercator" -> "webmerc",
-    "lambert azimuthal equal area" -> "laea")
+    "lambert azimuthal equal area" -> "laea",
+    "polar stereographic (variant a)" -> "stere",
+    "polar stereographic (variant b)" -> "stere")
 
   private def parseProjJson(raw: String): Spec = {
     def fail(why: String): Nothing =
@@ -313,6 +337,7 @@ object ProjString {
             .flatMap(n => projJsonMethodNames.get(n.toLowerCase)))
           .getOrElse(fail(s"unsupported conversion method ${method.get("name")}"))
         var lat0 = 0.0; var lon0 = 0.0; var k0 = 1.0; var x0 = 0.0; var y0 = 0.0
+        var latTs = Option.empty[Double]
         conv.get("parameters") match {
           case Some(ps: List[Any @unchecked]) => ps.foreach {
             case p: Map[String @unchecked, Any @unchecked] =>
@@ -332,6 +357,9 @@ object ProjString {
                 case Some("latitude of natural origin") => lat0 = v
                 case Some("longitude of natural origin") => lon0 = v
                 case Some("scale factor at natural origin") => k0 = v
+                // Polar Stereographic variant B (EPSG 9829) parameters
+                case Some("latitude of standard parallel") => latTs = Some(v)
+                case Some("longitude of origin") => lon0 = v
                 case Some("false easting") => x0 = v
                 case Some("false northing") => y0 = v
                 case Some(other) => fail(s"unsupported parameter '$other'")
@@ -340,6 +368,12 @@ object ProjString {
             case _ => fail("non-object parameter entry")
           }
           case _ => fail("conversion has no parameters list")
+        }
+        if (proj == "stere" && latTs.isDefined) {
+          // variant B: lat_0 is implied by the standard parallel's pole
+          val pole = if (latTs.get >= 0) 90.0 else -90.0
+          return mkSpec(raw, proj, ell, pole, lon0,
+            Proj.stereK0FromTs(ell, latTs.get), x0, y0)
         }
         if (proj == "webmerc")
           // pseudo-mercator: spherical formulas on the base semi-major axis
@@ -358,6 +392,9 @@ object ProjString {
       (x, y - spec.tmRefY)
     case "laea" =>
       Proj.laeaForward(spec.ell, lon, lat, spec.lat0, spec.lon0, spec.x0, spec.y0)
+    case "stere" =>
+      Proj.stereForward(spec.ell, lon, lat, spec.lat0, spec.lon0, spec.k0,
+        spec.x0, spec.y0)
   }
 
   def toLonLat(spec: Spec, x: Double, y: Double): (Double, Double) = spec.proj match {
@@ -367,5 +404,8 @@ object ProjString {
     case "tmerc" => Proj.tmInverse(spec.ell, x, y + spec.tmRefY, spec.lon0, spec.k0,
       spec.x0, spec.y0)
     case "laea" => Proj.laeaInverse(spec.ell, x, y, spec.lat0, spec.lon0, spec.x0, spec.y0)
+    case "stere" =>
+      Proj.stereInverse(spec.ell, x, y, spec.lat0, spec.lon0, spec.k0,
+        spec.x0, spec.y0)
   }
 }

@@ -364,4 +364,89 @@ class ProjSpec extends AnyFunSuite {
     assert(Proj.utmSrid(-33.9, 18.4) == 32734)
     intercept[IllegalArgumentException](Proj.toLonLat(2154, 0, 0))
   }
+
+  test("polar stereographic: Snyder's published sample, EPSG:3413/3031 " +
+    "roundtrips, spherical limit, proj-string + PROJJSON (r5)") {
+    import graft.geom.{Proj, ProjString}
+    // Snyder 1987 Appendix A, ellipsoidal Polar Stereographic example:
+    // International 1924, variant B with standard parallel -71 (south),
+    // lon_0=-100; point (75S, 150E) -> x=-1540033.6, y=-560526.4,
+    // rho=1638869.5, k0(ts=-71)=0.9727690
+    val intl = Proj.Ellipsoid(6378388.0, 1.0 / 297.0)
+    val k0 = Proj.stereK0FromTs(intl, -71.0)
+    assert(math.abs(k0 - 0.972769054) < 1e-8, s"k0=$k0")
+    val (x, y) = Proj.stereForward(intl, 150.0, -75.0, -90.0, -100.0, k0, 0, 0)
+    assert(math.abs(x - -1540033.6) < 0.1, s"x=$x")
+    assert(math.abs(y - -560526.4) < 0.1, s"y=$y")
+    val (lon, lat) = Proj.stereInverse(intl, x, y, -90.0, -100.0, k0, 0, 0)
+    assert(math.abs(lon - 150.0) < 1e-9 && math.abs(lat - -75.0) < 1e-9, s"$lon $lat")
+
+    // EPSG:3413 (NSIDC north, lat_ts=70, lon_0=-45): the central meridian
+    // maps to x=0 / y<0, and the whole Arctic roundtrips to sub-nm degrees
+    val (x0m, y0m) = Proj.fromLonLat(3413, -45.0, 70.0)
+    assert(math.abs(x0m) < 1e-6 && y0m < 0, s"$x0m $y0m")
+    for (la <- Seq(35.0, 60.0, 80.0, 89.9, 90.0); lo <- Seq(-170.0, -45.0, 0.0, 133.0)) {
+      val (px, py) = Proj.fromLonLat(3413, lo, la)
+      val (lo2, la2) = Proj.toLonLat(3413, px, py)
+      assert(math.abs(la2 - la) < 1e-9, s"lat $la -> $la2")
+      if (la < 90.0) assert(math.abs(lo2 - lo) < 1e-9, s"lon $lo -> $lo2")
+    }
+    for (la <- Seq(-50.0, -71.0, -88.0); lo <- Seq(-120.0, 0.0, 77.0)) {
+      val (px, py) = Proj.fromLonLat(3031, lo, la)
+      val (lo2, la2) = Proj.toLonLat(3031, px, py)
+      assert(math.abs(la2 - la) < 1e-9 && math.abs(lo2 - lo) < 1e-9, s"$lo $la")
+    }
+    // at the standard parallel the local scale is 1: rho equals the
+    // parallel radius a*m(70)/... check via the defining identity
+    // rho(ts) = a * m(ts) (variant B's construction)
+    val rho70 = {
+      val (px, py) = Proj.fromLonLat(3413, 0.0, 70.0)
+      math.hypot(px, py)
+    }
+    val m70 = {
+      val s = math.sin(math.toRadians(70)); val e2 = Proj.Wgs84.e2
+      math.cos(math.toRadians(70)) / math.sqrt(1 - e2 * s * s)
+    }
+    assert(math.abs(rho70 - Proj.Wgs84.a * m70) < 1e-6)
+
+    // spherical limit: rho = 2 R k0 tan((90-phi)/2)
+    val sph = Proj.Ellipsoid(6371000.0, 0.0)
+    for (phi <- Seq(0.0, 30.0, 60.0, 89.0, 90.0)) {
+      val (xs, ys) = Proj.stereForward(sph, 25.0, phi, 90.0, 0.0, 0.994, 0, 0)
+      val closed = 2 * 6371000.0 * 0.994 * math.tan(math.toRadians(90 - phi) / 2)
+      assert(math.abs(math.hypot(xs, ys) - closed) < 1e-6, s"phi=$phi")
+    }
+
+    // proj-string: EPSG:3413's definition; lat_ts folds into k0 at parse
+    val spec = ProjString.parse(
+      "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +x_0=0 +y_0=0 " +
+        "+datum=WGS84 +units=m +no_defs")
+    val (sx, sy) = ProjString.fromLonLat(spec, 133.0, 80.0)
+    val (ex, ey) = Proj.fromLonLat(3413, 133.0, 80.0)
+    assert(sx == ex && sy == ey, s"($sx,$sy) != ($ex,$ey)")
+    val (bl, bb) = ProjString.toLonLat(spec, sx, sy)
+    assert(math.abs(bl - 133.0) < 1e-9 && math.abs(bb - 80.0) < 1e-9)
+    // oblique aspect and conflicting params fail fast
+    intercept[IllegalArgumentException](ProjString.parse("+proj=stere +lat_0=52"))
+    intercept[IllegalArgumentException](
+      ProjString.parse("+proj=stere +lat_0=90 +lat_ts=70 +k_0=0.994"))
+    intercept[IllegalArgumentException](
+      ProjString.parse("+proj=merc +lat_ts=45"))
+
+    // PROJJSON variant B (EPSG 9829 parameter names)
+    val pj =
+      """{"type":"ProjectedCRS","name":"NSIDC-ish",
+        |"base_crs":{"type":"GeographicCRS","datum":{"ellipsoid":
+        |  {"semi_major_axis":6378137,"inverse_flattening":298.257223563}}},
+        |"conversion":{"method":{"name":"Polar Stereographic (variant B)",
+        |  "id":{"authority":"EPSG","code":9829}},
+        | "parameters":[
+        |  {"name":"Latitude of standard parallel","value":70,"unit":"degree"},
+        |  {"name":"Longitude of origin","value":-45,"unit":"degree"},
+        |  {"name":"False easting","value":0,"unit":"metre"},
+        |  {"name":"False northing","value":0,"unit":"metre"}]}}""".stripMargin
+    val specJ = ProjString.parse(pj)
+    val (jx, jy) = ProjString.fromLonLat(specJ, 133.0, 80.0)
+    assert(jx == ex && jy == ey, s"PROJJSON ($jx,$jy) != EPSG ($ex,$ey)")
+  }
 }
