@@ -1388,6 +1388,34 @@ object SparkEntry {
       runToMemorySink(s, joined, "q_stream_spatial_sink", "append")
     }),
 
+    "q_stream_geojson" -> ((s, dir) => {
+      // streaming GeoJSONSeq ingest: the crawl-pipeline shape where feature
+      // lines arrive as text files. The point field staged as GeoJSONSeq,
+      // read back as a FILE STREAM (line-grain), parsed by the same
+      // geojson_feature kernel as batch (StaticInvoke — streaming-compatible
+      // because it is stateless and id-free), identity recovered from the
+      // properties JSON, then broadcast-joined through the point fast path.
+      // Rows must equal the batch q_spatial_join oracle.
+      val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft-stream-geojson-${Integer.toHexString(dir.hashCode)}").toString
+      val src = custPoints(s, dir).select(col("custkey"),
+        st_point(col("lon"), col("lat")).as("geometry"))
+      CellStore.writeGeoJsonSeq(src, root)
+      val stream = s.readStream.text(root)
+        .filter(length(trim(col("value"))) > 0)
+        .select(geojson_feature(col("value")).as("f"))
+        .select(get_json_object(col("f.properties"), "$.custkey")
+          .cast("long").as("custkey"),
+          col("f.geometry").as("geometry"))
+      val boxes = s.createDataFrame(
+        joinBoxes.map { case (id, a, b, c, d) => (id, boxWkb(a, b, c, d)) })
+        .toDF("box_id", "geometry")
+      val joined = SpatialJoin.join(stream, boxes, SpatialPredicate.Intersects,
+        "inner", cellLevel = 4, leftPointsOnly = true)
+        .select(col("custkey_left").as("custkey"), col("box_id_right").as("box_id"))
+      runToMemorySink(s, joined, "q_stream_geojson_sink", "append")
+    }),
+
     "q_h3_props" -> ((s, dir) => {
       // Driver-visible twin of q_s2_props: the H3 id's structural contract as
       // per-row booleans the DuckDB oracle re-asserts as TRUE literals. The
@@ -1809,6 +1837,12 @@ object SparkEntry {
          |WHERE p.lon > b.minx AND p.lon < b.maxx AND p.lat > b.miny AND p.lat < b.maxy""".stripMargin,
 
     "q_spatial_join_salted" ->
+      s"""WITH b(box_id, minx, miny, maxx, maxy) AS (VALUES $joinBoxesSqlValues),
+         | p AS ($custPointsSql)
+         |SELECT p.custkey, b.box_id FROM p, b
+         |WHERE p.lon > b.minx AND p.lon < b.maxx AND p.lat > b.miny AND p.lat < b.maxy""".stripMargin,
+
+    "q_stream_geojson" ->
       s"""WITH b(box_id, minx, miny, maxx, maxy) AS (VALUES $joinBoxesSqlValues),
          | p AS ($custPointsSql)
          |SELECT p.custkey, b.box_id FROM p, b
