@@ -341,7 +341,8 @@ object ArrowIpc {
    * `geo` document for WKB geometry columns) rides on every part file.
    *
    * Types: string, binary, bool, byte/short/int/long, float/double,
-   * timestamp (microsecond), date — the mirror of the read subset.
+   * timestamp (microsecond; zone-tagged instants AND naive NTZ wall-clock,
+   * mirroring the read path's split), date — the mirror of the read subset.
    */
   def write(df: DataFrame, dir: String, batchRows: Int = 4096,
             metadata: Map[String, String] = Map.empty): Unit = {
@@ -422,6 +423,9 @@ object ArrowIpc {
       org.apache.arrow.vector.types.FloatingPointPrecision.DOUBLE)
     case TimestampType => new ArrowType.Timestamp(
       org.apache.arrow.vector.types.TimeUnit.MICROSECOND, "UTC")
+    // naive wall-clock timestamps: no zone tag (the read path's NTZ split)
+    case TimestampNTZType => new ArrowType.Timestamp(
+      org.apache.arrow.vector.types.TimeUnit.MICROSECOND, null)
     case DateType => new ArrowType.Date(org.apache.arrow.vector.types.DateUnit.DAY)
     case other => throw new IllegalArgumentException(
       s"ArrowIpc.write: unsupported Spark type $other for column $name")
@@ -444,6 +448,11 @@ object ArrowIpc {
         val inst = row.getAs[java.sql.Timestamp](c).toInstant
         x.setSafe(i, Math.addExact(Math.multiplyExact(inst.getEpochSecond, 1000000L),
           inst.getNano / 1000L))
+      case x: TimeStampMicroVector => // NTZ: wall-clock micros, no zone
+        val ldt = row.getAs[java.time.LocalDateTime](c)
+        x.setSafe(i, Math.addExact(Math.multiplyExact(
+          ldt.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L),
+          ldt.getNano / 1000L))
       case x: DateDayVector =>
         x.setSafe(i, row.getAs[java.sql.Date](c).toLocalDate.toEpochDay.toInt)
       case other => throw new IllegalArgumentException(
@@ -462,6 +471,7 @@ object ArrowIpc {
     case x: Float4Vector => x.setNull(i)
     case x: Float8Vector => x.setNull(i)
     case x: TimeStampMicroTZVector => x.setNull(i)
+    case x: TimeStampMicroVector => x.setNull(i)
     case x: DateDayVector => x.setNull(i)
     case _ => throw new IllegalArgumentException("unsupported null vector")
   }

@@ -181,6 +181,27 @@ class ArrowIpcSpec extends SparkSpec {
     assert(ArrowIpc.crsOf(outPart) == srcCrs && srcCrs.isDefined)
   }
 
+  test("write: naive (NTZ) timestamps round-trip as wall-clock, no zone tag") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ipc_ntz").toString
+    val df = spark.range(0, 20, 1, 2).select(col("id"),
+      when(col("id") % 4 =!= 0,
+        to_timestamp_ntz(lit("2026-08-17 12:34:56.000789"))).as("naive"))
+    ArrowIpc.write(df, dir)
+    val parts = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".arrow"))
+    val back = ArrowIpc.read(spark, parts.map(_.getPath).toIndexedSeq: _*)
+    // schema keeps the NTZ type (a zone-tagged write would shift values by
+    // the session-zone offset vs polars/pandas semantics)
+    assert(back.schema("naive").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val got = back.orderBy("id").collect()
+    df.orderBy("id").collect().zip(got).foreach { case (x, y) =>
+      assert(x.isNullAt(1) == y.isNullAt(1))
+      if (!x.isNullAt(1))
+        assert(x.getAs[java.time.LocalDateTime](1) == y.getAs[java.time.LocalDateTime](1))
+    }
+  }
+
   test("nybb.arrow: uint8 widens losslessly; multiple files union by schema") {
     val nybb = ArrowIpc.read(spark, s"$RefDatasets/nybb.arrow")
     assert(nybb.count() == 5)
