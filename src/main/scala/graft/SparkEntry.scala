@@ -713,6 +713,21 @@ object SparkEntry {
         (st_x(prj) === st_x(ps) && st_y(prj) === st_y(ps)).as("pj_eq"))
     }),
 
+    "q_sterea" -> ((s, dir) => {
+      // EPSG:28992 (RD New — Oblique/double Stereographic, EPSG method
+      // 9809) over the European window. The oracle recomputes the EPSG
+      // GN7-2 Gauss-sphere closed form in DuckDB with INDEPENDENTLY derived
+      // constants (R, n, c, chi0 computed outside the Scala); the
+      // implementation is pinned to GN7-2's published Amersfoort sample in
+      // ProjSpec (53N 6E -> E 196105.283, N 557057.739, <1 mm).
+      val p = custPoints(s, dir)
+        .filter(col("lat") > 34 && col("lat") < 58 && col("lon") > -10 && col("lon") < 40)
+      val prj = st_transform(st_point(col("lon"), col("lat")), lit(4326), lit(28992))
+      p.select(col("custkey"),
+        round(st_x(prj), 3).as("rx"),
+        round(st_y(prj), 3).as("ry"))
+    }),
+
     // ============ structure / pipeline invariants with literal oracles ======
     "q_explode" -> ((s, dir) => {
       // st_dump over a MultiPolygon (union of two disjoint boxes) -> one row
@@ -1896,6 +1911,25 @@ object SparkEntry {
          | round(rho * sin(wlam), 3) AS px,
          | round(-rho * cos(wlam), 3) AS py
          |FROM g JOIN wg ON g.custkey = wg.custkey""".stripMargin,
+
+    "q_sterea" ->
+      s"""WITH p AS (SELECT custkey, lat, lon FROM ($custPointsSql)
+         |   WHERE lat > 34 AND lat < 58 AND lon > -10 AND lon < 40),
+         | c AS (SELECT custkey,
+         |   6382644.571035366 AS r, 1.0004758566842447 AS nn,
+         |   1.0075764649228895 AS cc,
+         |   0.7893102212553775 AS sc0, 0.6139946047171645 AS cc0,
+         |   0.09403203751960007 AS lam0, 0.08169683122252751 AS e,
+         |   radians(lat) AS phi, radians(lon) AS lam FROM p),
+         | w AS (SELECT *, cc * power(((1.0+sin(phi))/(1.0-sin(phi)))
+         |   * power((1.0-e*sin(phi))/(1.0+e*sin(phi)), e), nn) AS ww FROM c),
+         | x AS (SELECT *, asin((ww-1.0)/(ww+1.0)) AS chi,
+         |   nn*(lam - lam0) AS dl FROM w),
+         | b AS (SELECT *, 1.0 + sin(chi)*sc0 + cos(chi)*cc0*cos(dl) AS bb FROM x)
+         |SELECT custkey,
+         | round(155000.0 + 2.0*r*CAST(0.9999079 AS DOUBLE)*cos(chi)*sin(dl)/bb, 3) AS rx,
+         | round(463000.0 + 2.0*r*CAST(0.9999079 AS DOUBLE)*(sin(chi)*cc0 - cos(chi)*sc0*cos(dl))/bb, 3) AS ry
+         |FROM b""".stripMargin,
 
     "q_stere" ->
       s"""WITH p AS (SELECT custkey, lat, lon FROM ($custPointsSql) WHERE lat > 34),

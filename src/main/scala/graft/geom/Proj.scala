@@ -367,13 +367,101 @@ object Proj {
     else (wrap(lon0Deg - math.toDegrees(lam)), -math.toDegrees(phi))
   }
 
+  // ------ Oblique ("double") Stereographic (EPSG method 9809; +proj=sterea)
+  //
+  // The Gauss conformal-sphere construction from EPSG Guidance Note 7-2:
+  // ellipsoid -> conformal sphere of radius R = sqrt(rho0*nu0) at the
+  // origin, then spherical stereographic on that sphere. This is the RD New
+  // (Amersfoort, EPSG:28992) method — distinct from the polar +proj=stere
+  // family above AND from Snyder's single-projection oblique form.
+
+  private final case class GaussSphere(R: Double, n: Double, c: Double,
+                                       chi0: Double, lam0: Double)
+
+  private def gaussSphere(ell: Ellipsoid, lat0Deg: Double, lon0Deg: Double): GaussSphere = {
+    val e = ell.e; val e2 = ell.e2
+    val phi0 = math.toRadians(lat0Deg)
+    val s0 = math.sin(phi0)
+    val rho0 = ell.a * (1 - e2) / math.pow(1 - e2 * s0 * s0, 1.5)
+    val nu0 = ell.a / math.sqrt(1 - e2 * s0 * s0)
+    val bigR = math.sqrt(rho0 * nu0)
+    val n = math.sqrt(1 + e2 * math.pow(math.cos(phi0), 4) / (1 - e2))
+    val s1 = (1 + s0) / (1 - s0)
+    val s2 = (1 - e * s0) / (1 + e * s0)
+    val w1 = math.pow(s1 * math.pow(s2, e), n)
+    val sinChi00 = (w1 - 1) / (w1 + 1)
+    val c = (n + s0) * (1 - sinChi00) / ((n - s0) * (1 + sinChi00))
+    val w2 = c * w1
+    val chi0 = math.asin((w2 - 1) / (w2 + 1))
+    GaussSphere(bigR, n, c, chi0, math.toRadians(lon0Deg))
+  }
+
+  /** Oblique Stereographic forward (GN 7-2 formulas, method 9809). */
+  def stereaForward(ell: Ellipsoid, lonDeg: Double, latDeg: Double,
+                    lat0Deg: Double, lon0Deg: Double, k0: Double,
+                    fe: Double, fn: Double): (Double, Double) = {
+    val g = gaussSphere(ell, lat0Deg, lon0Deg)
+    val phi = math.toRadians(latDeg)
+    val s = math.sin(phi)
+    val sa = (1 + s) / (1 - s)
+    val sb = (1 - ell.e * s) / (1 + ell.e * s)
+    val w = g.c * math.pow(sa * math.pow(sb, ell.e), g.n)
+    val chi = math.asin((w - 1) / (w + 1))
+    val dLam = g.n * (math.toRadians(lonDeg) - g.lam0)
+    val b = 1 + math.sin(chi) * math.sin(g.chi0) +
+      math.cos(chi) * math.cos(g.chi0) * math.cos(dLam)
+    val x = fe + 2 * g.R * k0 * math.cos(chi) * math.sin(dLam) / b
+    val y = fn + 2 * g.R * k0 * (math.sin(chi) * math.cos(g.chi0) -
+      math.cos(chi) * math.sin(g.chi0) * math.cos(dLam)) / b
+    (x, y)
+  }
+
+  /** Oblique Stereographic inverse (GN 7-2: sphere inverse, then the
+   *  isometric-latitude fixed point back to the ellipsoid). */
+  def stereaInverse(ell: Ellipsoid, x0: Double, y0: Double,
+                    lat0Deg: Double, lon0Deg: Double, k0: Double,
+                    fe: Double, fn: Double): (Double, Double) = {
+    val gs = gaussSphere(ell, lat0Deg, lon0Deg)
+    val x = x0 - fe; val y = y0 - fn
+    val rk = 2 * gs.R * k0
+    val g = rk * math.tan(math.Pi / 4 - gs.chi0 / 2)
+    val h = 2 * rk * math.tan(gs.chi0) + g
+    val i = math.atan2(x, h + y)
+    val j = math.atan2(x, g - y) - i
+    val chi = gs.chi0 + 2 * math.atan((y - x * math.tan(j / 2)) / rk)
+    val dLam = j + 2 * i
+    val lam = dLam / gs.n + gs.lam0
+    // conformal-sphere latitude -> ellipsoid latitude via the isometric
+    // latitude psi (GN 7-2's iteration; converges at ~e^2 per step)
+    val psi = 0.5 * math.log((1 + math.sin(chi)) / (gs.c * (1 - math.sin(chi)))) / gs.n
+    var phi = 2 * math.atan(math.exp(psi)) - math.Pi / 2
+    var it = 0
+    while (it < 6) {
+      val s = ell.e * math.sin(phi)
+      val psiI = math.log(math.tan(phi / 2 + math.Pi / 4) *
+        math.pow((1 - s) / (1 + s), ell.e / 2))
+      val dPhi = -(psiI - psi) * math.cos(phi) * (1 - s * s) / (1 - ell.e2)
+      phi += dPhi
+      if (math.abs(dPhi) < 1e-15) it = 6
+      it += 1
+    }
+    (math.toDegrees(lam), math.toDegrees(phi))
+  }
+
+  /** Bessel 1841 — the RD New (EPSG:28992) ellipsoid. */
+  val Bessel: Ellipsoid = Ellipsoid(6377397.155, 1.0 / 299.1528128)
+
+  /** RD New (Amersfoort) natural origin: 52°09'22.178"N, 5°23'15.500"E. */
+  private val Rd0: (Double, Double) =
+    (52.0 + 9.0 / 60 + 22.178 / 3600, 5.0 + 23.0 / 60 + 15.500 / 3600)
+
   /** EPSG code of the WGS84 UTM zone containing a point. */
   def utmSrid(latDeg: Double, lonDeg: Double): Int =
     (if (latDeg >= 0) 32600 else 32700) + utmZone(lonDeg)
 
   def isSupported(srid: Int): Boolean =
     srid == 4326 || srid == 3857 || srid == 3035 ||
-      srid == 3413 || srid == 3031 ||
+      srid == 3413 || srid == 3031 || srid == 28992 ||
       (srid > 32600 && srid <= 32660) || (srid > 32700 && srid <= 32760)
 
   /** EPSG:3413 (NSIDC Sea Ice Polar Stereographic North: lat_ts=70,
@@ -393,13 +481,15 @@ object Proj {
     case 3035 => laeaInverse(Grs80, x, y, 52.0, 10.0, 4321000.0, 3210000.0)
     case 3413 => stereInverse(Wgs84, x, y, 90.0, -45.0, K3413, 0.0, 0.0)
     case 3031 => stereInverse(Wgs84, x, y, -90.0, 0.0, K3031, 0.0, 0.0)
+    case 28992 => stereaInverse(Bessel, x, y, Rd0._1, Rd0._2, 0.9999079,
+      155000.0, 463000.0)
     case z if z > 32600 && z <= 32660 =>
       tmInverse(Wgs84, x, y, (z - 32600) * 6.0 - 183.0, UtmK0, 500000.0, 0.0)
     case z if z > 32700 && z <= 32760 =>
       tmInverse(Wgs84, x, y, (z - 32700) * 6.0 - 183.0, UtmK0, 500000.0, 10000000.0)
     case other =>
       throw new IllegalArgumentException(s"st_transform: unsupported CRS $other " +
-        "(supported: 4326, 3857, 3035, 3413, 3031, 326xx/327xx UTM)")
+        "(supported: 4326, 3857, 3035, 3413, 3031, 28992, 326xx/327xx UTM)")
   }
 
   /** lon/lat degrees -> projected CRS. Identity for 4326. */
@@ -411,12 +501,14 @@ object Proj {
     case 3035 => laeaForward(Grs80, lon, lat, 52.0, 10.0, 4321000.0, 3210000.0)
     case 3413 => stereForward(Wgs84, lon, lat, 90.0, -45.0, K3413, 0.0, 0.0)
     case 3031 => stereForward(Wgs84, lon, lat, -90.0, 0.0, K3031, 0.0, 0.0)
+    case 28992 => stereaForward(Bessel, lon, lat, Rd0._1, Rd0._2, 0.9999079,
+      155000.0, 463000.0)
     case z if z > 32600 && z <= 32660 =>
       tmForward(Wgs84, lon, lat, (z - 32600) * 6.0 - 183.0, UtmK0, 500000.0, 0.0)
     case z if z > 32700 && z <= 32760 =>
       tmForward(Wgs84, lon, lat, (z - 32700) * 6.0 - 183.0, UtmK0, 500000.0, 10000000.0)
     case other =>
       throw new IllegalArgumentException(s"st_transform: unsupported CRS $other " +
-        "(supported: 4326, 3857, 3035, 3413, 3031, 326xx/327xx UTM)")
+        "(supported: 4326, 3857, 3035, 3413, 3031, 28992, 326xx/327xx UTM)")
   }
 }

@@ -158,6 +158,10 @@ object ProjString {
         // all aspects: oblique/equatorial (Snyder 24-17..24-20) and the
         // polar forms (24-23..24-25), selected inside Proj.laeaForward
         Spec(proj, ell, lat0, lon0, k0, x0, y0, 0, 0)
+      case "sterea" =>
+        // Oblique ("double") Stereographic, EPSG method 9809 — the Gauss
+        // conformal-sphere construction (RD New / EPSG:28992). Any aspect.
+        Spec(proj, ell, lat0, lon0, k0, x0, y0, 0, 0)
       case "stere" =>
         // POLAR aspects only (Snyder 21-30..21-39; EPSG 9810/9829 — the
         // EPSG:3413/3031 family). The oblique/equatorial ellipsoidal
@@ -280,14 +284,16 @@ object ProjString {
     1024 -> "webmerc", // Popular Visualisation Pseudo Mercator
     9820 -> "laea",  // Lambert Azimuthal Equal Area
     9810 -> "stere", // Polar Stereographic (variant A)
-    9829 -> "stere") // Polar Stereographic (variant B)
+    9829 -> "stere", // Polar Stereographic (variant B)
+    9809 -> "sterea") // Oblique Stereographic (Gauss double)
   private val projJsonMethodNames: Map[String, String] = Map(
     "transverse mercator" -> "tmerc",
     "mercator (variant a)" -> "merc",
     "popular visualisation pseudo mercator" -> "webmerc",
     "lambert azimuthal equal area" -> "laea",
     "polar stereographic (variant a)" -> "stere",
-    "polar stereographic (variant b)" -> "stere")
+    "polar stereographic (variant b)" -> "stere",
+    "oblique stereographic" -> "sterea")
 
   private def parseProjJson(raw: String): Spec = {
     def fail(why: String): Nothing =
@@ -395,6 +401,9 @@ object ProjString {
     case "stere" =>
       Proj.stereForward(spec.ell, lon, lat, spec.lat0, spec.lon0, spec.k0,
         spec.x0, spec.y0)
+    case "sterea" =>
+      Proj.stereaForward(spec.ell, lon, lat, spec.lat0, spec.lon0, spec.k0,
+        spec.x0, spec.y0)
   }
 
   def toLonLat(spec: Spec, x: Double, y: Double): (Double, Double) = spec.proj match {
@@ -406,6 +415,9 @@ object ProjString {
     case "laea" => Proj.laeaInverse(spec.ell, x, y, spec.lat0, spec.lon0, spec.x0, spec.y0)
     case "stere" =>
       Proj.stereInverse(spec.ell, x, y, spec.lat0, spec.lon0, spec.k0,
+        spec.x0, spec.y0)
+    case "sterea" =>
+      Proj.stereaInverse(spec.ell, x, y, spec.lat0, spec.lon0, spec.k0,
         spec.x0, spec.y0)
   }
 }

@@ -449,4 +449,43 @@ class ProjSpec extends AnyFunSuite {
     val (jx, jy) = ProjString.fromLonLat(specJ, 133.0, 80.0)
     assert(jx == ex && jy == ey, s"PROJJSON ($jx,$jy) != EPSG ($ex,$ey)")
   }
+
+  test("oblique (double) stereographic: EPSG GN7-2's published RD New sample, " +
+    "EPSG:28992 roundtrips, proj-string sterea (r5)") {
+    import graft.geom.{Proj, ProjString}
+    // EPSG Guidance Note 7-2, Oblique Stereographic (method 9809) worked
+    // example — Amersfoort / RD New on Bessel 1841: natural origin
+    // 52°09'22.178"N 5°23'15.500"E, k0=0.9999079, FE=155000, FN=463000;
+    // input 53°N 6°E -> E 196105.283, N 557057.739
+    val lat0 = 52.0 + 9.0 / 60 + 22.178 / 3600
+    val lon0 = 5.0 + 23.0 / 60 + 15.500 / 3600
+    val (e1, n1) = Proj.stereaForward(Proj.Bessel, 6.0, 53.0, lat0, lon0,
+      0.9999079, 155000.0, 463000.0)
+    assert(math.abs(e1 - 196105.283) < 0.001, s"E=$e1")
+    assert(math.abs(n1 - 557057.739) < 0.001, s"N=$n1")
+    val (lo1, la1) = Proj.stereaInverse(Proj.Bessel, e1, n1, lat0, lon0,
+      0.9999079, 155000.0, 463000.0)
+    assert(math.abs(lo1 - 6.0) < 1e-9 && math.abs(la1 - 53.0) < 1e-9, s"$lo1 $la1")
+
+    // EPSG:28992 integer-code path over the Dutch window
+    for (la <- Seq(50.8, 52.2, 53.4); lo <- Seq(3.5, 5.4, 7.1)) {
+      val (px, py) = Proj.fromLonLat(28992, lo, la)
+      val (lo2, la2) = Proj.toLonLat(28992, px, py)
+      assert(math.abs(lo2 - lo) < 1e-9 && math.abs(la2 - la) < 1e-9, s"$lo $la")
+    }
+    // origin maps to the false origin; scale at origin is k0 (conformal)
+    val (ox, oy) = Proj.fromLonLat(28992, lon0, lat0)
+    assert(math.abs(ox - 155000.0) < 1e-6 && math.abs(oy - 463000.0) < 1e-6)
+
+    // +proj=sterea bit-equals the EPSG-code path (shortest-repr params
+    // parse back to the identical doubles)
+    val spec = ProjString.parse(
+      s"+proj=sterea +lat_0=$lat0 +lon_0=$lon0 " +
+        "+k_0=0.9999079 +x_0=155000 +y_0=463000 +ellps=bessel +units=m +no_defs")
+    val (sx, sy) = ProjString.fromLonLat(spec, 5.9, 52.5)
+    val (ex2, ey2) = Proj.fromLonLat(28992, 5.9, 52.5)
+    assert(sx == ex2 && sy == ey2, s"($sx,$sy) != ($ex2,$ey2)")
+    val (bl, bb) = ProjString.toLonLat(spec, sx, sy)
+    assert(math.abs(bl - 5.9) < 1e-9 && math.abs(bb - 52.5) < 1e-9)
+  }
 }
