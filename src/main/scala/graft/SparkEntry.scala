@@ -713,6 +713,21 @@ object SparkEntry {
         (st_x(prj) === st_x(ps) && st_y(prj) === st_y(ps)).as("pj_eq"))
     }),
 
+    "q_lcc" -> ((s, dir) => {
+      // EPSG:2154 (RGF93 / Lambert-93 — Lambert Conformal Conic 2SP, EPSG
+      // method 9802) over the European window. The oracle recomputes the
+      // Snyder §15 closed form in DuckDB with INDEPENDENTLY derived cone
+      // constants (n, a·F, rho0 computed outside the Scala); the
+      // implementation is pinned to Snyder's published Appendix-A sample in
+      // ProjSpec (35N 75W on Clarke 1866 -> x=1894410.9, y=1564649.5).
+      val p = custPoints(s, dir)
+        .filter(col("lat") > 34 && col("lat") < 58 && col("lon") > -10 && col("lon") < 40)
+      val prj = st_transform(st_point(col("lon"), col("lat")), lit(4326), lit(2154))
+      p.select(col("custkey"),
+        round(st_x(prj), 3).as("lx"),
+        round(st_y(prj), 3).as("ly"))
+    }),
+
     "q_sterea" -> ((s, dir) => {
       // EPSG:28992 (RD New — Oblique/double Stereographic, EPSG method
       // 9809) over the European window. The oracle recomputes the EPSG
@@ -1911,6 +1926,21 @@ object SparkEntry {
          | round(rho * sin(wlam), 3) AS px,
          | round(-rho * cos(wlam), 3) AS py
          |FROM g JOIN wg ON g.custkey = wg.custkey""".stripMargin,
+
+    "q_lcc" ->
+      s"""WITH p AS (SELECT custkey, lat, lon FROM ($custPointsSql)
+         |   WHERE lat > 34 AND lat < 58 AND lon > -10 AND lon < 40),
+         | c AS (SELECT custkey,
+         |   0.7256077650532695 AS nn, 11754255.426096004 AS af,
+         |   6055612.049875985 AS rho0, 0.08181919104281579 AS e,
+         |   radians(lat) AS phi, radians(lon - 3.0) AS dlam FROM p),
+         | t AS (SELECT *, tan(pi()/4.0 - phi/2.0)
+         |   * power((1.0 + e*sin(phi))/(1.0 - e*sin(phi)), e/2.0) AS tt FROM c),
+         | g AS (SELECT *, af * power(tt, nn) AS rho, nn * dlam AS th FROM t)
+         |SELECT custkey,
+         | round(700000.0 + rho * sin(th), 3) AS lx,
+         | round(6600000.0 + rho0 - rho * cos(th), 3) AS ly
+         |FROM g""".stripMargin,
 
     "q_sterea" ->
       s"""WITH p AS (SELECT custkey, lat, lon FROM ($custPointsSql)

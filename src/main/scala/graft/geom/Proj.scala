@@ -340,22 +340,7 @@ object Proj {
     val rho = math.hypot(x, y)
     if (rho < 1e-12) return (lon0Deg, lat0Deg)
     val t = rho * stereC(ell) / (2 * ell.a * k0)
-    val chi = math.Pi / 2 - 2 * math.atan(t)
-    // conformal -> geodetic: O(e^8) trig series (Snyder eq. 3-5) ...
-    val e2 = ell.e2; val e4 = e2 * e2; val e6 = e4 * e2; val e8 = e6 * e2
-    var phi = chi +
-      (e2 / 2 + 5 * e4 / 24 + e6 / 12 + 13 * e8 / 360) * math.sin(2 * chi) +
-      (7 * e4 / 48 + 29 * e6 / 240 + 811 * e8 / 11520) * math.sin(4 * chi) +
-      (7 * e6 / 120 + 81 * e8 / 1120) * math.sin(6 * chi) +
-      (4279 * e8 / 161280) * math.sin(8 * chi)
-    // ... then two Snyder 7-9 fixed-point steps (contraction ~e², so the
-    // series' ~1e-10 residual drops below a ulp)
-    var it = 0
-    while (it < 2) {
-      val s = ell.e * math.sin(phi)
-      phi = math.Pi / 2 - 2 * math.atan(t * math.pow((1 - s) / (1 + s), ell.e / 2))
-      it += 1
-    }
+    val phi = geodeticFromT(ell, t)
     val lam = math.atan2(x, -y)
     // lon0 +- lam can leave (-180, 180] (Snyder's own example: -100 - 110 =
     // -210 for a point at 150E) — normalize like PROJ does
@@ -365,6 +350,75 @@ object Proj {
     }
     if (north) (wrap(lon0Deg + math.toDegrees(lam)), math.toDegrees(phi))
     else (wrap(lon0Deg - math.toDegrees(lam)), -math.toDegrees(phi))
+  }
+
+  /** Invert Snyder's t (eq. 15-9) -> geodetic latitude in radians:
+   *  O(e^8) trig series from the conformal latitude (Snyder eq. 3-5), then
+   *  two Snyder 7-9 fixed-point steps (contraction ~e², so the series'
+   *  ~1e-10 residual drops below a ulp). Shared by the polar-stereographic
+   *  and Lambert-conformal inverses. */
+  def geodeticFromT(ell: Ellipsoid, t: Double): Double = {
+    val chi = math.Pi / 2 - 2 * math.atan(t)
+    val e2 = ell.e2; val e4 = e2 * e2; val e6 = e4 * e2; val e8 = e6 * e2
+    var phi = chi +
+      (e2 / 2 + 5 * e4 / 24 + e6 / 12 + 13 * e8 / 360) * math.sin(2 * chi) +
+      (7 * e4 / 48 + 29 * e6 / 240 + 811 * e8 / 11520) * math.sin(4 * chi) +
+      (7 * e6 / 120 + 81 * e8 / 1120) * math.sin(6 * chi) +
+      (4279 * e8 / 161280) * math.sin(8 * chi)
+    var it = 0
+    while (it < 2) {
+      val s = ell.e * math.sin(phi)
+      phi = math.Pi / 2 - 2 * math.atan(t * math.pow((1 - s) / (1 + s), ell.e / 2))
+      it += 1
+    }
+    phi
+  }
+
+  // ------ Lambert Conformal Conic, 2SP (Snyder §15; EPSG method 9802) ------
+
+  /** LCC 2SP forward (Snyder eq. 15-1..15-10): standard parallels lat1/lat2,
+   *  false origin (lat0, lon0), eastings/northings fe/fn. */
+  def lccForward(ell: Ellipsoid, lonDeg: Double, latDeg: Double,
+                 lat0Deg: Double, lon0Deg: Double,
+                 lat1Deg: Double, lat2Deg: Double,
+                 fe: Double, fn: Double): (Double, Double) = {
+    val p1 = math.toRadians(lat1Deg); val p2 = math.toRadians(lat2Deg)
+    val m1 = mFactor(ell, p1); val t1 = conformalT(ell, p1)
+    val n =
+      if (math.abs(lat1Deg - lat2Deg) < 1e-12) math.sin(p1) // 1SP limit
+      else (math.log(m1) - math.log(mFactor(ell, p2))) /
+        (math.log(t1) - math.log(conformalT(ell, p2)))
+    val f = m1 / (n * math.pow(t1, n))
+    val rho0 = ell.a * f * math.pow(conformalT(ell, math.toRadians(lat0Deg)), n)
+    val rho = ell.a * f * math.pow(conformalT(ell, math.toRadians(latDeg)), n)
+    val th = n * math.toRadians(lonDeg - lon0Deg)
+    (fe + rho * math.sin(th), fn + rho0 - rho * math.cos(th))
+  }
+
+  /** LCC 2SP inverse (Snyder eq. 15-11/14-11: rho' = sign(n)·hypot, then the
+   *  shared t-inverse). */
+  def lccInverse(ell: Ellipsoid, x0: Double, y0: Double,
+                 lat0Deg: Double, lon0Deg: Double,
+                 lat1Deg: Double, lat2Deg: Double,
+                 fe: Double, fn: Double): (Double, Double) = {
+    val p1 = math.toRadians(lat1Deg); val p2 = math.toRadians(lat2Deg)
+    val m1 = mFactor(ell, p1); val t1 = conformalT(ell, p1)
+    val n =
+      if (math.abs(lat1Deg - lat2Deg) < 1e-12) math.sin(p1)
+      else (math.log(m1) - math.log(mFactor(ell, p2))) /
+        (math.log(t1) - math.log(conformalT(ell, p2)))
+    val f = m1 / (n * math.pow(t1, n))
+    val rho0 = ell.a * f * math.pow(conformalT(ell, math.toRadians(lat0Deg)), n)
+    val x = x0 - fe; val y = rho0 - (y0 - fn)
+    val sgn = if (n >= 0) 1.0 else -1.0
+    val rho = sgn * math.hypot(x, y)
+    if (math.abs(rho) < 1e-12) {
+      // the cone apex: latitude is the pole of the cone's hemisphere
+      return (lon0Deg, if (n >= 0) 90.0 else -90.0)
+    }
+    val th = math.atan2(sgn * x, sgn * y)
+    val t = math.pow(rho / (ell.a * f), 1.0 / n)
+    (lon0Deg + math.toDegrees(th / n), math.toDegrees(geodeticFromT(ell, t)))
   }
 
   // ------ Oblique ("double") Stereographic (EPSG method 9809; +proj=sterea)
@@ -461,7 +515,7 @@ object Proj {
 
   def isSupported(srid: Int): Boolean =
     srid == 4326 || srid == 3857 || srid == 3035 ||
-      srid == 3413 || srid == 3031 || srid == 28992 ||
+      srid == 3413 || srid == 3031 || srid == 28992 || srid == 2154 ||
       (srid > 32600 && srid <= 32660) || (srid > 32700 && srid <= 32760)
 
   /** EPSG:3413 (NSIDC Sea Ice Polar Stereographic North: lat_ts=70,
@@ -483,13 +537,14 @@ object Proj {
     case 3031 => stereInverse(Wgs84, x, y, -90.0, 0.0, K3031, 0.0, 0.0)
     case 28992 => stereaInverse(Bessel, x, y, Rd0._1, Rd0._2, 0.9999079,
       155000.0, 463000.0)
+    case 2154 => lccInverse(Grs80, x, y, 46.5, 3.0, 44.0, 49.0, 700000.0, 6600000.0)
     case z if z > 32600 && z <= 32660 =>
       tmInverse(Wgs84, x, y, (z - 32600) * 6.0 - 183.0, UtmK0, 500000.0, 0.0)
     case z if z > 32700 && z <= 32760 =>
       tmInverse(Wgs84, x, y, (z - 32700) * 6.0 - 183.0, UtmK0, 500000.0, 10000000.0)
     case other =>
       throw new IllegalArgumentException(s"st_transform: unsupported CRS $other " +
-        "(supported: 4326, 3857, 3035, 3413, 3031, 28992, 326xx/327xx UTM)")
+        "(supported: 4326, 3857, 3035, 3413, 3031, 28992, 2154, 326xx/327xx UTM)")
   }
 
   /** lon/lat degrees -> projected CRS. Identity for 4326. */
@@ -503,12 +558,13 @@ object Proj {
     case 3031 => stereForward(Wgs84, lon, lat, -90.0, 0.0, K3031, 0.0, 0.0)
     case 28992 => stereaForward(Bessel, lon, lat, Rd0._1, Rd0._2, 0.9999079,
       155000.0, 463000.0)
+    case 2154 => lccForward(Grs80, lon, lat, 46.5, 3.0, 44.0, 49.0, 700000.0, 6600000.0)
     case z if z > 32600 && z <= 32660 =>
       tmForward(Wgs84, lon, lat, (z - 32600) * 6.0 - 183.0, UtmK0, 500000.0, 0.0)
     case z if z > 32700 && z <= 32760 =>
       tmForward(Wgs84, lon, lat, (z - 32700) * 6.0 - 183.0, UtmK0, 500000.0, 10000000.0)
     case other =>
       throw new IllegalArgumentException(s"st_transform: unsupported CRS $other " +
-        "(supported: 4326, 3857, 3035, 3413, 3031, 28992, 326xx/327xx UTM)")
+        "(supported: 4326, 3857, 3035, 3413, 3031, 28992, 2154, 326xx/327xx UTM)")
   }
 }

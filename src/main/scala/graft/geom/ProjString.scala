@@ -48,7 +48,9 @@ object ProjString {
                         lat0: Double, lon0: Double, k0: Double,
                         x0: Double, y0: Double, srid: Int,
                         /** rectifying-northing of lat_0 (tmerc origin shift) */
-                        tmRefY: Double)
+                        tmRefY: Double,
+                        /** standard parallels (lcc 2SP) */
+                        lat1: Double = 0.0, lat2: Double = 0.0)
 
   // parse results are tiny and the distinct strings per job are few (they
   // arrive as column literals); cap the cache against adversarial cardinality
@@ -92,8 +94,8 @@ object ProjString {
       kv += (if (i < 0) (t, "") else (t.take(i), t.drop(i + 1)))
     }
     val known = Set("proj", "ellps", "datum", "a", "b", "rf", "f", "R",
-      "lat_0", "lon_0", "lat_ts", "k", "k_0", "x_0", "y_0", "units", "no_defs",
-      "towgs84", "type")
+      "lat_0", "lon_0", "lat_ts", "lat_1", "lat_2", "k", "k_0", "x_0", "y_0",
+      "units", "no_defs", "towgs84", "type")
     kv.keys.find(!known.contains(_)).foreach(k => fail(s, s"unknown parameter +$k"))
     kv.get("units").filter(_ != "m").foreach(u => fail(s, s"unsupported units $u"))
     kv.get("datum").filter(_ != "WGS84").foreach(d => fail(s, s"unsupported datum $d"))
@@ -139,12 +141,19 @@ object ProjString {
         Proj.stereK0FromTs(ell, num("lat_ts", 90.0))
       } else k0
 
-    mkSpec(s, proj, ell, lat0, lon0, k0eff, x0, y0)
+    if (kv.contains("lat_1") || kv.contains("lat_2")) {
+      if (proj != "lcc") fail(s, "+lat_1/+lat_2 are only supported for +proj=lcc")
+      if (!(kv.contains("lat_1") && kv.contains("lat_2")))
+        fail(s, "+proj=lcc needs BOTH +lat_1 and +lat_2 (2SP form, EPSG 9802)")
+    }
+    mkSpec(s, proj, ell, lat0, lon0, k0eff, x0, y0,
+      num("lat_1", 0.0), num("lat_2", 0.0))
   }
 
   private def mkSpec(s: String, proj: String, ell: Proj.Ellipsoid,
                      lat0: Double, lon0: Double, k0: Double,
-                     x0: Double, y0: Double): Spec =
+                     x0: Double, y0: Double,
+                     lat1: Double = 0.0, lat2: Double = 0.0): Spec =
     proj match {
       case "longlat" => Spec(proj, ell, lat0, lon0, k0, x0, y0, 0, 0)
       case "merc" => Spec(proj, ell, lat0, lon0, k0, x0, y0, 0, 0)
@@ -162,6 +171,14 @@ object ProjString {
         // Oblique ("double") Stereographic, EPSG method 9809 — the Gauss
         // conformal-sphere construction (RD New / EPSG:28992). Any aspect.
         Spec(proj, ell, lat0, lon0, k0, x0, y0, 0, 0)
+      case "lcc" =>
+        // Lambert Conformal Conic 2SP (Snyder §15; EPSG 9802 — Lambert-93,
+        // US State Plane). The 1SP (9801) k0 parameterization is not
+        // implemented; passing equal standard parallels gives its tangent
+        // cone with k0 = 1.
+        if (lat1 == 0.0 && lat2 == 0.0)
+          fail(s, "+proj=lcc needs +lat_1/+lat_2 (2SP form)")
+        Spec(proj, ell, lat0, lon0, k0, x0, y0, 0, 0, lat1, lat2)
       case "stere" =>
         // POLAR aspects only (Snyder 21-30..21-39; EPSG 9810/9829 — the
         // EPSG:3413/3031 family). The oblique/equatorial ellipsoidal
@@ -285,7 +302,8 @@ object ProjString {
     9820 -> "laea",  // Lambert Azimuthal Equal Area
     9810 -> "stere", // Polar Stereographic (variant A)
     9829 -> "stere", // Polar Stereographic (variant B)
-    9809 -> "sterea") // Oblique Stereographic (Gauss double)
+    9809 -> "sterea", // Oblique Stereographic (Gauss double)
+    9802 -> "lcc")   // Lambert Conic Conformal (2SP)
   private val projJsonMethodNames: Map[String, String] = Map(
     "transverse mercator" -> "tmerc",
     "mercator (variant a)" -> "merc",
@@ -293,7 +311,8 @@ object ProjString {
     "lambert azimuthal equal area" -> "laea",
     "polar stereographic (variant a)" -> "stere",
     "polar stereographic (variant b)" -> "stere",
-    "oblique stereographic" -> "sterea")
+    "oblique stereographic" -> "sterea",
+    "lambert conic conformal (2sp)" -> "lcc")
 
   private def parseProjJson(raw: String): Spec = {
     def fail(why: String): Nothing =
@@ -344,6 +363,7 @@ object ProjString {
           .getOrElse(fail(s"unsupported conversion method ${method.get("name")}"))
         var lat0 = 0.0; var lon0 = 0.0; var k0 = 1.0; var x0 = 0.0; var y0 = 0.0
         var latTs = Option.empty[Double]
+        var lat1 = 0.0; var lat2 = 0.0
         conv.get("parameters") match {
           case Some(ps: List[Any @unchecked]) => ps.foreach {
             case p: Map[String @unchecked, Any @unchecked] =>
@@ -366,6 +386,13 @@ object ProjString {
                 // Polar Stereographic variant B (EPSG 9829) parameters
                 case Some("latitude of standard parallel") => latTs = Some(v)
                 case Some("longitude of origin") => lon0 = v
+                // LCC 2SP (EPSG 9802) parameters
+                case Some("latitude of false origin") => lat0 = v
+                case Some("longitude of false origin") => lon0 = v
+                case Some("latitude of 1st standard parallel") => lat1 = v
+                case Some("latitude of 2nd standard parallel") => lat2 = v
+                case Some("easting at false origin") => x0 = v
+                case Some("northing at false origin") => y0 = v
                 case Some("false easting") => x0 = v
                 case Some("false northing") => y0 = v
                 case Some(other) => fail(s"unsupported parameter '$other'")
@@ -381,6 +408,15 @@ object ProjString {
           return mkSpec(raw, proj, ell, pole, lon0,
             Proj.stereK0FromTs(ell, latTs.get), x0, y0)
         }
+        // a parameter that the chosen method cannot consume must fail, not
+        // silently drop — a stray standard parallel on a TM conversion means
+        // the document is NOT the projection we'd compute
+        if ((lat1 != 0.0 || lat2 != 0.0) && proj != "lcc")
+          fail(s"standard-parallel parameters are not valid for method '$proj'")
+        if (latTs.isDefined && proj != "stere")
+          fail(s"'Latitude of standard parallel' is not valid for method '$proj'")
+        if (proj == "lcc")
+          return mkSpec(raw, proj, ell, lat0, lon0, k0, x0, y0, lat1, lat2)
         if (proj == "webmerc")
           // pseudo-mercator: spherical formulas on the base semi-major axis
           mkSpec(raw, "merc", Proj.Ellipsoid(ell.a, 0.0), lat0, lon0, k0, x0, y0)
@@ -404,6 +440,9 @@ object ProjString {
     case "sterea" =>
       Proj.stereaForward(spec.ell, lon, lat, spec.lat0, spec.lon0, spec.k0,
         spec.x0, spec.y0)
+    case "lcc" =>
+      Proj.lccForward(spec.ell, lon, lat, spec.lat0, spec.lon0,
+        spec.lat1, spec.lat2, spec.x0, spec.y0)
   }
 
   def toLonLat(spec: Spec, x: Double, y: Double): (Double, Double) = spec.proj match {
@@ -419,5 +458,8 @@ object ProjString {
     case "sterea" =>
       Proj.stereaInverse(spec.ell, x, y, spec.lat0, spec.lon0, spec.k0,
         spec.x0, spec.y0)
+    case "lcc" =>
+      Proj.lccInverse(spec.ell, x, y, spec.lat0, spec.lon0,
+        spec.lat1, spec.lat2, spec.x0, spec.y0)
   }
 }

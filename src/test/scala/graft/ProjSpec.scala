@@ -179,7 +179,9 @@ class ProjSpec extends AnyFunSuite {
       ProjString.parse("+proj=merc +ellps=WGS84 +towgs84=598.1,73.7,418.2"))
     // polar-aspect laea parses since r5 (it used to be a documented refusal)
     assert(ProjString.parse("+proj=laea +lat_0=90 +ellps=WGS84").proj == "laea")
-    intercept[IllegalArgumentException](ProjString.parse("EPSG:2154"))
+    // EPSG:2154 (Lambert-93) parses since r5 session 2 (LCC landed)
+    assert(ProjString.parse("EPSG:2154").srid == 2154)
+    intercept[IllegalArgumentException](ProjString.parse("EPSG:2056"))
     // the zero shift every exported WGS84 string carries is accepted
     assert(ProjString.parse("+proj=merc +ellps=WGS84 +towgs84=0,0,0").proj == "merc")
   }
@@ -362,7 +364,7 @@ class ProjSpec extends AnyFunSuite {
     assert(math.abs(lon - 11.6) < 1e-12 && math.abs(lat - 48.1) < 1e-12)
     assert(Proj.utmSrid(48.1, 11.6) == 32632)
     assert(Proj.utmSrid(-33.9, 18.4) == 32734)
-    intercept[IllegalArgumentException](Proj.toLonLat(2154, 0, 0))
+    intercept[IllegalArgumentException](Proj.toLonLat(2056, 0, 0))
   }
 
   test("polar stereographic: Snyder's published sample, EPSG:3413/3031 " +
@@ -487,5 +489,66 @@ class ProjSpec extends AnyFunSuite {
     assert(sx == ex2 && sy == ey2, s"($sx,$sy) != ($ex2,$ey2)")
     val (bl, bb) = ProjString.toLonLat(spec, sx, sy)
     assert(math.abs(bl - 5.9) < 1e-9 && math.abs(bb - 52.5) < 1e-9)
+  }
+
+  test("Lambert Conformal Conic 2SP: Snyder's published sample, Lambert-93 " +
+    "(EPSG:2154), proj-string + PROJJSON (r5)") {
+    import graft.geom.{Proj, ProjString}
+    // Snyder 1987 Appendix A, ellipsoidal LCC example — Clarke 1866,
+    // standard parallels 33/45, false origin (23N, 96W); point (35N, 75W)
+    // -> x = 1,894,410.9, y = 1,564,649.5
+    val clarke = Proj.Ellipsoid(6378206.4, (6378206.4 - 6356583.8) / 6378206.4)
+    val (x, y) = Proj.lccForward(clarke, -75.0, 35.0, 23.0, -96.0, 33.0, 45.0, 0, 0)
+    assert(math.abs(x - 1894410.9) < 0.1, s"x=$x")
+    assert(math.abs(y - 1564649.5) < 0.1, s"y=$y")
+    val (lo, la) = Proj.lccInverse(clarke, x, y, 23.0, -96.0, 33.0, 45.0, 0, 0)
+    assert(math.abs(lo - -75.0) < 1e-9 && math.abs(la - 35.0) < 1e-9, s"$lo $la")
+
+    // EPSG:2154 (RGF93 / Lambert-93): false origin maps to (700000, 6600000);
+    // round trips over metropolitan France to sub-nm degrees
+    val (ox, oy) = Proj.fromLonLat(2154, 3.0, 46.5)
+    assert(math.abs(ox - 700000.0) < 1e-6 && math.abs(oy - 6600000.0) < 1e-6)
+    for (la2 <- Seq(41.5, 44.0, 46.5, 49.0, 51.0); lo2 <- Seq(-4.5, 3.0, 8.2)) {
+      val (px, py) = Proj.fromLonLat(2154, lo2, la2)
+      val (lo3, la3) = Proj.toLonLat(2154, px, py)
+      assert(math.abs(lo3 - lo2) < 1e-9 && math.abs(la3 - la2) < 1e-9, s"$lo2 $la2")
+    }
+    // conformality: local scale is isotropic (E-W vs N-S scale equal) away
+    // from the parallels too
+    val d = 1e-4
+    val (ax, ay) = Proj.fromLonLat(2154, 2.0, 47.0)
+    val (bx2, by2) = Proj.fromLonLat(2154, 2.0 + d, 47.0)
+    val (cx2, cy2) = Proj.fromLonLat(2154, 2.0, 47.0 + d)
+    val sEW = math.hypot(bx2 - ax, by2 - ay) /
+      (math.toRadians(d) * math.cos(math.toRadians(47.0)) * 6378137.0)
+    val sNS = math.hypot(cx2 - ax, cy2 - ay) / (math.toRadians(d) * 6378137.0)
+    assert(math.abs(sEW / sNS - 1) < 1e-2, s"$sEW vs $sNS") // loose: sphere approx
+
+    // +proj=lcc bit-equals the EPSG-code path; PROJJSON 9802 names too
+    val spec = ProjString.parse(
+      "+proj=lcc +lat_0=46.5 +lon_0=3 +lat_1=44 +lat_2=49 " +
+        "+x_0=700000 +y_0=6600000 +ellps=GRS80 +units=m +no_defs")
+    val (sx, sy) = ProjString.fromLonLat(spec, 2.35, 48.85)
+    val (ex, ey) = Proj.fromLonLat(2154, 2.35, 48.85)
+    assert(sx == ex && sy == ey, s"($sx,$sy) != ($ex,$ey)")
+    val pj =
+      """{"type":"ProjectedCRS","name":"L93-ish",
+        |"base_crs":{"type":"GeographicCRS","datum":{"ellipsoid":
+        |  {"semi_major_axis":6378137,"inverse_flattening":298.257222101}}},
+        |"conversion":{"method":{"name":"Lambert Conic Conformal (2SP)",
+        |  "id":{"authority":"EPSG","code":9802}},
+        | "parameters":[
+        |  {"name":"Latitude of false origin","value":46.5,"unit":"degree"},
+        |  {"name":"Longitude of false origin","value":3,"unit":"degree"},
+        |  {"name":"Latitude of 1st standard parallel","value":44,"unit":"degree"},
+        |  {"name":"Latitude of 2nd standard parallel","value":49,"unit":"degree"},
+        |  {"name":"Easting at false origin","value":700000,"unit":"metre"},
+        |  {"name":"Northing at false origin","value":6600000,"unit":"metre"}]}}""".stripMargin
+    val specJ = ProjString.parse(pj)
+    val (jx, jy) = ProjString.fromLonLat(specJ, 2.35, 48.85)
+    assert(jx == ex && jy == ey, s"PROJJSON ($jx,$jy) != EPSG ($ex,$ey)")
+    // missing parallels fail fast
+    intercept[IllegalArgumentException](ProjString.parse("+proj=lcc +lat_0=46.5"))
+    intercept[IllegalArgumentException](ProjString.parse("+proj=merc +lat_1=30 +lat_2=40"))
   }
 }
