@@ -713,6 +713,21 @@ object SparkEntry {
         (st_x(prj) === st_x(ps) && st_y(prj) === st_y(ps)).as("pj_eq"))
     }),
 
+    "q_albers" -> ((s, dir) => {
+      // EPSG:5070 (NAD83 / Conus Albers — Albers Equal Area, EPSG method
+      // 9822) over the CONUS-longitude points. The oracle recomputes the
+      // Snyder §14 closed form in DuckDB with INDEPENDENTLY derived cone
+      // constants; the implementation is pinned to Snyder's published
+      // Appendix-A sample in ProjSpec (35N 75W on Clarke 1866 ->
+      // x=1885472.7, y=1535925.0) and to the equal-area invariant.
+      val p = custPoints(s, dir)
+        .filter(col("lat") > 24 && col("lat") < 50 && col("lon") > -125 && col("lon") < -66)
+      val prj = st_transform(st_point(col("lon"), col("lat")), lit(4326), lit(5070))
+      p.select(col("custkey"),
+        round(st_x(prj), 3).as("ax"),
+        round(st_y(prj), 3).as("ay"))
+    }),
+
     "q_lcc" -> ((s, dir) => {
       // EPSG:2154 (RGF93 / Lambert-93 — Lambert Conformal Conic 2SP, EPSG
       // method 9802) over the European window. The oracle recomputes the
@@ -1926,6 +1941,23 @@ object SparkEntry {
          | round(rho * sin(wlam), 3) AS px,
          | round(-rho * cos(wlam), 3) AS py
          |FROM g JOIN wg ON g.custkey = wg.custkey""".stripMargin,
+
+    "q_albers" ->
+      s"""WITH p AS (SELECT custkey, lat, lon FROM ($custPointsSql)
+         |   WHERE lat > 24 AND lat < 50 AND lon > -125 AND lon < -66),
+         | c AS (SELECT custkey,
+         |   0.6029027690657601 AS nn, 1.3491820315609704 AS bigc,
+         |   9928937.004248781 AS rho0,
+         |   0.08181919104281579 AS e, 0.006694380022900787 AS e2,
+         |   sin(radians(lat)) AS s, radians(lon + 96.0) AS dlam FROM p),
+         | q AS (SELECT *, (1.0-e2) * (s/(1.0-e2*s*s)
+         |   - (1.0/(2.0*e))*ln((1.0-e*s)/(1.0+e*s))) AS qq FROM c),
+         | g AS (SELECT *, 6378137.0 * sqrt(bigc - nn*qq) / nn AS rho,
+         |   nn * dlam AS th FROM q)
+         |SELECT custkey,
+         | round(rho * sin(th), 3) AS ax,
+         | round(rho0 - rho * cos(th), 3) AS ay
+         |FROM g""".stripMargin,
 
     "q_lcc" ->
       s"""WITH p AS (SELECT custkey, lat, lon FROM ($custPointsSql)

@@ -12,6 +12,10 @@ package graft.geom
  *   - EPSG:32601..32660    WGS84 / UTM north zones  (Transverse Mercator)
  *   - EPSG:32701..32760    WGS84 / UTM south zones
  *   - EPSG:3035            ETRS89-extended / LAEA Europe (GRS80)
+ *   - EPSG:3413 / 3031     NSIDC north / Antarctic Polar Stereographic
+ *   - EPSG:28992           RD New (Oblique/double Stereographic, Bessel)
+ *   - EPSG:2154            RGF93 / Lambert-93 (Lambert Conformal Conic 2SP)
+ *   - EPSG:5070            NAD83 / Conus Albers (Albers Equal Area)
  *
  * Transverse Mercator uses the 4th-order Krüger series in n (Karney 2011,
  * "Transverse Mercator with an accuracy of a few nanometers", the series
@@ -421,6 +425,54 @@ object Proj {
     (lon0Deg + math.toDegrees(th / n), math.toDegrees(geodeticFromT(ell, t)))
   }
 
+  // ------ Albers Equal Area conic (Snyder §14; EPSG method 9822) ------
+
+  /** Albers cone constants (n, C, rho0) from the standard parallels and
+   *  false origin — Snyder eq. 14-14/14-13/14-12a. */
+  @inline private def albersCone(ell: Ellipsoid, lat0Deg: Double,
+                                 lat1Deg: Double, lat2Deg: Double): (Double, Double, Double) = {
+    val p1 = math.toRadians(lat1Deg); val p2 = math.toRadians(lat2Deg)
+    val m1 = mFactor(ell, p1); val m2 = mFactor(ell, p2)
+    val q1 = authalicQ(ell, math.sin(p1)); val q2 = authalicQ(ell, math.sin(p2))
+    val n =
+      if (math.abs(lat1Deg - lat2Deg) < 1e-12) math.sin(p1) // 1SP limit
+      else (m1 * m1 - m2 * m2) / (q2 - q1)
+    val c = m1 * m1 + n * q1
+    val q0 = authalicQ(ell, math.sin(math.toRadians(lat0Deg)))
+    val rho0 = ell.a * math.sqrt(c - n * q0) / n
+    (n, c, rho0)
+  }
+
+  /** Albers Equal Area forward (Snyder eq. 14-12..14-15). */
+  def albersForward(ell: Ellipsoid, lonDeg: Double, latDeg: Double,
+                    lat0Deg: Double, lon0Deg: Double,
+                    lat1Deg: Double, lat2Deg: Double,
+                    fe: Double, fn: Double): (Double, Double) = {
+    val (n, c, rho0) = albersCone(ell, lat0Deg, lat1Deg, lat2Deg)
+    val q = authalicQ(ell, math.sin(math.toRadians(latDeg)))
+    val rho = ell.a * math.sqrt(c - n * q) / n
+    val th = n * math.toRadians(lonDeg - lon0Deg)
+    (fe + rho * math.sin(th), fn + rho0 - rho * math.cos(th))
+  }
+
+  /** Albers inverse (Snyder eq. 14-19..14-21 + the shared authalic-latitude
+   *  inverse). */
+  def albersInverse(ell: Ellipsoid, x0: Double, y0: Double,
+                    lat0Deg: Double, lon0Deg: Double,
+                    lat1Deg: Double, lat2Deg: Double,
+                    fe: Double, fn: Double): (Double, Double) = {
+    val (n, c, rho0) = albersCone(ell, lat0Deg, lat1Deg, lat2Deg)
+    val x = x0 - fe; val y = rho0 - (y0 - fn)
+    val sgn = if (n >= 0) 1.0 else -1.0
+    val rho = sgn * math.hypot(x, y)
+    val th = math.atan2(sgn * x, sgn * y)
+    val q = (c - rho * rho * n * n / (ell.a * ell.a)) / n
+    val qp = authalicQ(ell, 1.0)
+    val beta = math.asin(clamp1(q / qp))
+    (lon0Deg + math.toDegrees(th / n),
+      math.toDegrees(authalicToGeodetic(ell, beta, qp)))
+  }
+
   // ------ Oblique ("double") Stereographic (EPSG method 9809; +proj=sterea)
   //
   // The Gauss conformal-sphere construction from EPSG Guidance Note 7-2:
@@ -516,6 +568,7 @@ object Proj {
   def isSupported(srid: Int): Boolean =
     srid == 4326 || srid == 3857 || srid == 3035 ||
       srid == 3413 || srid == 3031 || srid == 28992 || srid == 2154 ||
+      srid == 5070 ||
       (srid > 32600 && srid <= 32660) || (srid > 32700 && srid <= 32760)
 
   /** EPSG:3413 (NSIDC Sea Ice Polar Stereographic North: lat_ts=70,
@@ -538,13 +591,14 @@ object Proj {
     case 28992 => stereaInverse(Bessel, x, y, Rd0._1, Rd0._2, 0.9999079,
       155000.0, 463000.0)
     case 2154 => lccInverse(Grs80, x, y, 46.5, 3.0, 44.0, 49.0, 700000.0, 6600000.0)
+    case 5070 => albersInverse(Grs80, x, y, 23.0, -96.0, 29.5, 45.5, 0.0, 0.0)
     case z if z > 32600 && z <= 32660 =>
       tmInverse(Wgs84, x, y, (z - 32600) * 6.0 - 183.0, UtmK0, 500000.0, 0.0)
     case z if z > 32700 && z <= 32760 =>
       tmInverse(Wgs84, x, y, (z - 32700) * 6.0 - 183.0, UtmK0, 500000.0, 10000000.0)
     case other =>
       throw new IllegalArgumentException(s"st_transform: unsupported CRS $other " +
-        "(supported: 4326, 3857, 3035, 3413, 3031, 28992, 2154, 326xx/327xx UTM)")
+        "(supported: 4326, 3857, 3035, 3413, 3031, 28992, 2154, 5070, 326xx/327xx UTM)")
   }
 
   /** lon/lat degrees -> projected CRS. Identity for 4326. */
@@ -559,12 +613,13 @@ object Proj {
     case 28992 => stereaForward(Bessel, lon, lat, Rd0._1, Rd0._2, 0.9999079,
       155000.0, 463000.0)
     case 2154 => lccForward(Grs80, lon, lat, 46.5, 3.0, 44.0, 49.0, 700000.0, 6600000.0)
+    case 5070 => albersForward(Grs80, lon, lat, 23.0, -96.0, 29.5, 45.5, 0.0, 0.0)
     case z if z > 32600 && z <= 32660 =>
       tmForward(Wgs84, lon, lat, (z - 32600) * 6.0 - 183.0, UtmK0, 500000.0, 0.0)
     case z if z > 32700 && z <= 32760 =>
       tmForward(Wgs84, lon, lat, (z - 32700) * 6.0 - 183.0, UtmK0, 500000.0, 10000000.0)
     case other =>
       throw new IllegalArgumentException(s"st_transform: unsupported CRS $other " +
-        "(supported: 4326, 3857, 3035, 3413, 3031, 28992, 2154, 326xx/327xx UTM)")
+        "(supported: 4326, 3857, 3035, 3413, 3031, 28992, 2154, 5070, 326xx/327xx UTM)")
   }
 }

@@ -142,9 +142,10 @@ object ProjString {
       } else k0
 
     if (kv.contains("lat_1") || kv.contains("lat_2")) {
-      if (proj != "lcc") fail(s, "+lat_1/+lat_2 are only supported for +proj=lcc")
+      if (proj != "lcc" && proj != "aea")
+        fail(s, "+lat_1/+lat_2 are only supported for +proj=lcc|aea")
       if (!(kv.contains("lat_1") && kv.contains("lat_2")))
-        fail(s, "+proj=lcc needs BOTH +lat_1 and +lat_2 (2SP form, EPSG 9802)")
+        fail(s, s"+proj=$proj needs BOTH +lat_1 and +lat_2 (2SP form)")
     }
     mkSpec(s, proj, ell, lat0, lon0, k0eff, x0, y0,
       num("lat_1", 0.0), num("lat_2", 0.0))
@@ -178,6 +179,11 @@ object ProjString {
         // cone with k0 = 1.
         if (lat1 == 0.0 && lat2 == 0.0)
           fail(s, "+proj=lcc needs +lat_1/+lat_2 (2SP form)")
+        Spec(proj, ell, lat0, lon0, k0, x0, y0, 0, 0, lat1, lat2)
+      case "aea" =>
+        // Albers Equal Area conic (Snyder §14; EPSG 9822 — CONUS Albers)
+        if (lat1 == 0.0 && lat2 == 0.0)
+          fail(s, "+proj=aea needs +lat_1/+lat_2")
         Spec(proj, ell, lat0, lon0, k0, x0, y0, 0, 0, lat1, lat2)
       case "stere" =>
         // POLAR aspects only (Snyder 21-30..21-39; EPSG 9810/9829 — the
@@ -303,7 +309,8 @@ object ProjString {
     9810 -> "stere", // Polar Stereographic (variant A)
     9829 -> "stere", // Polar Stereographic (variant B)
     9809 -> "sterea", // Oblique Stereographic (Gauss double)
-    9802 -> "lcc")   // Lambert Conic Conformal (2SP)
+    9802 -> "lcc",   // Lambert Conic Conformal (2SP)
+    9822 -> "aea")   // Albers Equal Area
   private val projJsonMethodNames: Map[String, String] = Map(
     "transverse mercator" -> "tmerc",
     "mercator (variant a)" -> "merc",
@@ -312,7 +319,8 @@ object ProjString {
     "polar stereographic (variant a)" -> "stere",
     "polar stereographic (variant b)" -> "stere",
     "oblique stereographic" -> "sterea",
-    "lambert conic conformal (2sp)" -> "lcc")
+    "lambert conic conformal (2sp)" -> "lcc",
+    "albers equal area" -> "aea")
 
   private def parseProjJson(raw: String): Spec = {
     def fail(why: String): Nothing =
@@ -411,11 +419,11 @@ object ProjString {
         // a parameter that the chosen method cannot consume must fail, not
         // silently drop — a stray standard parallel on a TM conversion means
         // the document is NOT the projection we'd compute
-        if ((lat1 != 0.0 || lat2 != 0.0) && proj != "lcc")
+        if ((lat1 != 0.0 || lat2 != 0.0) && proj != "lcc" && proj != "aea")
           fail(s"standard-parallel parameters are not valid for method '$proj'")
         if (latTs.isDefined && proj != "stere")
           fail(s"'Latitude of standard parallel' is not valid for method '$proj'")
-        if (proj == "lcc")
+        if (proj == "lcc" || proj == "aea")
           return mkSpec(raw, proj, ell, lat0, lon0, k0, x0, y0, lat1, lat2)
         if (proj == "webmerc")
           // pseudo-mercator: spherical formulas on the base semi-major axis
@@ -443,6 +451,9 @@ object ProjString {
     case "lcc" =>
       Proj.lccForward(spec.ell, lon, lat, spec.lat0, spec.lon0,
         spec.lat1, spec.lat2, spec.x0, spec.y0)
+    case "aea" =>
+      Proj.albersForward(spec.ell, lon, lat, spec.lat0, spec.lon0,
+        spec.lat1, spec.lat2, spec.x0, spec.y0)
   }
 
   def toLonLat(spec: Spec, x: Double, y: Double): (Double, Double) = spec.proj match {
@@ -460,6 +471,9 @@ object ProjString {
         spec.x0, spec.y0)
     case "lcc" =>
       Proj.lccInverse(spec.ell, x, y, spec.lat0, spec.lon0,
+        spec.lat1, spec.lat2, spec.x0, spec.y0)
+    case "aea" =>
+      Proj.albersInverse(spec.ell, x, y, spec.lat0, spec.lon0,
         spec.lat1, spec.lat2, spec.x0, spec.y0)
   }
 }

@@ -551,4 +551,53 @@ class ProjSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](ProjString.parse("+proj=lcc +lat_0=46.5"))
     intercept[IllegalArgumentException](ProjString.parse("+proj=merc +lat_1=30 +lat_2=40"))
   }
+
+  test("Albers Equal Area: Snyder's published sample, EPSG:5070 roundtrips, " +
+    "equal-area property, proj-string aea (r5)") {
+    import graft.geom.{Proj, ProjString}
+    // Snyder 1987 Appendix A, ellipsoidal Albers example — Clarke 1866,
+    // parallels 29.5/45.5, origin (23N, 96W); point (35N, 75W) ->
+    // x = 1,885,472.7, y = 1,535,925.0
+    val clarke = Proj.Ellipsoid(6378206.4, (6378206.4 - 6356583.8) / 6378206.4)
+    val (x, y) = Proj.albersForward(clarke, -75.0, 35.0, 23.0, -96.0, 29.5, 45.5, 0, 0)
+    assert(math.abs(x - 1885472.7) < 0.1, s"x=$x")
+    assert(math.abs(y - 1535925.0) < 0.1, s"y=$y")
+    val (lo, la) = Proj.albersInverse(clarke, x, y, 23.0, -96.0, 29.5, 45.5, 0, 0)
+    assert(math.abs(lo - -75.0) < 1e-9 && math.abs(la - 35.0) < 1e-9, s"$lo $la")
+
+    // EPSG:5070 (NAD83 / Conus Albers, GRS80) round trips over CONUS
+    for (la2 <- Seq(25.0, 33.0, 40.0, 49.0); lo2 <- Seq(-124.0, -96.0, -67.0)) {
+      val (px, py) = Proj.fromLonLat(5070, lo2, la2)
+      val (lo3, la3) = Proj.toLonLat(5070, px, py)
+      assert(math.abs(lo3 - lo2) < 1e-9 && math.abs(la3 - la2) < 1e-9, s"$lo2 $la2")
+    }
+    // the projection's defining invariant: projected quad area equals the
+    // exact ellipsoidal area (a^2/2 * dlam * (q2-q1)) — same check that
+    // pins LAEA; catches any cone-constant mistake
+    val ell = Proj.Grs80
+    for ((la2, lo2) <- Seq((30.0, -110.0), (40.0, -90.0), (47.0, -75.0))) {
+      val d = 0.02
+      val corners = Seq((lo2, la2), (lo2 + d, la2), (lo2 + d, la2 + d), (lo2, la2 + d))
+        .map { case (o, a2) => Proj.fromLonLat(5070, o, a2) }
+      var area = 0.0
+      (0 until 4).foreach { i =>
+        val (x1, y1) = corners(i); val (x2, y2) = corners((i + 1) % 4)
+        area += x1 * y2 - x2 * y1
+      }
+      area = math.abs(area) / 2
+      val exact = ell.a * ell.a / 2 * math.toRadians(d) *
+        (Proj.authalicQ(ell, math.sin(math.toRadians(la2 + d))) -
+          Proj.authalicQ(ell, math.sin(math.toRadians(la2))))
+      assert(math.abs(area / exact - 1) < 2e-5, s"area ratio ${area / exact} at $la2")
+    }
+    // +proj=aea bit-equals the EPSG-code path
+    val spec = ProjString.parse(
+      "+proj=aea +lat_0=23 +lon_0=-96 +lat_1=29.5 +lat_2=45.5 " +
+        "+x_0=0 +y_0=0 +ellps=GRS80 +units=m +no_defs")
+    val (sx, sy) = ProjString.fromLonLat(spec, -100.0, 38.0)
+    val (ex, ey) = Proj.fromLonLat(5070, -100.0, 38.0)
+    assert(sx == ex && sy == ey, s"($sx,$sy) != ($ex,$ey)")
+    val (bl, bb) = ProjString.toLonLat(spec, sx, sy)
+    assert(math.abs(bl - -100.0) < 1e-9 && math.abs(bb - 38.0) < 1e-9)
+  }
 }
