@@ -557,6 +557,15 @@ object Proj {
   /** Bessel 1841 — the RD New (EPSG:28992) ellipsoid. */
   val Bessel: Ellipsoid = Ellipsoid(6377397.155, 1.0 / 299.1528128)
 
+  /** Airy 1830 — the OSGB36 / British National Grid ellipsoid. */
+  val Airy: Ellipsoid = Ellipsoid(6377563.396, 1.0 / 299.3249646)
+
+  /** EPSG:27700 (British National Grid): tmerc on Airy, natural origin
+   *  (49N, 2W), k0=0.9996012717, FE=400000, FN=-100000. The FN applies at
+   *  the origin LATITUDE, so the rectifying northing of 49N shifts out. */
+  private val OsgbK0 = 0.9996012717
+  private lazy val OsgbRefY = tmForward(Airy, -2.0, 49.0, -2.0, OsgbK0, 0.0, 0.0)._2
+
   /** RD New (Amersfoort) natural origin: 52°09'22.178"N, 5°23'15.500"E. */
   private val Rd0: (Double, Double) =
     (52.0 + 9.0 / 60 + 22.178 / 3600, 5.0 + 23.0 / 60 + 15.500 / 3600)
@@ -568,7 +577,7 @@ object Proj {
   def isSupported(srid: Int): Boolean =
     srid == 4326 || srid == 3857 || srid == 3035 ||
       srid == 3413 || srid == 3031 || srid == 28992 || srid == 2154 ||
-      srid == 5070 ||
+      srid == 5070 || srid == 27700 ||
       (srid > 32600 && srid <= 32660) || (srid > 32700 && srid <= 32760)
 
   /** EPSG:3413 (NSIDC Sea Ice Polar Stereographic North: lat_ts=70,
@@ -592,13 +601,14 @@ object Proj {
       155000.0, 463000.0)
     case 2154 => lccInverse(Grs80, x, y, 46.5, 3.0, 44.0, 49.0, 700000.0, 6600000.0)
     case 5070 => albersInverse(Grs80, x, y, 23.0, -96.0, 29.5, 45.5, 0.0, 0.0)
+    case 27700 => tmInverse(Airy, x, y + OsgbRefY, -2.0, OsgbK0, 400000.0, -100000.0)
     case z if z > 32600 && z <= 32660 =>
       tmInverse(Wgs84, x, y, (z - 32600) * 6.0 - 183.0, UtmK0, 500000.0, 0.0)
     case z if z > 32700 && z <= 32760 =>
       tmInverse(Wgs84, x, y, (z - 32700) * 6.0 - 183.0, UtmK0, 500000.0, 10000000.0)
     case other =>
       throw new IllegalArgumentException(s"st_transform: unsupported CRS $other " +
-        "(supported: 4326, 3857, 3035, 3413, 3031, 28992, 2154, 5070, 326xx/327xx UTM)")
+        "(supported: 4326, 3857, 3035, 3413, 3031, 28992, 2154, 5070, 27700, 326xx/327xx UTM)")
   }
 
   /** lon/lat degrees -> projected CRS. Identity for 4326. */
@@ -614,12 +624,15 @@ object Proj {
       155000.0, 463000.0)
     case 2154 => lccForward(Grs80, lon, lat, 46.5, 3.0, 44.0, 49.0, 700000.0, 6600000.0)
     case 5070 => albersForward(Grs80, lon, lat, 23.0, -96.0, 29.5, 45.5, 0.0, 0.0)
+    case 27700 =>
+      val (x27, y27) = tmForward(Airy, lon, lat, -2.0, OsgbK0, 400000.0, -100000.0)
+      (x27, y27 - OsgbRefY)
     case z if z > 32600 && z <= 32660 =>
       tmForward(Wgs84, lon, lat, (z - 32600) * 6.0 - 183.0, UtmK0, 500000.0, 0.0)
     case z if z > 32700 && z <= 32760 =>
       tmForward(Wgs84, lon, lat, (z - 32700) * 6.0 - 183.0, UtmK0, 500000.0, 10000000.0)
     case other =>
       throw new IllegalArgumentException(s"st_transform: unsupported CRS $other " +
-        "(supported: 4326, 3857, 3035, 3413, 3031, 28992, 2154, 5070, 326xx/327xx UTM)")
+        "(supported: 4326, 3857, 3035, 3413, 3031, 28992, 2154, 5070, 27700, 326xx/327xx UTM)")
   }
 }

@@ -70,6 +70,7 @@ object ProjString {
     "GRS80" -> Proj.Grs80,
     "intl" -> Proj.Ellipsoid(6378388.0, 1.0 / 297.0),
     "bessel" -> Proj.Ellipsoid(6377397.155, 1.0 / 299.1528128),
+    "airy" -> Proj.Airy,
     "sphere" -> Proj.Ellipsoid(6371000.0, 0.0))
 
   private def fail(s: String, why: String): Nothing =

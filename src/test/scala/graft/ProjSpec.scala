@@ -600,4 +600,23 @@ class ProjSpec extends AnyFunSuite {
     val (bl, bb) = ProjString.toLonLat(spec, sx, sy)
     assert(math.abs(bl - -100.0) < 1e-9 && math.abs(bb - 38.0) < 1e-9)
   }
+
+  test("EPSG:27700 British National Grid: OS guide's published sample + roundtrips") {
+    import graft.geom.Proj
+    // "A guide to coordinate systems in Great Britain" (OS), worked example:
+    // 52°39'27.2531"N, 1°43'4.5177"E -> E 651409.903, N 313177.270
+    val lat = 52.0 + 39.0 / 60 + 27.2531 / 3600
+    val lon = 1.0 + 43.0 / 60 + 4.5177 / 3600
+    val (e, n) = Proj.fromLonLat(27700, lon, lat)
+    assert(math.abs(e - 651409.903) < 0.001, s"E=$e")
+    assert(math.abs(n - 313177.270) < 0.001, s"N=$n")
+    // true origin maps to (FE, FN)
+    val (ox, oy) = Proj.fromLonLat(27700, -2.0, 49.0)
+    assert(math.abs(ox - 400000.0) < 1e-6 && math.abs(oy - -100000.0) < 1e-6)
+    for (la <- Seq(50.0, 53.5, 57.0, 60.5); lo <- Seq(-7.0, -2.0, 1.5)) {
+      val (px, py) = Proj.fromLonLat(27700, lo, la)
+      val (lo2, la2) = Proj.toLonLat(27700, px, py)
+      assert(math.abs(lo2 - lo) < 1e-9 && math.abs(la2 - la) < 1e-9, s"$lo $la")
+    }
+  }
 }
