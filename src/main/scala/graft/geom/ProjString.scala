@@ -11,12 +11,17 @@ import java.util.concurrent.ConcurrentHashMap
  *
  *   +proj=tmerc    Krüger-series Transverse Mercator (with +lat_0 offset)
  *   +proj=merc     ellipsoidal Mercator (spherical when the ellipsoid is)
- *   +proj=laea     Snyder oblique/equatorial LAEA incl. the D factor
+ *   +proj=laea     Snyder LAEA, all aspects incl. polar, with the D factor
+ *   +proj=stere    polar Stereographic (+lat_ts variant B folded into k0)
+ *   +proj=sterea   oblique/double Stereographic (EPSG 9809 Gauss sphere)
+ *   +proj=lcc      Lambert Conformal Conic 2SP (+lat_1/+lat_2)
+ *   +proj=aea      Albers Equal Area conic (+lat_1/+lat_2)
  *   +proj=longlat  identity (degrees)
  *   EPSG:nnnn      authority form, routed to the numeric dispatch
  *
- * Recognized parameters: +ellps (WGS84 | GRS80 | intl | bessel | sphere),
- * +a +b +rf +f +R overrides, +lat_0 +lon_0 +k/+k_0 +x_0 +y_0, and the
+ * Recognized parameters: +ellps (WGS84 | GRS80 | intl | bessel | airy |
+ * sphere), +a +b +rf +f +R overrides, +lat_0 +lon_0 +lat_ts +lat_1 +lat_2
+ * +k/+k_0 +x_0 +y_0, and the
  * no-op tail every PROJ string carries (+units=m, +no_defs, +type=crs,
  * +datum=WGS84, all-zero +towgs84). Anything else throws — a CRS must never
  * be silently misinterpreted.
