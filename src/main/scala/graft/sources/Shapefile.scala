@@ -113,6 +113,13 @@ object Shapefile {
       case None => all
     }
     require(bases.nonEmpty, s"no .shp files under $path")
+    // a task reads its whole dbf slice in one buffer (recSize * count); a
+    // wide schema (several C-254 fields -> multi-KB records) would turn the
+    // 65536-record default into a multi-hundred-MB task buffer, so the
+    // per-task record count is additionally clamped to a 64 MB dbf slice
+    val headRecSize = 1 + readDbfHeader(bases.head + ".dbf")._3.map(_.length).sum
+    val perTask = math.min(maxRecordsPerTask.toLong,
+      math.max(1024L, (64L << 20) / math.max(1, headRecSize))).toInt
     val schema = schemaOf(bases.head)
     bases.tail.foreach(b => require(schemaOf(b) == schema,
       s"shapefile part $b schema differs from ${bases.head}"))
@@ -128,8 +135,8 @@ object Shapefile {
       val hi = math.min(n.toLong, last.map(_ - fidBase).getOrElse(n.toLong))
       val rs =
         if (lo >= hi) Nil
-        else (lo until hi by maxRecordsPerTask.toLong).map { s =>
-          (b, s.toInt, math.min(maxRecordsPerTask.toLong, hi - s).toInt, fidBase + s)
+        else (lo until hi by perTask.toLong).map { s =>
+          (b, s.toInt, math.min(perTask.toLong, hi - s).toInt, fidBase + s)
         }
       fidBase += n
       rs
