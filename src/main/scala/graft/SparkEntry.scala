@@ -657,6 +657,22 @@ object SparkEntry {
       val utmC = st_transform(pt, lit(4326), lit(32632))
       val utmJ = st_transform(pt, "EPSG:4326", projJson)
       val back = st_transform(st_transform(pt, "EPSG:4326", tmCustom), tmCustom, "EPSG:4326")
+      // +towgs84 datum shifts (r5 s3): a 3-parameter geocentric translation
+      // (the classic ED50-style triple, EPSG method 9603) as longlat->longlat,
+      // value-checked against the full geocentric + Bowring closed form
+      // spelled out in the oracle SQL; and the OSGB36 official 7-parameter
+      // position-vector shift (EPSG 9606) as a roundtrip property. 2D shifts
+      // drop the ellipsoidal height both ways; far from the datum's validity
+      // area h reaches ~800 m and the inter-ellipsoid normal tilt ~1e-4 rad,
+      // so the global roundtrip is only ~1e-6 deg — the gate asserts 5e-6
+      // (~0.5 m); the 1e-7 GB-window pin and the 9606 worked value are in
+      // ProjSpec
+      val ed50 = st_transform(pt, "EPSG:4326",
+        "+proj=longlat +ellps=intl +towgs84=-87,-98,-121")
+      val osgb = "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 " +
+        "+x_0=400000 +y_0=-100000 +ellps=airy " +
+        "+towgs84=446.448,-125.157,542.06,0.15,0.247,0.842,-20.489"
+      val oback = st_transform(st_transform(pt, "EPSG:4326", osgb), osgb, "EPSG:4326")
       p.select(col("custkey"),
         round(st_x(merc), 3).as("mx"),
         round(st_y(merc), 3).as("my"),
@@ -666,7 +682,12 @@ object SparkEntry {
         // central meridian; assert the exact round trip inside +-25 degrees
         (abs(col("lon") - 33.0) > 25.0 ||
           (abs(st_x(back) - col("lon")) < 1e-9 && abs(st_y(back) - col("lat")) < 1e-9))
-          .as("rt_ok"))
+          .as("rt_ok"),
+        round(st_x(ed50), 7).as("twx"),
+        round(st_y(ed50), 7).as("twy"),
+        (abs(col("lon") + 2.0) > 25.0 ||
+          (abs(st_x(oback) - col("lon")) < 5e-6 && abs(st_y(oback) - col("lat")) < 5e-6))
+          .as("tw_rt"))
     }),
 
     "q_laea" -> ((s, dir) => {
@@ -1908,12 +1929,36 @@ object SparkEntry {
          |FROM ($custPointsSql)""".stripMargin,
 
     "q_proj_params" ->
-      s"""SELECT custkey,
+      // twx/twy recompute the 3-parameter datum shift from first principles:
+      // WGS84 geodetic -> geocentric XYZ, inverse translation (+87,+98,+121),
+      // then geodetic on International 1924 via Bowring's closed form plus
+      // three unrolled fixed-point refinements (the Scala side iterates the
+      // same map to convergence; three steps are already below 1 ulp)
+      s"""WITH p AS (SELECT custkey, lon, lat, sin(radians(lat)) AS s FROM ($custPointsSql)),
+         | c AS (SELECT *, 1.0/298.257223563 AS fw, 1.0/297.0 AS fi FROM p),
+         | d AS (SELECT *, fw*(2.0-fw) AS e2w, fi*(2.0-fi) AS e2i,
+         |        6378388.0*(1.0-fi) AS bi,
+         |        fi*(2.0-fi)/(1.0-fi*(2.0-fi)) AS ep2 FROM c),
+         | g AS (SELECT *, 6378137.0/sqrt(1.0-e2w*s*s) AS nw FROM d),
+         | x AS (SELECT *, nw*cos(radians(lat))*cos(radians(lon)) + 87.0 AS gx,
+         |        nw*cos(radians(lat))*sin(radians(lon)) + 98.0 AS gy,
+         |        nw*(1.0-e2w)*s + 121.0 AS gz FROM g),
+         | t AS (SELECT *, sqrt(gx*gx+gy*gy) AS pp FROM x),
+         | h AS (SELECT *, atan2(gz*6378388.0, pp*bi) AS th FROM t),
+         | b0 AS (SELECT *, atan2(gz + ep2*bi*sin(th)*sin(th)*sin(th),
+         |         pp - e2i*6378388.0*cos(th)*cos(th)*cos(th)) AS f0 FROM h),
+         | b1 AS (SELECT *, atan2(gz + e2i*(6378388.0/sqrt(1.0-e2i*sin(f0)*sin(f0)))*sin(f0), pp) AS f1 FROM b0),
+         | b2 AS (SELECT *, atan2(gz + e2i*(6378388.0/sqrt(1.0-e2i*sin(f1)*sin(f1)))*sin(f1), pp) AS f2 FROM b1),
+         | b3 AS (SELECT *, atan2(gz + e2i*(6378388.0/sqrt(1.0-e2i*sin(f2)*sin(f2)))*sin(f2), pp) AS f3 FROM b2)
+         |SELECT custkey,
          | round(6378137.0 * 1.0 * radians(lon), 3) AS mx,
          | round(6378137.0 * 1.0 * (0.5*ln((1.0+s)/(1.0-s))
          |   - 0.08181919084262149*(0.5*ln((1.0+0.08181919084262149*s)/(1.0-0.08181919084262149*s)))), 3) AS my,
-         | TRUE AS utm_eq, TRUE AS pj_eq, TRUE AS rt_ok
-         |FROM (SELECT custkey, lon, sin(radians(lat)) AS s FROM ($custPointsSql))""".stripMargin,
+         | TRUE AS utm_eq, TRUE AS pj_eq, TRUE AS rt_ok,
+         | round(degrees(atan2(gy, gx)), 7) AS twx,
+         | round(degrees(f3), 7) AS twy,
+         | TRUE AS tw_rt
+         |FROM b3""".stripMargin,
 
     "q_laea" ->
       s"""WITH p AS (SELECT custkey, lat, lon FROM ($custPointsSql)

@@ -17,6 +17,15 @@ package graft.geom
  *   - EPSG:2154            RGF93 / Lambert-93 (Lambert Conformal Conic 2SP)
  *   - EPSG:5070            NAD83 / Conus Albers (Albers Equal Area)
  *
+ * Datum semantics: the numeric EPSG dispatch below is the PROJECTION only —
+ * geographic input is taken in the CRS's own datum (exactly PROJ's behavior
+ * for a `+proj=... +ellps=...` string with no +towgs84). Full
+ * `EPSG:4326 -> EPSG:27700`-style parity including the official Helmert
+ * datum shift is available through the PROJ-string surface
+ * (`ProjString.parse` + `+towgs84=...`, see Helmert below), e.g. the OSGB36
+ * position-vector 7-tuple; register such strings as named aliases via
+ * `ProjOptions.extraCrs` to use them wherever a CRS name is accepted.
+ *
  * Transverse Mercator uses the 4th-order Krüger series in n (Karney 2011,
  * "Transverse Mercator with an accuracy of a few nanometers", the series
  * form also printed in OGP Guidance Note 7-2) with an exact Newton inverse
@@ -569,6 +578,77 @@ object Proj {
   /** RD New (Amersfoort) natural origin: 52°09'22.178"N, 5°23'15.500"E. */
   private val Rd0: (Double, Double) =
     (52.0 + 9.0 / 60 + 22.178 / 3600, 5.0 + 23.0 / 60 + 15.500 / 3600)
+
+  // ============ geodetic <-> geocentric + Helmert datum shifts ============
+
+  /** Geodetic lon/lat degrees (ellipsoidal height 0) -> geocentric Cartesian
+   *  XYZ meters (EPSG method 9602's geographic/geocentric conversion — the
+   *  `cart` step PROJ runs around every `+towgs84` shift; 2D transforms set
+   *  h = 0 exactly as here). */
+  def geodeticToXyz(ell: Ellipsoid, lonDeg: Double, latDeg: Double): (Double, Double, Double) = {
+    val lam = math.toRadians(lonDeg); val phi = math.toRadians(latDeg)
+    val s = math.sin(phi); val c = math.cos(phi)
+    val nu = ell.a / math.sqrt(1 - ell.e2 * s * s) // prime-vertical radius
+    (nu * c * math.cos(lam), nu * c * math.sin(lam), nu * (1 - ell.e2) * s)
+  }
+
+  /** Geocentric XYZ -> geodetic lon/lat degrees. The ellipsoidal height is
+   *  discarded — the 2D-transform contract (PROJ drops h the same way when
+   *  the caller hands in 2D coordinates). Bowring's closed-form estimate,
+   *  then fixed-point refinement to double-precision convergence. */
+  def xyzToGeodetic(ell: Ellipsoid, x: Double, y: Double, z: Double): (Double, Double) = {
+    val p = math.hypot(x, y)
+    if (p < 1e-9) return (0.0, if (z >= 0) 90.0 else -90.0)
+    val b = ell.a * (1 - ell.f)
+    val ep2 = ell.e2 / (1 - ell.e2)
+    val th = math.atan2(z * ell.a, p * b)
+    val st = math.sin(th); val ct = math.cos(th)
+    var phi = math.atan2(z + ep2 * b * st * st * st,
+      p - ell.e2 * ell.a * ct * ct * ct)
+    var it = 0
+    while (it < 8) { // phi = atan((z + e2 nu(phi) sin(phi)) / p)
+      val s = math.sin(phi)
+      val nu = ell.a / math.sqrt(1 - ell.e2 * s * s)
+      val next = math.atan2(z + ell.e2 * nu * s, p)
+      if (next == phi) it = 8 else phi = next
+      it += 1
+    }
+    (math.toDegrees(math.atan2(y, x)), math.toDegrees(phi))
+  }
+
+  /**
+   * 7-parameter Helmert transform in the position-vector rotation convention
+   * (EPSG method 9606; with zero rotations/scale it degenerates to the
+   * 3-parameter geocentric translation, method 9603). This is the convention
+   * of PROJ's `+towgs84=tx,ty,tz,rx,ry,rz,ds` flag, which it models: the
+   * parameters map LOCAL-datum geocentric coordinates TO WGS84. Fields are
+   * SI — meters, RADIANS, and a unit scale offset (arc-seconds and ppm are
+   * converted at parse time, ProjString.doParse).
+   */
+  final case class Helmert(tx: Double, ty: Double, tz: Double,
+                           rx: Double, ry: Double, rz: Double, ds: Double) {
+    /** local geocentric -> WGS84 (GN 7-2 position-vector matrix). */
+    def forward(x: Double, y: Double, z: Double): (Double, Double, Double) = {
+      val m = 1.0 + ds
+      (tx + m * (x - rz * y + ry * z),
+        ty + m * (rz * x + y - rx * z),
+        tz + m * (-ry * x + rx * y + z))
+    }
+
+    /** WGS84 -> local: the EXACT inverse of the (small-angle) forward matrix
+     *  R = I + skew(r), via adj(R)/det(R) with det = 1 + |r|² — so
+     *  forward∘inverse roundtrips to machine precision. PROJ's transposed-
+     *  matrix approximation differs by O(|r|²) ≈ sub-micrometer for real
+     *  datum rotations (≤ tens of arc-seconds). */
+    def inverse(xw: Double, yw: Double, zw: Double): (Double, Double, Double) = {
+      val m = 1.0 + ds
+      val u = (xw - tx) / m; val v = (yw - ty) / m; val w = (zw - tz) / m
+      val det = 1.0 + rx * rx + ry * ry + rz * rz
+      ((u * (1 + rx * rx) + v * (rz + rx * ry) + w * (rx * rz - ry)) / det,
+        (u * (rx * ry - rz) + v * (1 + ry * ry) + w * (rx + ry * rz)) / det,
+        (u * (ry + rx * rz) + v * (ry * rz - rx) + w * (1 + rz * rz)) / det)
+    }
+  }
 
   /** EPSG code of the WGS84 UTM zone containing a point. */
   def utmSrid(latDeg: Double, lonDeg: Double): Int =

@@ -21,10 +21,12 @@ import java.util.concurrent.ConcurrentHashMap
  *
  * Recognized parameters: +ellps (WGS84 | GRS80 | intl | bessel | airy |
  * sphere), +a +b +rf +f +R overrides, +lat_0 +lon_0 +lat_ts +lat_1 +lat_2
- * +k/+k_0 +x_0 +y_0, and the
- * no-op tail every PROJ string carries (+units=m, +no_defs, +type=crs,
- * +datum=WGS84, all-zero +towgs84). Anything else throws — a CRS must never
- * be silently misinterpreted.
+ * +k/+k_0 +x_0 +y_0, +towgs84 datum shifts (3-parameter geocentric
+ * translation EPSG 9603, or 7-parameter position-vector Helmert EPSG 9606 —
+ * PROJ's convention, applied through geocentric XYZ around the WGS84 hub),
+ * and the no-op tail every PROJ string carries (+units=m, +no_defs,
+ * +type=crs, +datum=WGS84). Anything else throws — a CRS must never be
+ * silently misinterpreted.
  */
 /**
  * Options for `to_crs`-style transforms — the analogue of the reference's
@@ -55,7 +57,10 @@ object ProjString {
                         /** rectifying-northing of lat_0 (tmerc origin shift) */
                         tmRefY: Double,
                         /** standard parallels (lcc 2SP) */
-                        lat1: Double = 0.0, lat2: Double = 0.0)
+                        lat1: Double = 0.0, lat2: Double = 0.0,
+                        /** +towgs84 datum shift (local geocentric -> WGS84);
+                         *  None = the CRS shares the WGS84 datum */
+                        helmert: Option[Proj.Helmert] = None)
 
   // parse results are tiny and the distinct strings per job are few (they
   // arrive as column literals); cap the cache against adversarial cardinality
@@ -105,8 +110,24 @@ object ProjString {
     kv.keys.find(!known.contains(_)).foreach(k => fail(s, s"unknown parameter +$k"))
     kv.get("units").filter(_ != "m").foreach(u => fail(s, s"unsupported units $u"))
     kv.get("datum").filter(_ != "WGS84").foreach(d => fail(s, s"unsupported datum $d"))
-    kv.get("towgs84").filter(_.split(",").exists(v => v.trim.toDouble != 0.0))
-      .foreach(_ => fail(s, "datum shifts (+towgs84) not supported"))
+    // +towgs84: 3-parameter geocentric translation (EPSG 9603) or 7-parameter
+    // position-vector Helmert (EPSG 9606) mapping the local datum to WGS84 —
+    // PROJ's convention. Arc-seconds and ppm normalize to radians / unit
+    // scale here; an all-zero shift is the same as no shift.
+    val helmert = kv.get("towgs84").flatMap { v =>
+      val ps = v.split(",", -1).map(t => try t.trim.toDouble catch {
+        case _: NumberFormatException => fail(s, "bad number in +towgs84")
+      })
+      if (ps.length != 3 && ps.length != 7)
+        fail(s, s"+towgs84 needs 3 or 7 comma-separated values, got ${ps.length}")
+      if (ps.forall(_ == 0.0)) None
+      else {
+        val asec = math.Pi / (180.0 * 3600.0)
+        val r = if (ps.length == 7) ps.slice(3, 6).map(_ * asec) else Array(0.0, 0.0, 0.0)
+        Some(Proj.Helmert(ps(0), ps(1), ps(2), r(0), r(1), r(2),
+          if (ps.length == 7) ps(6) * 1e-6 else 0.0))
+      }
+    }
 
     def num(key: String, default: Double): Double =
       kv.get(key).map(v => try v.toDouble catch {
@@ -154,7 +175,7 @@ object ProjString {
         fail(s, s"+proj=$proj needs BOTH +lat_1 and +lat_2 (2SP form)")
     }
     mkSpec(s, proj, ell, lat0, lon0, k0eff, x0, y0,
-      num("lat_1", 0.0), num("lat_2", 0.0))
+      num("lat_1", 0.0), num("lat_2", 0.0)).copy(helmert = helmert)
   }
 
   private def mkSpec(s: String, proj: String, ell: Proj.Ellipsoid,
@@ -439,7 +460,43 @@ object ProjString {
     }
   }
 
-  def fromLonLat(spec: Spec, lon: Double, lat: Double): (Double, Double) = spec.proj match {
+  // The transform hub is WGS84 lon/lat (EPSG:4326, how the reference's PROJ
+  // pipelines are built: ops/proj.rs:58-67 crs_to_crs through the geodetic
+  // CRS). A spec with a +towgs84 shift projects LOCAL-datum geographic
+  // coordinates, so hub coordinates pass through the (inverse) Helmert via
+  // geocentric XYZ before projecting, and after unprojecting on the way out.
+
+  /** WGS84 hub lon/lat -> the spec's local-datum geographic lon/lat. */
+  private def hubToLocal(spec: Spec, lon: Double, lat: Double): (Double, Double) =
+    spec.helmert match {
+      case None => (lon, lat)
+      case Some(h) =>
+        val (xw, yw, zw) = Proj.geodeticToXyz(Proj.Wgs84, lon, lat)
+        val (x, y, z) = h.inverse(xw, yw, zw)
+        Proj.xyzToGeodetic(spec.ell, x, y, z)
+    }
+
+  /** The spec's local-datum geographic lon/lat -> WGS84 hub lon/lat. */
+  private def localToHub(spec: Spec, lon: Double, lat: Double): (Double, Double) =
+    spec.helmert match {
+      case None => (lon, lat)
+      case Some(h) =>
+        val (x, y, z) = Proj.geodeticToXyz(spec.ell, lon, lat)
+        val (xw, yw, zw) = h.forward(x, y, z)
+        Proj.xyzToGeodetic(Proj.Wgs84, xw, yw, zw)
+    }
+
+  def fromLonLat(spec: Spec, lon: Double, lat: Double): (Double, Double) = {
+    val (lo, la) = hubToLocal(spec, lon, lat)
+    project(spec, lo, la)
+  }
+
+  def toLonLat(spec: Spec, x: Double, y: Double): (Double, Double) = {
+    val (lo, la) = unproject(spec, x, y)
+    localToHub(spec, lo, la)
+  }
+
+  private def project(spec: Spec, lon: Double, lat: Double): (Double, Double) = spec.proj match {
     case "epsg" => Proj.fromLonLat(spec.srid, lon, lat)
     case "longlat" => (lon, lat)
     case "merc" => Proj.mercForward(spec.ell, lon, lat, spec.lon0, spec.k0, spec.x0, spec.y0)
@@ -462,7 +519,7 @@ object ProjString {
         spec.lat1, spec.lat2, spec.x0, spec.y0)
   }
 
-  def toLonLat(spec: Spec, x: Double, y: Double): (Double, Double) = spec.proj match {
+  private def unproject(spec: Spec, x: Double, y: Double): (Double, Double) = spec.proj match {
     case "epsg" => Proj.toLonLat(spec.srid, x, y)
     case "longlat" => (x, y)
     case "merc" => Proj.mercInverse(spec.ell, x, y, spec.lon0, spec.k0, spec.x0, spec.y0)

@@ -175,8 +175,9 @@ class ProjSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](ProjString.parse("+proj=robin +lon_0=0"))
     intercept[IllegalArgumentException](ProjString.parse("+proj=merc +nadgrids=@null"))
     intercept[IllegalArgumentException](ProjString.parse("+proj=merc +units=ft"))
-    intercept[IllegalArgumentException](
-      ProjString.parse("+proj=merc +ellps=WGS84 +towgs84=598.1,73.7,418.2"))
+    // +towgs84 parses since r5 session 3 (Helmert shift support)
+    assert(ProjString.parse(
+      "+proj=merc +ellps=WGS84 +towgs84=598.1,73.7,418.2").helmert.isDefined)
     // polar-aspect laea parses since r5 (it used to be a documented refusal)
     assert(ProjString.parse("+proj=laea +lat_0=90 +ellps=WGS84").proj == "laea")
     // EPSG:2154 (Lambert-93) parses since r5 session 2 (LCC landed)
@@ -617,6 +618,85 @@ class ProjSpec extends AnyFunSuite {
       val (px, py) = Proj.fromLonLat(27700, lo, la)
       val (lo2, la2) = Proj.toLonLat(27700, px, py)
       assert(math.abs(lo2 - lo) < 1e-9 && math.abs(la2 - la) < 1e-9, s"$lo $la")
+    }
+  }
+
+  test("Helmert position vector: IOGP GN 7-2 worked example (EPSG 9606)") {
+    import graft.geom.Proj
+    // GN 7-2 §4.4.4.2 (WGS72 -> WGS84): tX=0 tY=0 tZ=+4.5 m, rX=rY=0
+    // rZ=+0.554", dS=+0.219 ppm; source (3657660.66, 255768.55, 5201382.11)
+    // -> target (3657660.78, 255778.43, 5201387.75).
+    val asec = math.Pi / (180.0 * 3600.0)
+    val h = Proj.Helmert(0.0, 0.0, 4.5, 0.0, 0.0, 0.554 * asec, 0.219e-6)
+    val (x, y, z) = h.forward(3657660.66, 255768.55, 5201382.11)
+    assert(math.abs(x - 3657660.78) < 0.01, s"X=$x")
+    assert(math.abs(y - 255778.43) < 0.01, s"Y=$y")
+    assert(math.abs(z - 5201387.75) < 0.01, s"Z=$z")
+    // the exact-matrix inverse roundtrips to machine precision
+    val (bx, by, bz) = h.inverse(x, y, z)
+    assert(math.abs(bx - 3657660.66) < 1e-8)
+    assert(math.abs(by - 255768.55) < 1e-8)
+    assert(math.abs(bz - 5201382.11) < 1e-8)
+  }
+
+  test("geodetic <-> geocentric roundtrips on WGS84, Airy and the sphere") {
+    import graft.geom.Proj
+    for (ell <- Seq(Proj.Wgs84, Proj.Airy, Proj.Ellipsoid(6371000.0, 0.0));
+         la <- Seq(-89.0, -45.5, 0.0, 33.25, 52.1, 89.0);
+         lo <- Seq(-179.0, -60.0, 0.0, 91.5, 179.5)) {
+      val (x, y, z) = Proj.geodeticToXyz(ell, lo, la)
+      val (lo2, la2) = Proj.xyzToGeodetic(ell, x, y, z)
+      assert(math.abs(lo2 - lo) < 1e-11 && math.abs(la2 - la) < 1e-11,
+        s"$ell $lo $la -> $lo2 $la2")
+    }
+    // poles: p = 0 branch
+    val (_, _, zp) = Proj.geodeticToXyz(Proj.Wgs84, 0.0, 90.0)
+    assert(Proj.xyzToGeodetic(Proj.Wgs84, 0.0, 0.0, zp)._2 == 90.0)
+  }
+
+  test("+towgs84 parse + transform semantics") {
+    import graft.geom.{Proj, ProjString}
+    // all-zero shift == no parameter (both 3 and 7 values)
+    assert(ProjString.parse("+proj=longlat +ellps=WGS84 +towgs84=0,0,0").helmert.isEmpty)
+    assert(ProjString.parse(
+      "+proj=longlat +ellps=WGS84 +towgs84=0,0,0,0,0,0,0").helmert.isEmpty)
+    // 7 params with zero rotation/scale == 3 params
+    val s3 = ProjString.parse("+proj=longlat +ellps=intl +towgs84=-87,-98,-121")
+    val s7 = ProjString.parse(
+      "+proj=longlat +ellps=intl +towgs84=-87,-98,-121,0,0,0,0")
+    assert(ProjString.fromLonLat(s3, 12.3, 45.6) == ProjString.fromLonLat(s7, 12.3, 45.6))
+    // wrong arity fails fast
+    intercept[IllegalArgumentException](
+      ProjString.parse("+proj=longlat +ellps=WGS84 +towgs84=1,2"))
+
+    // a radial shift at (0N,0E) leaves lon/lat unchanged (absorbed in h):
+    // WGS84 (0,0) is at XYZ (a,0,0); towgs84=100,0,0 pulls X only
+    val rad = ProjString.parse("+proj=longlat +ellps=WGS84 +towgs84=100,0,0")
+    val (rl, rb) = ProjString.fromLonLat(rad, 0.0, 0.0)
+    assert(math.abs(rl) < 1e-12 && math.abs(rb) < 1e-12, s"($rl,$rb)")
+    // a tangential shift at (0,0) moves lon by atan2(-ty, a) exactly
+    val tan = ProjString.parse("+proj=longlat +ellps=WGS84 +towgs84=0,100,0")
+    val (tl, tb) = ProjString.fromLonLat(tan, 0.0, 0.0)
+    val expLon = math.toDegrees(math.atan2(-100.0, 6378137.0))
+    assert(math.abs(tl - expLon) < 1e-12 && math.abs(tb) < 1e-12, s"($tl,$tb)")
+
+    // full OSGB36 string (tmerc on Airy + the official 7-param shift):
+    // WGS84 hub roundtrips through the datum-shifted grid, and the shift
+    // moves the projected point by the ~50-200 m OSGB36<->WGS84 offset
+    val osgb = "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 " +
+      "+x_0=400000 +y_0=-100000 +ellps=airy " +
+      "+towgs84=446.448,-125.157,542.06,0.15,0.247,0.842,-20.489"
+    val so = ProjString.parse(osgb)
+    // 2D roundtrip tolerance: the ellipsoidal height is dropped on both
+    // directions of a datum shift (the 2D contract), so a shifted roundtrip
+    // is exact only to ~mm (PROJ behaves identically); 1e-7 deg ~ 1 cm
+    for ((lo, la) <- Seq((-0.1278, 51.5074), (-3.2, 55.95), (-5.93, 54.6))) {
+      val (e, n) = ProjString.fromLonLat(so, lo, la)
+      val (lo2, la2) = ProjString.toLonLat(so, e, n)
+      assert(math.abs(lo2 - lo) < 1e-7 && math.abs(la2 - la) < 1e-7, s"$lo $la")
+      val (e0, n0) = Proj.fromLonLat(27700, lo, la) // same grid, no shift
+      val d = math.hypot(e - e0, n - n0)
+      assert(d > 50 && d < 200, s"datum offset $d m at ($lo,$la)")
     }
   }
 }
