@@ -20,12 +20,17 @@ import java.util.concurrent.ConcurrentHashMap
  *   EPSG:nnnn      authority form, routed to the numeric dispatch
  *
  * Recognized parameters: +ellps (WGS84 | GRS80 | intl | bessel | airy |
- * sphere), +a +b +rf +f +R overrides, +lat_0 +lon_0 +lat_ts +lat_1 +lat_2
- * +k/+k_0 +x_0 +y_0, +towgs84 datum shifts (3-parameter geocentric
- * translation EPSG 9603, or 7-parameter position-vector Helmert EPSG 9606 —
- * PROJ's convention, applied through geocentric XYZ around the WGS84 hub),
- * and the no-op tail every PROJ string carries (+units=m, +no_defs,
- * +type=crs, +datum=WGS84). Anything else throws — a CRS must never be
+ * mod_airy | clrk66 | clrk80ign | sphere), +a +b +rf +f +R overrides,
+ * +lat_0 +lon_0 +lat_ts +lat_1 +lat_2 +k/+k_0 +x_0 +y_0, +towgs84 datum
+ * shifts (3-parameter geocentric translation EPSG 9603, or 7-parameter
+ * position-vector Helmert EPSG 9606 — PROJ's convention, applied through
+ * geocentric XYZ around the WGS84 hub), +datum shorthands (PROJ's built-in
+ * table: NAD83, OSGB36, nzgd49, ire65, potsdam, … — expanded to their
+ * ellipsoid + towgs84 tuple; grid-shift NAD27 is refused), +units/+to_meter
+ * projected-axis units (ft, us-ft, km, … — PROJ's fr_meter output step),
+ * and the no-op tail every PROJ string carries (+no_defs, +type=crs).
+ * `OGC:CRS84` (bare / authority / URN spelling) and `urn:ogc:def:crs:EPSG::n`
+ * are accepted as CRS names. Anything else throws — a CRS must never be
  * silently misinterpreted.
  */
 /**
@@ -60,7 +65,12 @@ object ProjString {
                         lat1: Double = 0.0, lat2: Double = 0.0,
                         /** +towgs84 datum shift (local geocentric -> WGS84);
                          *  None = the CRS shares the WGS84 datum */
-                        helmert: Option[Proj.Helmert] = None)
+                        helmert: Option[Proj.Helmert] = None,
+                        /** projected-axis unit in meters (+units/+to_meter);
+                         *  PROJ semantics: +x_0/+y_0 stay in meters, the
+                         *  WHOLE projected coordinate (false origin included)
+                         *  converts on output */
+                        toMeter: Double = 1.0)
 
   // parse results are tiny and the distinct strings per job are few (they
   // arrive as column literals); cap the cache against adversarial cardinality
@@ -81,14 +91,54 @@ object ProjString {
     "intl" -> Proj.Ellipsoid(6378388.0, 1.0 / 297.0),
     "bessel" -> Proj.Ellipsoid(6377397.155, 1.0 / 299.1528128),
     "airy" -> Proj.Airy,
+    // defined a/b in PROJ's table; f = (a-b)/a
+    "mod_airy" -> Proj.Ellipsoid(6377340.189, (6377340.189 - 6356034.446) / 6377340.189),
+    "clrk66" -> Proj.Ellipsoid(6378206.4, (6378206.4 - 6356583.8) / 6378206.4),
+    "clrk80ign" -> Proj.Ellipsoid(6378249.2, 1.0 / 293.4660212936269),
     "sphere" -> Proj.Ellipsoid(6371000.0, 0.0))
+
+  /** PROJ's built-in `+units=` projected-axis units (pj_units table) as
+   *  to-meter factors. Anything else needs an explicit `+to_meter=`. */
+  private val knownUnits = Map(
+    "m" -> 1.0, "km" -> 1000.0, "dm" -> 0.1, "cm" -> 0.01, "mm" -> 0.001,
+    "ft" -> 0.3048, "us-ft" -> 1200.0 / 3937.0, "ind-ft" -> 0.30479841,
+    "yd" -> 0.9144, "us-yd" -> 3600.0 / 3937.0,
+    "mi" -> 1609.344, "us-mi" -> 6336000.0 / 3937.0,
+    "kmi" -> 1852.0, "fath" -> 1.8288, "ch" -> 20.1168, "us-ch" -> 79200.0 / 3937.0,
+    "link" -> 0.201168, "us-in" -> 100.0 / 3937.0, "in" -> 0.0254)
+
+  /** PROJ's built-in `+datum=` shorthands (pj_datums table): ellipsoid plus
+   *  the Helmert tuple to WGS84, expanded exactly as PROJ expands them. The
+   *  grid-shift datums (NAD27's conus/alaska NTv2 grids) are refused — a
+   *  grid file cannot be summarized as 7 numbers without silently degrading
+   *  accuracy by tens of meters. */
+  private val knownDatums: Map[String, (String, String)] = Map(
+    "WGS84" -> ("WGS84", "0,0,0"),
+    "NAD83" -> ("GRS80", "0,0,0"),
+    "GGRS87" -> ("GRS80", "-199.87,74.79,246.62"),
+    "potsdam" -> ("bessel", "598.1,73.7,418.2,0.202,0.045,-2.455,6.7"),
+    "carthage" -> ("clrk80ign", "-263.0,6.0,431.0"),
+    "hermannskogel" -> ("bessel", "577.326,90.129,463.919,5.137,1.474,5.297,2.4232"),
+    "ire65" -> ("mod_airy", "482.530,-130.596,564.557,-1.042,-0.214,-0.631,8.15"),
+    "nzgd49" -> ("intl", "59.47,-5.04,187.44,0.47,-0.1,1.024,-4.5993"),
+    "OSGB36" -> ("airy", "446.448,-125.157,542.060,0.1502,0.2470,0.8421,-20.4894"))
 
   private def fail(s: String, why: String): Nothing =
     throw new IllegalArgumentException(s"to_crs: unsupported PROJ string '$s' ($why)")
 
   private def doParse(raw: String): Spec = {
-    val s = raw.trim
+    var s = raw.trim
     if (s.startsWith("{")) return parseProjJson(s)
+    // OGC:CRS84 — WGS84 geographic in explicit lon/lat axis order (the
+    // GeoJSON / GeoParquet default CRS). This engine is always lon/lat, so
+    // it is exactly the longlat identity; accepted in the bare, authority,
+    // and URN spellings pyproj emits.
+    val sl = s.toLowerCase
+    if (sl == "crs84" || sl == "ogc:crs84" || sl == "urn:ogc:def:crs:ogc:1.3:crs84")
+      return Spec("longlat", Proj.Wgs84, 0, 0, 1, 0, 0, 0, 0)
+    // urn:ogc:def:crs:EPSG::nnnn -> the EPSG authority form
+    if (sl.startsWith("urn:ogc:def:crs:epsg:"))
+      s = "EPSG:" + s.substring(s.lastIndexOf(':') + 1)
     if (s.toLowerCase.startsWith("epsg:")) {
       val srid = try s.substring(5).trim.toInt catch {
         case _: NumberFormatException => fail(s, "bad EPSG code")
@@ -106,10 +156,42 @@ object ProjString {
     }
     val known = Set("proj", "ellps", "datum", "a", "b", "rf", "f", "R",
       "lat_0", "lon_0", "lat_ts", "lat_1", "lat_2", "k", "k_0", "x_0", "y_0",
-      "units", "no_defs", "towgs84", "type")
+      "units", "to_meter", "no_defs", "towgs84", "type")
     kv.keys.find(!known.contains(_)).foreach(k => fail(s, s"unknown parameter +$k"))
-    kv.get("units").filter(_ != "m").foreach(u => fail(s, s"unsupported units $u"))
-    kv.get("datum").filter(_ != "WGS84").foreach(d => fail(s, s"unsupported datum $d"))
+    // +units / +to_meter: projected-axis unit. PROJ lets an explicit
+    // +to_meter coexist with (and win over) +units, but a string carrying
+    // both is almost always a generator bug — refuse unless they agree.
+    val toMeter = (kv.get("units"), kv.get("to_meter")) match {
+      case (None, None) => 1.0
+      case (Some(u), None) =>
+        knownUnits.getOrElse(u, fail(s, s"unsupported units $u"))
+      case (None, Some(t)) =>
+        val v = try t.toDouble catch {
+          case _: NumberFormatException => fail(s, "bad number for +to_meter")
+        }
+        if (!(v > 0.0)) fail(s, "+to_meter must be positive")
+        v
+      case (Some(u), Some(t)) =>
+        val uv = knownUnits.getOrElse(u, fail(s, s"unsupported units $u"))
+        val tv = try t.toDouble catch {
+          case _: NumberFormatException => fail(s, "bad number for +to_meter")
+        }
+        if (math.abs(uv - tv) > 1e-12 * uv)
+          fail(s, s"+units=$u and +to_meter=$t disagree")
+        uv
+    }
+    // +datum shorthand expands to its ellipsoid + towgs84 tuple exactly as
+    // PROJ expands it; explicit +ellps/+towgs84/axis overrides alongside a
+    // datum are contradictory and refused.
+    kv.get("datum").foreach { d =>
+      if (d == "NAD27")
+        fail(s, "+datum=NAD27 is grid-shift-based (NTv2); no 7-parameter " +
+          "expansion is honest — reproject via a +towgs84 approximation explicitly")
+      val (e, t) = knownDatums.getOrElse(d, fail(s, s"unsupported datum $d"))
+      Seq("ellps", "towgs84", "a", "b", "rf", "f", "R").find(kv.contains)
+        .foreach(k => fail(s, s"+datum=$d conflicts with explicit +$k"))
+      kv += ("ellps" -> e); kv += ("towgs84" -> t); kv -= "datum"
+    }
     // +towgs84: 3-parameter geocentric translation (EPSG 9603) or 7-parameter
     // position-vector Helmert (EPSG 9606) mapping the local datum to WGS84 —
     // PROJ's convention. Arc-seconds and ppm normalize to radians / unit
@@ -174,8 +256,11 @@ object ProjString {
       if (!(kv.contains("lat_1") && kv.contains("lat_2")))
         fail(s, s"+proj=$proj needs BOTH +lat_1 and +lat_2 (2SP form)")
     }
+    if (proj == "longlat" && toMeter != 1.0)
+      fail(s, "+units/+to_meter on +proj=longlat (degrees have no linear unit)")
     mkSpec(s, proj, ell, lat0, lon0, k0eff, x0, y0,
-      num("lat_1", 0.0), num("lat_2", 0.0)).copy(helmert = helmert)
+      num("lat_1", 0.0), num("lat_2", 0.0))
+      .copy(helmert = helmert, toMeter = toMeter)
   }
 
   private def mkSpec(s: String, proj: String, ell: Proj.Ellipsoid,
@@ -488,11 +573,16 @@ object ProjString {
 
   def fromLonLat(spec: Spec, lon: Double, lat: Double): (Double, Double) = {
     val (lo, la) = hubToLocal(spec, lon, lat)
-    project(spec, lo, la)
+    val (x, y) = project(spec, lo, la)
+    // PROJ's fr_meter step: the whole projected coordinate (false origin
+    // included — +x_0/+y_0 are always meters) converts to the axis unit
+    if (spec.toMeter == 1.0) (x, y) else (x / spec.toMeter, y / spec.toMeter)
   }
 
   def toLonLat(spec: Spec, x: Double, y: Double): (Double, Double) = {
-    val (lo, la) = unproject(spec, x, y)
+    val (lo, la) =
+      if (spec.toMeter == 1.0) unproject(spec, x, y)
+      else unproject(spec, x * spec.toMeter, y * spec.toMeter)
     localToHub(spec, lo, la)
   }
 

@@ -174,7 +174,8 @@ class ProjSpec extends AnyFunSuite {
   test("proj-string: unknown parameters, projections, and datum shifts throw") {
     intercept[IllegalArgumentException](ProjString.parse("+proj=robin +lon_0=0"))
     intercept[IllegalArgumentException](ProjString.parse("+proj=merc +nadgrids=@null"))
-    intercept[IllegalArgumentException](ProjString.parse("+proj=merc +units=ft"))
+    // +units parses since r5 session 4 (fr_meter output step)
+    assert(ProjString.parse("+proj=merc +units=ft").toMeter == 0.3048)
     // +towgs84 parses since r5 session 3 (Helmert shift support)
     assert(ProjString.parse(
       "+proj=merc +ellps=WGS84 +towgs84=598.1,73.7,418.2").helmert.isDefined)
@@ -698,5 +699,99 @@ class ProjSpec extends AnyFunSuite {
       val d = math.hypot(e - e0, n - n0)
       assert(d > 50 && d < 200, s"datum offset $d m at ($lo,$la)")
     }
+  }
+
+  test("+units / +to_meter: PROJ fr_meter output semantics") {
+    import graft.geom.ProjString
+    // us-ft output is EXACTLY the meters output / 0.30480060960121924 —
+    // false easting included (PROJ converts the whole coordinate, +x_0 is
+    // given in meters): EPSG:2230-style California zone 6 in US survey feet
+    val base = "+proj=lcc +lat_1=33.88333333333334 +lat_2=32.78333333333333 " +
+      "+lat_0=32.16666666666666 +lon_0=-116.25 +x_0=2000000.0001016 " +
+      "+y_0=500000.0001016002 +ellps=GRS80"
+    val m = ProjString.parse(base)
+    val usft = ProjString.parse(base + " +units=us-ft")
+    val usftM = 1200.0 / 3937.0
+    for ((lo, la) <- Seq((-117.2, 32.7), (-116.0, 33.5), (-115.5, 32.9))) {
+      val (xm, ym) = ProjString.fromLonLat(m, lo, la)
+      val (xf, yf) = ProjString.fromLonLat(usft, lo, la)
+      assert(math.abs(xf - xm / usftM) < 1e-9 * math.abs(xf), s"x $xf vs ${xm / usftM}")
+      assert(math.abs(yf - ym / usftM) < 1e-9 * math.abs(yf) + 1e-9)
+      // and the inverse consumes feet
+      val (lo2, la2) = ProjString.toLonLat(usft, xf, yf)
+      assert(math.abs(lo2 - lo) < 1e-11 && math.abs(la2 - la) < 1e-11)
+    }
+    // +to_meter with the same factor is identical; a disagreeing pair fails
+    // the decimal literal and 1200/3937 differ by at most 1 ulp in the
+    // to-meter factor, so compare the projected output to 1 ulp too
+    val viaTm = ProjString.parse(base + " +to_meter=0.30480060960121924")
+    val (tx, ty) = ProjString.fromLonLat(viaTm, -116.0, 33.5)
+    val (ux, uy) = ProjString.fromLonLat(usft, -116.0, 33.5)
+    assert(math.abs(tx - ux) <= math.ulp(ux) && math.abs(ty - uy) <= math.ulp(uy))
+    intercept[IllegalArgumentException](
+      ProjString.parse(base + " +units=us-ft +to_meter=0.3048"))
+    // km and international feet
+    val km = ProjString.parse("+proj=merc +ellps=WGS84 +units=km")
+    val mm0 = ProjString.parse("+proj=merc +ellps=WGS84")
+    val (kx, ky) = ProjString.fromLonLat(km, 10.0, 45.0)
+    val (mx0, my0) = ProjString.fromLonLat(mm0, 10.0, 45.0)
+    assert(math.abs(kx - mx0 / 1000.0) < 1e-12 * math.abs(mx0))
+    assert(math.abs(ky - my0 / 1000.0) < 1e-12 * math.abs(my0))
+    assert(math.abs(ProjString.parse("+proj=merc +ellps=WGS84 +units=ft")
+      .toMeter - 0.3048) == 0.0)
+    // degrees have no linear unit
+    intercept[IllegalArgumentException](
+      ProjString.parse("+proj=longlat +ellps=WGS84 +units=ft"))
+    intercept[IllegalArgumentException](
+      ProjString.parse("+proj=merc +ellps=WGS84 +units=parsec"))
+    intercept[IllegalArgumentException](
+      ProjString.parse("+proj=merc +ellps=WGS84 +to_meter=-1"))
+  }
+
+  test("+datum shorthands expand to PROJ's ellipsoid + towgs84 tuples") {
+    import graft.geom.ProjString
+    // +datum=OSGB36 is point-for-point the explicit airy + official 7-tuple
+    val short = ProjString.parse("+proj=tmerc +lat_0=49 +lon_0=-2 " +
+      "+k=0.9996012717 +x_0=400000 +y_0=-100000 +datum=OSGB36")
+    val long = ProjString.parse("+proj=tmerc +lat_0=49 +lon_0=-2 " +
+      "+k=0.9996012717 +x_0=400000 +y_0=-100000 +ellps=airy " +
+      "+towgs84=446.448,-125.157,542.060,0.1502,0.2470,0.8421,-20.4894")
+    for ((lo, la) <- Seq((-0.1278, 51.5074), (-3.2, 55.95)))
+      assert(ProjString.fromLonLat(short, lo, la) ==
+        ProjString.fromLonLat(long, lo, la))
+    // NAD83 == GRS80 with a zero shift (WGS84-equivalent hub)
+    val nad83 = ProjString.parse("+proj=merc +datum=NAD83")
+    assert(nad83.helmert.isEmpty && nad83.ell == graft.geom.Proj.Grs80)
+    // WGS84 stays the no-op it always was
+    assert(ProjString.parse("+proj=longlat +datum=WGS84").helmert.isEmpty)
+    // the new ellipsoids resolve (ire65 -> mod_airy, carthage -> clrk80ign)
+    assert(ProjString.parse("+proj=merc +datum=ire65").ell.a == 6377340.189)
+    assert(ProjString.parse("+proj=merc +datum=carthage").ell.a == 6378249.2)
+    assert(ProjString.parse("+proj=merc +ellps=clrk66").ell.a == 6378206.4)
+    // grid-shift datum and contradictions fail fast
+    intercept[IllegalArgumentException](
+      ProjString.parse("+proj=merc +datum=NAD27"))
+    intercept[IllegalArgumentException](
+      ProjString.parse("+proj=merc +datum=OSGB36 +ellps=WGS84"))
+    intercept[IllegalArgumentException](
+      ProjString.parse("+proj=merc +datum=OSGB36 +towgs84=1,2,3"))
+    intercept[IllegalArgumentException](
+      ProjString.parse("+proj=merc +datum=ED50"))
+  }
+
+  test("OGC:CRS84 and URN spellings resolve as CRS names") {
+    import graft.geom.ProjString
+    for (name <- Seq("CRS84", "OGC:CRS84", "urn:ogc:def:crs:OGC:1.3:CRS84")) {
+      val spec = ProjString.parse(name)
+      assert(spec.proj == "longlat" && spec.helmert.isEmpty)
+      assert(ProjString.fromLonLat(spec, 12.5, -33.25) == ((12.5, -33.25)))
+    }
+    // urn EPSG form routes to the numeric dispatch
+    val urn = ProjString.parse("urn:ogc:def:crs:EPSG::3857")
+    assert(urn.proj == "epsg" && urn.srid == 3857)
+    assert(ProjString.fromLonLat(urn, 10.0, 45.0) ==
+      graft.geom.Proj.fromLonLat(3857, 10.0, 45.0))
+    intercept[IllegalArgumentException](
+      ProjString.parse("urn:ogc:def:crs:EPSG::99999"))
   }
 }
