@@ -155,6 +155,39 @@ def compute_ref_cities():
     return out
 
 
+def lcc2263_inverse(x_usft, y_usft):
+    """Pure-Python Snyder §15 LCC-2SP inverse for EPSG:2263 (NAD83 / New
+    York Long Island, US survey feet) — written from the book's equations
+    15-1..15-11, independent of the Scala kernel."""
+    a, f = 6378137.0, 1.0 / 298.257222101          # GRS80
+    e2 = f * (2 - f); e = math.sqrt(e2)
+    usft = 1200.0 / 3937.0
+    lat0, lon0 = math.radians(40 + 10 / 60.0), math.radians(-74.0)
+    lat1, lat2 = math.radians(40 + 40 / 60.0), math.radians(41 + 2 / 60.0)
+    fe, fn = 984250.0 * usft, 0.0
+
+    def m(phi):
+        return math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+
+    def tf(phi):
+        s = math.sin(phi)
+        return math.tan(math.pi / 4 - phi / 2) / ((1 - e * s) / (1 + e * s)) ** (e / 2)
+
+    n = (math.log(m(lat1)) - math.log(m(lat2))) / (math.log(tf(lat1)) - math.log(tf(lat2)))
+    F = m(lat1) / (n * tf(lat1) ** n)
+    rho0 = a * F * tf(lat0) ** n
+    x = x_usft * usft - fe
+    y = rho0 - (y_usft * usft - fn)
+    rho = math.copysign(math.hypot(x, y), n)
+    tprime = (rho / (a * F)) ** (1.0 / n)
+    lam = math.atan2(x, y) / n + lon0
+    phi = math.pi / 2 - 2 * math.atan(tprime)
+    for _ in range(12):
+        s = math.sin(phi)
+        phi = math.pi / 2 - 2 * math.atan(tprime * ((1 - e * s) / (1 + e * s)) ** (e / 2))
+    return math.degrees(lam), math.degrees(phi)
+
+
 def compute_ref_nybb():
     t = read_arrow(f"{DATASETS}/nybb.arrow")
     out = {}
@@ -173,7 +206,9 @@ def compute_ref_nybb():
             hull_milli=math.floor(convex_hull_area(pts) * 1e3 + 0.5),
             n_parts=len(g),
             esri_area_ok=abs(area / sa - 1) < 5e-6,
-            esri_len_ok=abs(ext_len / sl - 1) < 1e-4)
+            esri_len_ok=abs(ext_len / sl - 1) < 1e-4,
+            clon_micro=micro(lcc2263_inverse(cx, cy)[0]),
+            clat_micro=micro(lcc2263_inverse(cx, cy)[1]))
     return out
 
 

@@ -153,9 +153,9 @@ object RecordedOracles {
       |FROM v""".stripMargin
 
   val refNybbSql: String =
-      """WITH v(boro_code, boro_name, area_milli, cx_micro, cy_micro, hull_milli, n_parts, esri_area_ok, esri_len_ok) AS (VALUES
-      |(5, 'Staten Island', 1623821996707, 941639450388, 150931991141, 2062719587461, 4, TRUE, TRUE), (4, 'Queens', 3045213694323, 1034578078406, 197116604230, 5229324762830, 18, TRUE, TRUE), (3, 'Brooklyn', 1937478349332, 998769114689, 174169760727, 2509323205502, 27, TRUE, TRUE),
-      |(1, 'Manhattan', 636471237967, 993336964938, 222451436725, 1098706541503, 33, TRUE, TRUE), (2, 'Bronx', 1186926294337, 1021174789767, 249937980070, 1658522106118, 24, TRUE, TRUE))
+      """WITH v(boro_code, boro_name, area_milli, cx_micro, cy_micro, hull_milli, n_parts, esri_area_ok, esri_len_ok, clon_micro, clat_micro) AS (VALUES
+      |(5, 'Staten Island', 1623821996707, 941639450388, 150931991141, 2062719587461, 4, TRUE, TRUE, -74153399, 40580847), (4, 'Queens', 3045213694323, 1034578078406, 197116604230, 5229324762830, 18, TRUE, TRUE, -73818473, 40707573), (3, 'Brooklyn', 1937478349332, 998769114689, 174169760727, 2509323205502, 27, TRUE, TRUE, -73947681, 40644720),
+      |(1, 'Manhattan', 636471237967, 993336964938, 222451436725, 1098706541503, 33, TRUE, TRUE, -73967190, 40777249), (2, 'Bronx', 1186926294337, 1021174789767, 249937980070, 1658522106118, 24, TRUE, TRUE, -73866527, 40852620))
       |SELECT CAST(boro_code AS INT) AS boro_code,
       | boro_name,
       | CAST(area_milli AS BIGINT) AS area_milli,
@@ -164,7 +164,9 @@ object RecordedOracles {
       | CAST(hull_milli AS BIGINT) AS hull_milli,
       | CAST(n_parts AS BIGINT) AS n_parts,
       | esri_area_ok,
-      | esri_len_ok
+      | esri_len_ok,
+      | CAST(clon_micro AS BIGINT) AS clon_micro,
+      | CAST(clat_micro AS BIGINT) AS clat_micro
       |FROM v""".stripMargin
 
   val refCountriesSql: String =

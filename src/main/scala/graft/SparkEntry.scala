@@ -1711,7 +1711,15 @@ object SparkEntry {
         size(st_dump(col("geometry"))).cast("long").as("n_parts"),
         (abs(st_area(col("geometry")) / col("Shape_Area") - 1) < 5e-6).as("esri_area_ok"),
         (abs(aggregate(transform(st_dump(col("geometry")), g => st_length(g)),
-          lit(0.0), (a, x) => a + x) / col("Shape_Leng") - 1) < 1e-4).as("esri_len_ok"))
+          lit(0.0), (a, x) => a + x) / col("Shape_Leng") - 1) < 1e-4).as("esri_len_ok"),
+        // real to_crs on real data: the file's native CRS is EPSG:2263
+        // (NAD83 / New York Long Island, US survey feet) — reproject the
+        // borough centroid to lon/lat; check_refdata.py recomputes this
+        // with its own pure-Python LCC-2SP inverse
+        micro(st_x(st_transform(st_centroid(col("geometry")), lit(2263), lit(4326))))
+          .as("clon_micro"),
+        micro(st_y(st_transform(st_centroid(col("geometry")), lit(2263), lit(4326))))
+          .as("clat_micro"))
     }),
 
     "q_ref_countries" -> ((s, _) => {

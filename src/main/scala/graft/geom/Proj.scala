@@ -16,6 +16,10 @@ package graft.geom
  *   - EPSG:28992           RD New (Oblique/double Stereographic, Bessel)
  *   - EPSG:2154            RGF93 / Lambert-93 (Lambert Conformal Conic 2SP)
  *   - EPSG:5070            NAD83 / Conus Albers (Albers Equal Area)
+ *   - EPSG:2263            NAD83 / New York Long Island (ftUS) — LCC 2SP
+ *                          with US-survey-foot axes (the nybb golden
+ *                          dataset's native CRS)
+ *   - EPSG:2230            NAD83 / California zone 6 (ftUS) — LCC 2SP, ftUS
  *
  * Datum semantics: the numeric EPSG dispatch below is the PROJECTION only —
  * geographic input is taken in the CRS's own datum (exactly PROJ's behavior
@@ -657,8 +661,28 @@ object Proj {
   def isSupported(srid: Int): Boolean =
     srid == 4326 || srid == 3857 || srid == 3035 ||
       srid == 3413 || srid == 3031 || srid == 28992 || srid == 2154 ||
-      srid == 5070 || srid == 27700 ||
+      srid == 5070 || srid == 27700 || srid == 2263 || srid == 2230 ||
       (srid > 32600 && srid <= 32660) || (srid > 32700 && srid <= 32760)
+
+  /** US survey foot, 1200/3937 m exactly (EPSG unit 9003) — the projected-
+   *  axis unit of the state-plane ftUS CRSs below. The EPSG registry defines
+   *  their false origins in ftUS; we store them converted to meters and
+   *  convert the whole coordinate at the dispatch boundary (same fr_meter
+   *  semantics as ProjString's +units=us-ft). */
+  private val UsFt = 1200.0 / 3937.0
+  /** EPSG:2263 NAD83 / New York Long Island (ftUS): LCC 2SP, false origin
+   *  40°10'N 74°W, standard parallels 40°40'N / 41°02'N, FE 984250 ftUS
+   *  (= 300000 m exactly), FN 0. */
+  private val NyLat0 = 40.0 + 10.0 / 60; private val NyLon0 = -74.0
+  private val NyLat1 = 40.0 + 40.0 / 60; private val NyLat2 = 41.0 + 2.0 / 60
+  private val NyFe = 984250.0 * UsFt
+  /** EPSG:2230 NAD83 / California zone 6 (ftUS): LCC 2SP, false origin
+   *  32°10'N 116°15'W, standard parallels 32°47'N / 33°53'N,
+   *  FE 6561666.667 ftUS, FN 1640416.667 ftUS (EPSG's rounded-decimal ftUS
+   *  values, converted — hence the 0.1 mm tails PROJ also carries). */
+  private val CaLat0 = 32.0 + 10.0 / 60; private val CaLon0 = -116.25
+  private val CaLat1 = 32.0 + 47.0 / 60; private val CaLat2 = 33.0 + 53.0 / 60
+  private val CaFe = 6561666.667 * UsFt; private val CaFn = 1640416.667 * UsFt
 
   /** EPSG:3413 (NSIDC Sea Ice Polar Stereographic North: lat_ts=70,
    *  lon_0=−45) and EPSG:3031 (Antarctic Polar Stereographic: lat_ts=−71,
@@ -680,6 +704,10 @@ object Proj {
     case 28992 => stereaInverse(Bessel, x, y, Rd0._1, Rd0._2, 0.9999079,
       155000.0, 463000.0)
     case 2154 => lccInverse(Grs80, x, y, 46.5, 3.0, 44.0, 49.0, 700000.0, 6600000.0)
+    case 2263 => lccInverse(Grs80, x * UsFt, y * UsFt,
+      NyLat0, NyLon0, NyLat1, NyLat2, NyFe, 0.0)
+    case 2230 => lccInverse(Grs80, x * UsFt, y * UsFt,
+      CaLat0, CaLon0, CaLat1, CaLat2, CaFe, CaFn)
     case 5070 => albersInverse(Grs80, x, y, 23.0, -96.0, 29.5, 45.5, 0.0, 0.0)
     case 27700 => tmInverse(Airy, x, y + OsgbRefY, -2.0, OsgbK0, 400000.0, -100000.0)
     case z if z > 32600 && z <= 32660 =>
@@ -688,7 +716,7 @@ object Proj {
       tmInverse(Wgs84, x, y, (z - 32700) * 6.0 - 183.0, UtmK0, 500000.0, 10000000.0)
     case other =>
       throw new IllegalArgumentException(s"st_transform: unsupported CRS $other " +
-        "(supported: 4326, 3857, 3035, 3413, 3031, 28992, 2154, 5070, 27700, 326xx/327xx UTM)")
+        "(supported: 4326, 3857, 3035, 3413, 3031, 28992, 2154, 2230, 2263, 5070, 27700, 326xx/327xx UTM)")
   }
 
   /** lon/lat degrees -> projected CRS. Identity for 4326. */
@@ -703,6 +731,12 @@ object Proj {
     case 28992 => stereaForward(Bessel, lon, lat, Rd0._1, Rd0._2, 0.9999079,
       155000.0, 463000.0)
     case 2154 => lccForward(Grs80, lon, lat, 46.5, 3.0, 44.0, 49.0, 700000.0, 6600000.0)
+    case 2263 =>
+      val (xm, ym) = lccForward(Grs80, lon, lat, NyLat0, NyLon0, NyLat1, NyLat2, NyFe, 0.0)
+      (xm / UsFt, ym / UsFt)
+    case 2230 =>
+      val (xm, ym) = lccForward(Grs80, lon, lat, CaLat0, CaLon0, CaLat1, CaLat2, CaFe, CaFn)
+      (xm / UsFt, ym / UsFt)
     case 5070 => albersForward(Grs80, lon, lat, 23.0, -96.0, 29.5, 45.5, 0.0, 0.0)
     case 27700 =>
       val (x27, y27) = tmForward(Airy, lon, lat, -2.0, OsgbK0, 400000.0, -100000.0)
@@ -713,6 +747,6 @@ object Proj {
       tmForward(Wgs84, lon, lat, (z - 32700) * 6.0 - 183.0, UtmK0, 500000.0, 10000000.0)
     case other =>
       throw new IllegalArgumentException(s"st_transform: unsupported CRS $other " +
-        "(supported: 4326, 3857, 3035, 3413, 3031, 28992, 2154, 5070, 27700, 326xx/327xx UTM)")
+        "(supported: 4326, 3857, 3035, 3413, 3031, 28992, 2154, 2230, 2263, 5070, 27700, 326xx/327xx UTM)")
   }
 }

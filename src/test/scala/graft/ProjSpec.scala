@@ -779,6 +779,52 @@ class ProjSpec extends AnyFunSuite {
       ProjString.parse("+proj=merc +datum=ED50"))
   }
 
+  test("EPSG:2263 / EPSG:2230 state-plane ftUS: pins, parity, roundtrips") {
+    import graft.geom.{Proj, ProjString}
+    // at the false origin (40°10'N 74°W) the projection yields the false
+    // easting/northing EXACTLY (rho == rho0, theta == 0) — 984250 ftUS, 0
+    val (ox, oy) = Proj.fromLonLat(2263, -74.0, 40.0 + 10.0 / 60)
+    assert(math.abs(ox - 984250.0) < 1e-7 && math.abs(oy) < 1e-7, s"origin ($ox,$oy)")
+    // parity: the EPSG code path == the full PROJ string through the new
+    // +datum/+units machinery (epsg.io's string for 2263)
+    val ps2263 = ProjString.parse("+proj=lcc +lat_1=41.03333333333333 " +
+      "+lat_2=40.66666666666666 +lat_0=40.16666666666666 +lon_0=-74 " +
+      "+x_0=300000.0000000001 +y_0=0 +datum=NAD83 +units=us-ft +no_defs")
+    for ((lo, la) <- Seq((-74.006, 40.7128), (-73.77, 40.64), (-74.15, 40.58))) {
+      val (xa, ya) = Proj.fromLonLat(2263, lo, la)
+      val (xb, yb) = ProjString.fromLonLat(ps2263, lo, la)
+      assert(math.abs(xa - xb) < 1e-5 && math.abs(ya - yb) < 1e-5,
+        s"2263 parity ($xa,$ya) vs ($xb,$yb)")
+      val (lo2, la2) = Proj.toLonLat(2263, xa, ya)
+      assert(math.abs(lo2 - lo) < 1e-11 && math.abs(la2 - la) < 1e-11)
+      // NYC sits mid-range of the zone: x within the nybb ftUS envelope
+      assert(xa > 900000 && xa < 1100000 && ya > 100000 && ya < 300000)
+    }
+    // scale factor is exactly 1 on a standard parallel: a short east-west
+    // step projects to (arc length along the parallel) to first order
+    val phi1 = math.toRadians(40.0 + 40.0 / 60)
+    val m1 = math.cos(phi1) / math.sqrt(1 - Proj.Grs80.e2 * math.sin(phi1) * math.sin(phi1))
+    val dLon = 1e-3
+    val (x1, y1) = Proj.fromLonLat(2263, -74.0, 40.0 + 40.0 / 60)
+    val (x2, y2) = Proj.fromLonLat(2263, -74.0 + dLon, 40.0 + 40.0 / 60)
+    val usftM = 1200.0 / 3937.0
+    val chordM = math.hypot(x2 - x1, y2 - y1) * usftM
+    val arcM = Proj.Grs80.a * m1 * math.toRadians(dLon)
+    assert(math.abs(chordM / arcM - 1.0) < 1e-8, s"k on lat_1: ${chordM / arcM}")
+    // EPSG:2230 (CA zone 6 ftUS) == the meters-string from the units test
+    // divided by the ftUS factor, and roundtrips
+    val ca = ProjString.parse("+proj=lcc +lat_1=33.88333333333334 " +
+      "+lat_2=32.78333333333333 +lat_0=32.16666666666666 +lon_0=-116.25 " +
+      "+x_0=2000000.0001016 +y_0=500000.0001016002 +ellps=GRS80 +units=us-ft")
+    for ((lo, la) <- Seq((-117.2, 32.7), (-116.0, 33.5))) {
+      val (xa, ya) = Proj.fromLonLat(2230, lo, la)
+      val (xb, yb) = ProjString.fromLonLat(ca, lo, la)
+      assert(math.abs(xa - xb) < 1e-5 && math.abs(ya - yb) < 1e-5)
+      val (lo2, la2) = Proj.toLonLat(2230, xa, ya)
+      assert(math.abs(lo2 - lo) < 1e-11 && math.abs(la2 - la) < 1e-11)
+    }
+  }
+
   test("OGC:CRS84 and URN spellings resolve as CRS names") {
     import graft.geom.ProjString
     for (name <- Seq("CRS84", "OGC:CRS84", "urn:ogc:def:crs:OGC:1.3:CRS84")) {
