@@ -21,6 +21,7 @@ import java.util.concurrent.ConcurrentHashMap
  *
  * Recognized parameters: +ellps (WGS84 | GRS80 | intl | bessel | airy |
  * mod_airy | clrk66 | clrk80ign | sphere), +a +b +rf +f +R overrides,
+ * +proj=utm +zone=1..60 [+south] (the fixed-form tmerc shorthand),
  * +lat_0 +lon_0 +lat_ts +lat_1 +lat_2 +k/+k_0 +x_0 +y_0, +towgs84 datum
  * shifts (3-parameter geocentric translation EPSG 9603, or 7-parameter
  * position-vector Helmert EPSG 9606 — PROJ's convention, applied through
@@ -156,7 +157,7 @@ object ProjString {
     }
     val known = Set("proj", "ellps", "datum", "a", "b", "rf", "f", "R",
       "lat_0", "lon_0", "lat_ts", "lat_1", "lat_2", "k", "k_0", "x_0", "y_0",
-      "units", "to_meter", "no_defs", "towgs84", "type")
+      "zone", "south", "units", "to_meter", "no_defs", "towgs84", "type")
     kv.keys.find(!known.contains(_)).foreach(k => fail(s, s"unknown parameter +$k"))
     // +units / +to_meter: projected-axis unit. PROJ lets an explicit
     // +to_meter coexist with (and win over) +units, but a string carrying
@@ -192,6 +193,23 @@ object ProjString {
         .foreach(k => fail(s, s"+datum=$d conflicts with explicit +$k"))
       kv += ("ellps" -> e); kv += ("towgs84" -> t); kv -= "datum"
     }
+    // +proj=utm: PROJ's most common projected-CRS shorthand — a fixed-form
+    // tmerc with lon_0 = zone·6−183, k_0 = 0.9996, x_0 = 500000, y_0 = 0
+    // (10,000,000 with +south). Explicit overrides of the hardwired
+    // parameters are refused rather than silently ignored (PROJ ignores
+    // them — a +lon_0 the caller typed but never applied is a trap).
+    if (kv.get("proj").contains("utm")) {
+      val z = try kv.getOrElse("zone", fail(s, "+proj=utm needs +zone=1..60")).toInt
+        catch { case _: NumberFormatException => fail(s, "bad number for +zone") }
+      if (z < 1 || z > 60) fail(s, s"+zone=$z out of range 1..60")
+      Seq("lat_0", "lon_0", "x_0", "y_0", "k", "k_0", "lat_ts", "lat_1", "lat_2")
+        .find(kv.contains).foreach(k => fail(s, s"+proj=utm fixes +$k — remove it"))
+      kv += ("proj" -> "tmerc"); kv += ("lon_0" -> (z * 6 - 183).toString)
+      kv += ("k" -> "0.9996"); kv += ("x_0" -> "500000")
+      kv += ("y_0" -> (if (kv.contains("south")) "10000000" else "0"))
+      kv -= "zone"; kv -= "south"
+    } else if (kv.contains("zone") || kv.contains("south"))
+      fail(s, "+zone/+south are only meaningful with +proj=utm")
     // +towgs84: 3-parameter geocentric translation (EPSG 9603) or 7-parameter
     // position-vector Helmert (EPSG 9606) mapping the local datum to WGS84 —
     // PROJ's convention. Arc-seconds and ppm normalize to radians / unit

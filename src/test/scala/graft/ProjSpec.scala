@@ -825,6 +825,36 @@ class ProjSpec extends AnyFunSuite {
     }
   }
 
+  test("+proj=utm shorthand: equals the EPSG 326xx/327xx code path") {
+    import graft.geom.{Proj, ProjString}
+    // north: zone 33 == EPSG:32633 bit-for-bit (same kernels, same params)
+    val z33 = ProjString.parse("+proj=utm +zone=33 +ellps=WGS84")
+    for ((lo, la) <- Seq((15.0, 52.0), (13.4, 48.1), (17.9, 59.3)))
+      assert(ProjString.fromLonLat(z33, lo, la) == Proj.fromLonLat(32633, lo, la))
+    // south: +south flips the false northing; zone 19 south == EPSG:32719
+    val z19s = ProjString.parse("+proj=utm +zone=19 +south +ellps=WGS84")
+    for ((lo, la) <- Seq((-70.6, -33.4), (-68.0, -20.0)))
+      assert(ProjString.fromLonLat(z19s, lo, la) == Proj.fromLonLat(32719, lo, la))
+    // inverse consumes the same coordinates
+    val (x, y) = ProjString.fromLonLat(z33, 15.0, 52.0)
+    val (lo2, la2) = ProjString.toLonLat(z33, x, y)
+    assert(math.abs(lo2 - 15.0) < 1e-11 && math.abs(la2 - 52.0) < 1e-11)
+    // no +ellps defaults to WGS84 (same as the EPSG codes); +datum=NAD83
+    // composes (GRS80, zero shift) — the standard NAD83 UTM string
+    assert(ProjString.fromLonLat(ProjString.parse("+proj=utm +zone=33"), 15.0, 52.0)
+      == Proj.fromLonLat(32633, 15.0, 52.0))
+    val nad83 = ProjString.parse("+proj=utm +zone=17 +datum=NAD83 +units=m +no_defs")
+    assert(nad83.proj == "tmerc" && nad83.ell == Proj.Grs80 && nad83.helmert.isEmpty)
+    // errors: missing/bad zone, overriding a hardwired param, orphan +south
+    intercept[IllegalArgumentException](ProjString.parse("+proj=utm"))
+    intercept[IllegalArgumentException](ProjString.parse("+proj=utm +zone=61"))
+    intercept[IllegalArgumentException](ProjString.parse("+proj=utm +zone=0"))
+    intercept[IllegalArgumentException](ProjString.parse("+proj=utm +zone=x"))
+    intercept[IllegalArgumentException](
+      ProjString.parse("+proj=utm +zone=33 +lon_0=9"))
+    intercept[IllegalArgumentException](ProjString.parse("+proj=merc +south"))
+  }
+
   test("OGC:CRS84 and URN spellings resolve as CRS names") {
     import graft.geom.ProjString
     for (name <- Seq("CRS84", "OGC:CRS84", "urn:ogc:def:crs:OGC:1.3:CRS84")) {
