@@ -394,11 +394,18 @@ object Proj {
   // ------ Lambert Conformal Conic, 2SP (Snyder §15; EPSG method 9802) ------
 
   /** LCC 2SP forward (Snyder eq. 15-1..15-10): standard parallels lat1/lat2,
-   *  false origin (lat0, lon0), eastings/northings fe/fn. */
+   *  false origin (lat0, lon0), eastings/northings fe/fn.
+   *
+   *  `k0` is the EPSG 9801 (1SP) scale factor at natural origin: with
+   *  lat1 = lat2 = lat0 the cone constant degenerates to n = sin(lat0) and
+   *  GN 7-2's r = a·F·tⁿ·k0 is exactly the 2SP radius scaled by k0 — so the
+   *  1SP method is this function with equal parallels and k0 ≠ 1. The 2SP
+   *  method itself has no scale factor (k0 = 1); PROJ's `+proj=lcc` applies
+   *  `+k_0` uniformly and this mirrors that. */
   def lccForward(ell: Ellipsoid, lonDeg: Double, latDeg: Double,
                  lat0Deg: Double, lon0Deg: Double,
                  lat1Deg: Double, lat2Deg: Double,
-                 fe: Double, fn: Double): (Double, Double) = {
+                 fe: Double, fn: Double, k0: Double = 1.0): (Double, Double) = {
     val p1 = math.toRadians(lat1Deg); val p2 = math.toRadians(lat2Deg)
     val m1 = mFactor(ell, p1); val t1 = conformalT(ell, p1)
     val n =
@@ -406,18 +413,19 @@ object Proj {
       else (math.log(m1) - math.log(mFactor(ell, p2))) /
         (math.log(t1) - math.log(conformalT(ell, p2)))
     val f = m1 / (n * math.pow(t1, n))
-    val rho0 = ell.a * f * math.pow(conformalT(ell, math.toRadians(lat0Deg)), n)
-    val rho = ell.a * f * math.pow(conformalT(ell, math.toRadians(latDeg)), n)
+    val ak = ell.a * k0
+    val rho0 = ak * f * math.pow(conformalT(ell, math.toRadians(lat0Deg)), n)
+    val rho = ak * f * math.pow(conformalT(ell, math.toRadians(latDeg)), n)
     val th = n * math.toRadians(lonDeg - lon0Deg)
     (fe + rho * math.sin(th), fn + rho0 - rho * math.cos(th))
   }
 
   /** LCC 2SP inverse (Snyder eq. 15-11/14-11: rho' = sign(n)·hypot, then the
-   *  shared t-inverse). */
+   *  shared t-inverse). `k0` as in [[lccForward]]. */
   def lccInverse(ell: Ellipsoid, x0: Double, y0: Double,
                  lat0Deg: Double, lon0Deg: Double,
                  lat1Deg: Double, lat2Deg: Double,
-                 fe: Double, fn: Double): (Double, Double) = {
+                 fe: Double, fn: Double, k0: Double = 1.0): (Double, Double) = {
     val p1 = math.toRadians(lat1Deg); val p2 = math.toRadians(lat2Deg)
     val m1 = mFactor(ell, p1); val t1 = conformalT(ell, p1)
     val n =
@@ -425,7 +433,8 @@ object Proj {
       else (math.log(m1) - math.log(mFactor(ell, p2))) /
         (math.log(t1) - math.log(conformalT(ell, p2)))
     val f = m1 / (n * math.pow(t1, n))
-    val rho0 = ell.a * f * math.pow(conformalT(ell, math.toRadians(lat0Deg)), n)
+    val ak = ell.a * k0
+    val rho0 = ak * f * math.pow(conformalT(ell, math.toRadians(lat0Deg)), n)
     val x = x0 - fe; val y = rho0 - (y0 - fn)
     val sgn = if (n >= 0) 1.0 else -1.0
     val rho = sgn * math.hypot(x, y)
@@ -434,7 +443,7 @@ object Proj {
       return (lon0Deg, if (n >= 0) 90.0 else -90.0)
     }
     val th = math.atan2(sgn * x, sgn * y)
-    val t = math.pow(rho / (ell.a * f), 1.0 / n)
+    val t = math.pow(rho / (ak * f), 1.0 / n)
     (lon0Deg + math.toDegrees(th / n), math.toDegrees(geodeticFromT(ell, t)))
   }
 

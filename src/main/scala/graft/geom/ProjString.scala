@@ -10,17 +10,19 @@ import java.util.concurrent.ConcurrentHashMap
  * projection kernels:
  *
  *   +proj=tmerc    Krüger-series Transverse Mercator (with +lat_0 offset)
- *   +proj=merc     ellipsoidal Mercator (spherical when the ellipsoid is)
+ *   +proj=merc     ellipsoidal Mercator (spherical when the ellipsoid is);
+ *                  +lat_ts gives EPSG 9805 variant B, folded into k0
  *   +proj=laea     Snyder LAEA, all aspects incl. polar, with the D factor
  *   +proj=stere    polar Stereographic (+lat_ts variant B folded into k0)
  *   +proj=sterea   oblique/double Stereographic (EPSG 9809 Gauss sphere)
- *   +proj=lcc      Lambert Conformal Conic 2SP (+lat_1/+lat_2)
+ *   +proj=lcc      Lambert Conformal Conic: 2SP with +lat_1/+lat_2
+ *                  (EPSG 9802), 1SP with +lat_1 alone + +k_0 (EPSG 9801)
  *   +proj=aea      Albers Equal Area conic (+lat_1/+lat_2)
  *   +proj=longlat  identity (degrees)
  *   EPSG:nnnn      authority form, routed to the numeric dispatch
  *
  * Recognized parameters: +ellps (WGS84 | GRS80 | intl | bessel | airy |
- * mod_airy | clrk66 | clrk80ign | sphere), +a +b +rf +f +R overrides,
+ * mod_airy | clrk66 | clrk80ign | krass | sphere), +a +b +rf +f +R overrides,
  * +proj=utm +zone=1..60 [+south] (the fixed-form tmerc shorthand),
  * +lat_0 +lon_0 +lat_ts +lat_1 +lat_2 +k/+k_0 +x_0 +y_0, +towgs84 datum
  * shifts (3-parameter geocentric translation EPSG 9603, or 7-parameter
@@ -95,6 +97,7 @@ object ProjString {
     // defined a/b in PROJ's table; f = (a-b)/a
     "mod_airy" -> Proj.Ellipsoid(6377340.189, (6377340.189 - 6356034.446) / 6377340.189),
     "clrk66" -> Proj.Ellipsoid(6378206.4, (6378206.4 - 6356583.8) / 6378206.4),
+    "krass" -> Proj.Ellipsoid(6378245.0, 1.0 / 298.3),
     "clrk80ign" -> Proj.Ellipsoid(6378249.2, 1.0 / 293.4660212936269),
     "sphere" -> Proj.Ellipsoid(6371000.0, 0.0))
 
@@ -257,27 +260,43 @@ object ProjString {
     val k0 = if (kv.contains("k_0")) num("k_0", 1.0) else num("k", 1.0)
     val x0 = num("x_0", 0.0)
     val y0 = num("y_0", 0.0)
-    // +lat_ts (standard parallel) folds into the pole scale at parse time
-    // (variant B -> variant A, Proj.stereK0FromTs; PROJ's own reduction).
-    // PROJ treats +lat_ts and +k/+k_0 as mutually exclusive for stere.
+    // +lat_ts (standard parallel) folds into the pole/equator scale at parse
+    // time — PROJ's own reduction: stere variant B -> variant A via
+    // Proj.stereK0FromTs; merc variant B (EPSG 9805) -> variant A via the
+    // parallel's meridian-scale m(lat_ts) = cos φ1 / √(1−e²sin²φ1).
+    // PROJ treats +lat_ts and +k/+k_0 as mutually exclusive for both.
     val k0eff =
       if (kv.contains("lat_ts")) {
-        if (proj != "stere") fail(s, "+lat_ts is only supported for +proj=stere")
+        if (proj != "stere" && proj != "merc")
+          fail(s, "+lat_ts is only supported for +proj=stere|merc")
         if (kv.contains("k") || kv.contains("k_0"))
-          fail(s, "+lat_ts and +k/+k_0 are mutually exclusive for stere")
-        Proj.stereK0FromTs(ell, num("lat_ts", 90.0))
+          fail(s, s"+lat_ts and +k/+k_0 are mutually exclusive for $proj")
+        if (proj == "merc") Proj.mFactor(ell, math.toRadians(num("lat_ts", 0.0)))
+        else Proj.stereK0FromTs(ell, num("lat_ts", 90.0))
       } else k0
+    // EPSG 9820 (LAEA) and 9822 (Albers) have no scale factor; PROJ ignores
+    // a +k_0 on them silently — refuse instead (same policy as +proj=utm's
+    // fixed parameters: a knob the caller typed but never applied is a trap).
+    if ((kv.contains("k") || kv.contains("k_0")) &&
+      (proj == "laea" || proj == "aea" || proj == "longlat"))
+      fail(s, s"+k/+k_0 is not a parameter of +proj=$proj — remove it")
 
     if (kv.contains("lat_1") || kv.contains("lat_2")) {
       if (proj != "lcc" && proj != "aea")
         fail(s, "+lat_1/+lat_2 are only supported for +proj=lcc|aea")
-      if (!(kv.contains("lat_1") && kv.contains("lat_2")))
-        fail(s, s"+proj=$proj needs BOTH +lat_1 and +lat_2 (2SP form)")
+      // lcc with +lat_1 alone is the 1SP form (EPSG 9801): the single
+      // standard parallel doubles as both parallels (n = sin lat_1) and
+      // +k_0 applies (PROJ defaults lat_2 := lat_1 the same way). Albers
+      // has no EPSG 1SP method — keep it strict.
+      if (!kv.contains("lat_1"))
+        fail(s, s"+proj=$proj needs +lat_1 (+lat_2 for the 2SP form)")
+      if (proj == "aea" && !kv.contains("lat_2"))
+        fail(s, "+proj=aea needs BOTH +lat_1 and +lat_2 (2SP form)")
     }
     if (proj == "longlat" && toMeter != 1.0)
       fail(s, "+units/+to_meter on +proj=longlat (degrees have no linear unit)")
     mkSpec(s, proj, ell, lat0, lon0, k0eff, x0, y0,
-      num("lat_1", 0.0), num("lat_2", 0.0))
+      num("lat_1", 0.0), num("lat_2", num("lat_1", 0.0)))
       .copy(helmert = helmert, toMeter = toMeter)
   }
 
@@ -303,12 +322,12 @@ object ProjString {
         // conformal-sphere construction (RD New / EPSG:28992). Any aspect.
         Spec(proj, ell, lat0, lon0, k0, x0, y0, 0, 0)
       case "lcc" =>
-        // Lambert Conformal Conic 2SP (Snyder §15; EPSG 9802 — Lambert-93,
-        // US State Plane). The 1SP (9801) k0 parameterization is not
-        // implemented; passing equal standard parallels gives its tangent
-        // cone with k0 = 1.
+        // Lambert Conformal Conic, 2SP (Snyder §15; EPSG 9802 — Lambert-93,
+        // US State Plane) and 1SP (EPSG 9801 — Jamaica National Grid):
+        // equal standard parallels degenerate the cone constant to
+        // n = sin(lat_1) and k0 scales the radii (GN 7-2 r = a·F·tⁿ·k0).
         if (lat1 == 0.0 && lat2 == 0.0)
-          fail(s, "+proj=lcc needs +lat_1/+lat_2 (2SP form)")
+          fail(s, "+proj=lcc needs +lat_1 (and +lat_2 for the 2SP form)")
         Spec(proj, ell, lat0, lon0, k0, x0, y0, 0, 0, lat1, lat2)
       case "aea" =>
         // Albers Equal Area conic (Snyder §14; EPSG 9822 — CONUS Albers)
@@ -434,21 +453,25 @@ object ProjString {
   private val projJsonMethods: Map[Int, String] = Map(
     9807 -> "tmerc", // Transverse Mercator
     9804 -> "merc",  // Mercator (variant A)
+    9805 -> "mercb", // Mercator (variant B) — standard parallel, no k0
     1024 -> "webmerc", // Popular Visualisation Pseudo Mercator
     9820 -> "laea",  // Lambert Azimuthal Equal Area
     9810 -> "stere", // Polar Stereographic (variant A)
     9829 -> "stere", // Polar Stereographic (variant B)
     9809 -> "sterea", // Oblique Stereographic (Gauss double)
+    9801 -> "lcc1sp", // Lambert Conic Conformal (1SP)
     9802 -> "lcc",   // Lambert Conic Conformal (2SP)
     9822 -> "aea")   // Albers Equal Area
   private val projJsonMethodNames: Map[String, String] = Map(
     "transverse mercator" -> "tmerc",
     "mercator (variant a)" -> "merc",
+    "mercator (variant b)" -> "mercb",
     "popular visualisation pseudo mercator" -> "webmerc",
     "lambert azimuthal equal area" -> "laea",
     "polar stereographic (variant a)" -> "stere",
     "polar stereographic (variant b)" -> "stere",
     "oblique stereographic" -> "sterea",
+    "lambert conic conformal (1sp)" -> "lcc1sp",
     "lambert conic conformal (2sp)" -> "lcc",
     "albers equal area" -> "aea")
 
@@ -546,6 +569,16 @@ object ProjString {
           return mkSpec(raw, proj, ell, pole, lon0,
             Proj.stereK0FromTs(ell, latTs.get), x0, y0)
         }
+        if (proj == "mercb") {
+          // Mercator variant B (EPSG 9805): the 1st standard parallel folds
+          // into variant A's k0 via the meridian scale m(φ1) — the method
+          // itself has no scale-factor parameter, so one appearing is a
+          // malformed document
+          if (lat2 != 0.0) fail("2nd standard parallel is not valid for 9805")
+          if (k0 != 1.0) fail("scale factor is not valid for method 9805")
+          return mkSpec(raw, "merc", ell, 0.0, lon0,
+            Proj.mFactor(ell, math.toRadians(lat1)), x0, y0)
+        }
         // a parameter that the chosen method cannot consume must fail, not
         // silently drop — a stray standard parallel on a TM conversion means
         // the document is NOT the projection we'd compute
@@ -553,6 +586,10 @@ object ProjString {
           fail(s"standard-parallel parameters are not valid for method '$proj'")
         if (latTs.isDefined && proj != "stere")
           fail(s"'Latitude of standard parallel' is not valid for method '$proj'")
+        if (proj == "lcc1sp")
+          // LCC 1SP (EPSG 9801): the latitude of natural origin IS the single
+          // standard parallel; k0 applies (see Proj.lccForward)
+          return mkSpec(raw, "lcc", ell, lat0, lon0, k0, x0, y0, lat0, lat0)
         if (proj == "lcc" || proj == "aea")
           return mkSpec(raw, proj, ell, lat0, lon0, k0, x0, y0, lat1, lat2)
         if (proj == "webmerc")
@@ -621,7 +658,7 @@ object ProjString {
         spec.x0, spec.y0)
     case "lcc" =>
       Proj.lccForward(spec.ell, lon, lat, spec.lat0, spec.lon0,
-        spec.lat1, spec.lat2, spec.x0, spec.y0)
+        spec.lat1, spec.lat2, spec.x0, spec.y0, spec.k0)
     case "aea" =>
       Proj.albersForward(spec.ell, lon, lat, spec.lat0, spec.lon0,
         spec.lat1, spec.lat2, spec.x0, spec.y0)
@@ -642,7 +679,7 @@ object ProjString {
         spec.x0, spec.y0)
     case "lcc" =>
       Proj.lccInverse(spec.ell, x, y, spec.lat0, spec.lon0,
-        spec.lat1, spec.lat2, spec.x0, spec.y0)
+        spec.lat1, spec.lat2, spec.x0, spec.y0, spec.k0)
     case "aea" =>
       Proj.albersInverse(spec.ell, x, y, spec.lat0, spec.lon0,
         spec.lat1, spec.lat2, spec.x0, spec.y0)

@@ -434,8 +434,10 @@ class ProjSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](ProjString.parse("+proj=stere +lat_0=52"))
     intercept[IllegalArgumentException](
       ProjString.parse("+proj=stere +lat_0=90 +lat_ts=70 +k_0=0.994"))
+    // (+proj=merc +lat_ts is the 9805 variant-B form — valid since r5,
+    // covered by its own test)
     intercept[IllegalArgumentException](
-      ProjString.parse("+proj=merc +lat_ts=45"))
+      ProjString.parse("+proj=tmerc +lat_ts=45"))
 
     // PROJJSON variant B (EPSG 9829 parameter names)
     val pj =
@@ -869,5 +871,103 @@ class ProjSpec extends AnyFunSuite {
       graft.geom.Proj.fromLonLat(3857, 10.0, 45.0))
     intercept[IllegalArgumentException](
       ProjString.parse("urn:ogc:def:crs:EPSG::99999"))
+  }
+
+  test("LCC 1SP (EPSG 9801): GN 7-2 Jamaica sample, k0 scaling, PROJJSON (r5)") {
+    import graft.geom.{Proj, ProjString}
+    // EPSG GN 7-2 worked example — Jamaica 1969 / National Grid (EPSG:24200),
+    // Clarke 1866, lat_0 = lat_1 = 18N, lon_0 = 77W, k0 = 1, FE/FN
+    // 250000/150000; phi 17°55'55.80"N, lam 76°56'37.26"W
+    // -> E 255966.58, N 142493.51
+    val jam = ProjString.parse("+proj=lcc +lat_1=18 +lat_0=18 +lon_0=-77 " +
+      "+k_0=1 +x_0=250000 +y_0=150000 +ellps=clrk66 +units=m +no_defs")
+    val lam = -(76 + 56 / 60.0 + 37.26 / 3600.0)
+    val phi = 17 + 55 / 60.0 + 55.80 / 3600.0
+    val (je, jn) = ProjString.fromLonLat(jam, lam, phi)
+    assert(math.abs(je - 255966.58) < 0.01, s"E=$je")
+    assert(math.abs(jn - 142493.51) < 0.01, s"N=$jn")
+    val (jlo, jla) = ProjString.toLonLat(jam, je, jn)
+    assert(math.abs(jlo - lam) < 1e-9 && math.abs(jla - phi) < 1e-9)
+
+    // +k_0 really scales: GN 7-2's r = a·F·tⁿ·k0 means the offset from the
+    // false origin is linear in k0 (and the 2SP code path must honor it)
+    val jamS = ProjString.parse("+proj=lcc +lat_1=18 +lat_0=18 +lon_0=-77 " +
+      "+k_0=0.9998 +x_0=250000 +y_0=150000 +ellps=clrk66")
+    val (se, sn) = ProjString.fromLonLat(jamS, lam, phi)
+    assert(math.abs((se - 250000) - 0.9998 * (je - 250000)) < 1e-6, s"$se")
+    assert(math.abs((sn - 150000) - 0.9998 * (jn - 150000)) < 1e-6, s"$sn")
+    val (slo, sla) = ProjString.toLonLat(jamS, se, sn)
+    assert(math.abs(slo - lam) < 1e-9 && math.abs(sla - phi) < 1e-9)
+
+    // PROJJSON method 9801 (by code and by name) bit-equals the proj-string
+    val pj =
+      """{"type":"ProjectedCRS","name":"Jamaica 1969 / National Grid",
+        |"base_crs":{"type":"GeographicCRS","datum":{"ellipsoid":
+        |  {"semi_major_axis":6378206.4,"semi_minor_axis":6356583.8}}},
+        |"conversion":{"method":{"name":"Lambert Conic Conformal (1SP)",
+        |  "id":{"authority":"EPSG","code":9801}},
+        | "parameters":[
+        |  {"name":"Latitude of natural origin","value":18,"unit":"degree"},
+        |  {"name":"Longitude of natural origin","value":-77,"unit":"degree"},
+        |  {"name":"Scale factor at natural origin","value":1,"unit":"unity"},
+        |  {"name":"False easting","value":250000,"unit":"metre"},
+        |  {"name":"False northing","value":150000,"unit":"metre"}]}}""".stripMargin
+    val (pe, pn) = ProjString.fromLonLat(ProjString.parse(pj), lam, phi)
+    assert(pe == je && pn == jn, s"PROJJSON ($pe,$pn) != ($je,$jn)")
+
+    // a 9801 document carrying a standard-parallel parameter is malformed
+    intercept[IllegalArgumentException](ProjString.parse(pj.replace(
+      """{"name":"Latitude of natural origin","value":18,"unit":"degree"},""",
+      """{"name":"Latitude of natural origin","value":18,"unit":"degree"},
+        |{"name":"Latitude of 1st standard parallel","value":18,"unit":"degree"},"""
+        .stripMargin)))
+    // EPSG 9820/9822 have no scale factor: +k_0 on laea/aea is refused, not
+    // silently dropped (PROJ ignores it)
+    intercept[IllegalArgumentException](
+      ProjString.parse("+proj=laea +lat_0=52 +lon_0=10 +k_0=0.9 +ellps=GRS80"))
+    intercept[IllegalArgumentException](ProjString.parse(
+      "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 +k=2 +ellps=GRS80"))
+  }
+
+  test("Mercator variant B (EPSG 9805): GN 7-2 Caspian sample, +lat_ts, " +
+    "PROJJSON (r5)") {
+    import graft.geom.{Proj, ProjString}
+    // EPSG GN 7-2 worked example — Pulkovo 1942 / Caspian Sea Mercator:
+    // Krassowsky 1940, lat_ts = 42N, lon_0 = 51E; phi 53N lam 53E
+    // -> E 165704.29, N 5171848.07
+    val cas = ProjString.parse(
+      "+proj=merc +lat_ts=42 +lon_0=51 +x_0=0 +y_0=0 +ellps=krass +units=m")
+    val (ce, cn) = ProjString.fromLonLat(cas, 53.0, 53.0)
+    assert(math.abs(ce - 165704.29) < 0.01, s"E=$ce")
+    assert(math.abs(cn - 5171848.07) < 0.01, s"N=$cn")
+    val (clo, cla) = ProjString.toLonLat(cas, ce, cn)
+    assert(math.abs(clo - 53.0) < 1e-9 && math.abs(cla - 53.0) < 1e-9)
+    // the fold: k0 = m(lat_ts), the parallel's meridian scale
+    assert(cas.proj == "merc" && math.abs(cas.k0 -
+      Proj.mFactor(cas.ell, math.toRadians(42.0))) == 0.0)
+
+    // PROJJSON method 9805 bit-equals the proj-string fold
+    val pj =
+      """{"type":"ProjectedCRS","name":"Caspian Sea Mercator",
+        |"base_crs":{"type":"GeographicCRS","datum":{"ellipsoid":
+        |  {"semi_major_axis":6378245,"inverse_flattening":298.3}}},
+        |"conversion":{"method":{"name":"Mercator (variant B)",
+        |  "id":{"authority":"EPSG","code":9805}},
+        | "parameters":[
+        |  {"name":"Latitude of 1st standard parallel","value":42,"unit":"degree"},
+        |  {"name":"Longitude of natural origin","value":51,"unit":"degree"},
+        |  {"name":"False easting","value":0,"unit":"metre"},
+        |  {"name":"False northing","value":0,"unit":"metre"}]}}""".stripMargin
+    val (pe, pn) = ProjString.fromLonLat(ProjString.parse(pj), 53.0, 53.0)
+    assert(pe == ce && pn == cn, s"PROJJSON ($pe,$pn) != ($ce,$cn)")
+
+    // a 9805 document with a scale factor is malformed (the method has none)
+    intercept[IllegalArgumentException](ProjString.parse(pj.replace(
+      """{"name":"False easting","value":0,"unit":"metre"},""",
+      """{"name":"Scale factor at natural origin","value":0.99,"unit":"unity"},
+        |{"name":"False easting","value":0,"unit":"metre"},""".stripMargin)))
+    // +lat_ts and +k/+k_0 stay mutually exclusive for merc, like stere
+    intercept[IllegalArgumentException](
+      ProjString.parse("+proj=merc +lat_ts=42 +k_0=0.9 +ellps=krass"))
   }
 }
