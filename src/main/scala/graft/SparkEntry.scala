@@ -764,6 +764,26 @@ object SparkEntry {
         round(st_y(prj), 3).as("ly"))
     }),
 
+    "q_lcc1sp" -> ((s, dir) => {
+      // LCC 1SP (EPSG method 9801: the Jamaica 1969 / National Grid
+      // parameterization as a proj-string, +k_0 honored) and Mercator
+      // variant B (EPSG method 9805: +proj=merc +lat_ts folded into k0 via
+      // the parallel's meridian scale) over the same deterministic points.
+      // The oracle recomputes both closed forms in DuckDB with INDEPENDENTLY
+      // derived constants (n, a·F·k0, rho0, a·k0 computed outside the
+      // Scala); the implementations are pinned to the EPSG GN 7-2 worked
+      // examples in ProjSpec (Jamaica + Caspian Sea samples, <1 cm).
+      val p = custPoints(s, dir)
+      val pt = st_point(col("lon"), col("lat"))
+      val jam = st_transform(pt, "EPSG:4326", "+proj=lcc +lat_1=18 " +
+        "+lat_0=18 +lon_0=-77 +k_0=1 +x_0=250000 +y_0=150000 +ellps=clrk66")
+      val cas = st_transform(pt, "EPSG:4326",
+        "+proj=merc +lat_ts=42 +lon_0=51 +ellps=krass")
+      p.select(col("custkey"),
+        round(st_x(jam), 3).as("jx"), round(st_y(jam), 3).as("jy"),
+        round(st_x(cas), 3).as("cx"), round(st_y(cas), 3).as("cy"))
+    }),
+
     "q_sterea" -> ((s, dir) => {
       // EPSG:28992 (RD New — Oblique/double Stereographic, EPSG method
       // 9809) over the European window. The oracle recomputes the EPSG
@@ -2025,6 +2045,28 @@ object SparkEntry {
          |SELECT custkey,
          | round(700000.0 + rho * sin(th), 3) AS lx,
          | round(6600000.0 + rho0 - rho * cos(th), 3) AS ly
+         |FROM g""".stripMargin,
+
+    "q_lcc1sp" ->
+      // constants derived independently of the Scala: nn = sin(18°),
+      // af = a·F·k0 and rho0 on Clarke 1866 (GN 7-2 method 9801 Jamaica
+      // string), ak = a·m(42°) on Krassowsky (method 9805 Caspian string)
+      s"""WITH p AS (SELECT custkey, lat, lon FROM ($custPointsSql)),
+         | c AS (SELECT custkey, lat, lon,
+         |   0.08227185422300431 AS e, 0.3090169943749474 AS nn,
+         |   21659820.76682105 AS af, 19636447.862153515 AS rho0,
+         |   0.08181333401693115 AS ek, 4747078.326944951 AS ak,
+         |   radians(lat) AS phi, sin(radians(lat)) AS s FROM p),
+         | t AS (SELECT *, tan(pi()/4.0 - phi/2.0)
+         |   * power((1.0 + e*sin(phi))/(1.0 - e*sin(phi)), e/2.0) AS tt FROM c),
+         | g AS (SELECT *, af * power(tt, nn) AS rho,
+         |   nn * radians(lon + 77.0) AS th FROM t)
+         |SELECT custkey,
+         | round(250000.0 + rho * sin(th), 3) AS jx,
+         | round(150000.0 + rho0 - rho * cos(th), 3) AS jy,
+         | round(ak * radians(lon - 51.0), 3) AS cx,
+         | round(ak * (0.5*ln((1.0+s)/(1.0-s))
+         |   - ek*(0.5*ln((1.0+ek*s)/(1.0-ek*s)))), 3) AS cy
          |FROM g""".stripMargin,
 
     "q_sterea" ->
