@@ -784,6 +784,23 @@ object SparkEntry {
         round(st_x(cas), 3).as("cx"), round(st_y(cas), 3).as("cy"))
     }),
 
+    "q_cyl" -> ((s, dir) => {
+      // Cylindrical CRS pair: EPSG:6933 (NSIDC EASE-Grid 2.0 Global —
+      // Lambert Cylindrical Equal Area, EPSG method 9835, the satellite
+      // equal-area gridding CRS) and EPSG:4087 (World Equidistant
+      // Cylindrical, method 1028). The oracle recomputes the authalic-q and
+      // Snyder 3-21 meridional-arc closed forms in DuckDB with INDEPENDENTLY
+      // derived constants; the implementations are pinned to NSIDC's
+      // published map extent and the EPSG GN 7-2 worked example in ProjSpec.
+      val p = custPoints(s, dir)
+      val pt = st_point(col("lon"), col("lat"))
+      val ease = st_transform(pt, lit(4326), lit(6933))
+      val eqc = st_transform(pt, lit(4326), lit(4087))
+      p.select(col("custkey"),
+        round(st_x(ease), 3).as("ease_x"), round(st_y(ease), 3).as("ease_y"),
+        round(st_x(eqc), 3).as("eqc_x"), round(st_y(eqc), 3).as("eqc_y"))
+    }),
+
     "q_sterea" -> ((s, dir) => {
       // EPSG:28992 (RD New — Oblique/double Stereographic, EPSG method
       // 9809) over the European window. The oracle recomputes the EPSG
@@ -2068,6 +2085,27 @@ object SparkEntry {
          | round(ak * (0.5*ln((1.0+s)/(1.0-s))
          |   - ek*(0.5*ln((1.0+ek*s)/(1.0-ek*s)))), 3) AS cy
          |FROM g""".stripMargin,
+
+    "q_cyl" ->
+      // constants derived independently of the Scala: ak = a·m(30°) on
+      // WGS84 (EASE-Grid 2.0's x-scale), 2k0 its doubled meridian scale,
+      // c0..c6 the Snyder 3-21 meridional-arc coefficients
+      s"""WITH p AS (SELECT custkey, lat, lon FROM ($custPointsSql)),
+         | c AS (SELECT custkey, lat, lon,
+         |   0.08181919084262149 AS e, 0.0066943799901413165 AS e2,
+         |   5528256.639292836 AS ak, 1.7335020051443975 AS twok0,
+         |   0.9983242984527954 AS c0, 0.002514607060518705 AS c2,
+         |   2.6390465943376213e-06 AS c4, 3.4180460865957878e-09 AS c6,
+         |   radians(lat) AS phi, sin(radians(lat)) AS s FROM p),
+         | q AS (SELECT *, (1.0-e2)*(s/(1.0-e2*s*s)
+         |   - (1.0/(2.0*e))*ln((1.0-e*s)/(1.0+e*s))) AS qv FROM c)
+         |SELECT custkey,
+         | round(ak * radians(lon), 3) AS ease_x,
+         | round(6378137.0 * qv / twok0, 3) AS ease_y,
+         | round(6378137.0 * radians(lon), 3) AS eqc_x,
+         | round(6378137.0 * (c0*phi - c2*sin(2.0*phi)
+         |   + c4*sin(4.0*phi) - c6*sin(6.0*phi)), 3) AS eqc_y
+         |FROM q""".stripMargin,
 
     "q_sterea" ->
       s"""WITH p AS (SELECT custkey, lat, lon FROM ($custPointsSql)

@@ -284,6 +284,90 @@ object Proj {
 
   @inline private def clamp1(x: Double): Double = math.max(-1.0, math.min(1.0, x))
 
+  // ------ Lambert Cylindrical Equal Area (Snyder §10; EPSG method 9835) ------
+
+  /** CEA forward: x = a·k0·Δλ, y = a·q(φ)/(2·k0), where k0 = m(φ1) is the
+   *  standard parallel's meridian scale (EASE-Grid 2.0 global EPSG:6933 has
+   *  φ1 = 30). Equal-area by construction: the Jacobian is the constant
+   *  a²·k0·(1/2k0)·dq, independent of φ and λ. Spherical limit (q = 2 sin φ,
+   *  k0 = cos φ1) is Snyder 10-1/10-2. */
+  def ceaForward(ell: Ellipsoid, lonDeg: Double, latDeg: Double,
+                 lon0Deg: Double, k0: Double,
+                 fe: Double, fn: Double): (Double, Double) =
+    (fe + ell.a * k0 * math.toRadians(lonDeg - lon0Deg),
+      fn + ell.a * authalicQ(ell, math.sin(math.toRadians(latDeg))) / (2 * k0))
+
+  /** CEA inverse via the authalic latitude (same series + Newton the LAEA
+   *  inverse uses). */
+  def ceaInverse(ell: Ellipsoid, x: Double, y: Double,
+                 lon0Deg: Double, k0: Double,
+                 fe: Double, fn: Double): (Double, Double) = {
+    val qp = authalicQ(ell, 1.0)
+    val r = clamp1(2 * k0 * (y - fn) / (ell.a * qp))
+    val lon = lon0Deg + math.toDegrees((x - fe) / (ell.a * k0))
+    // asin is ill-conditioned at |r| -> 1 and the Newton step degenerates
+    // (dq -> 0), so the poles are answered exactly rather than refined; the
+    // window (~1 m of latitude) is the map's own singular zone — meridians
+    // have collapsed there and no cylindrical inverse can resolve finer
+    if (1.0 - math.abs(r) < 1e-14) return (lon, if (r >= 0) 90.0 else -90.0)
+    val beta = math.asin(r)
+    (lon, math.toDegrees(authalicToGeodetic(ell, beta, qp)))
+  }
+
+  // ------ Equidistant Cylindrical (Snyder §12; EPSG method 1028) ------
+
+  /** Meridional arc M(φ), Snyder eq. 3-21 (O(e⁶); the e⁸ tail is < 5e-5 m
+   *  on WGS84). Deliberately this series — not the Krüger rectifying
+   *  northing — so the oracle SQL can mirror it term-for-term; ProjSpec
+   *  cross-checks it against the independent Krüger machinery to < 1 mm. */
+  def meridionalArc(ell: Ellipsoid, latDeg: Double): Double = {
+    val e2 = ell.e2; val e4 = e2 * e2; val e6 = e4 * e2
+    val phi = math.toRadians(latDeg)
+    ell.a * ((1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi
+      - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * math.sin(2 * phi)
+      + (15 * e4 / 256 + 45 * e6 / 1024) * math.sin(4 * phi)
+      - (35 * e6 / 3072) * math.sin(6 * phi))
+  }
+
+  /** EQC forward (EPSG 1028 — WGS 84 / World Equidistant Cylindrical
+   *  EPSG:4087): x = ν1·cos φ1·Δλ = a·m(φ1)·Δλ, y = M(φ). `k0` carries
+   *  m(φ1); the method has no scale factor of its own. */
+  def eqcForward(ell: Ellipsoid, lonDeg: Double, latDeg: Double,
+                 lon0Deg: Double, k0: Double,
+                 fe: Double, fn: Double): (Double, Double) =
+    (fe + ell.a * k0 * math.toRadians(lonDeg - lon0Deg),
+      fn + meridionalArc(ell, latDeg))
+
+  /** EQC inverse: rectifying-latitude series (Snyder eq. 3-26) seeds two
+   *  Newton steps on M(φ) (dM/dφ = a(1−e²)/(1−e² sin²φ)^{3/2}) to reach
+   *  sub-ulp round trips. */
+  def eqcInverse(ell: Ellipsoid, x: Double, y: Double,
+                 lon0Deg: Double, k0: Double,
+                 fe: Double, fn: Double): (Double, Double) = {
+    val e2 = ell.e2
+    val m0 = ell.a * (1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256)
+    val mu = (y - fn) / m0
+    val se = math.sqrt(1 - e2)
+    val e1 = (1 - se) / (1 + se)
+    val e12 = e1 * e1; val e13 = e12 * e1; val e14 = e12 * e12
+    var phi = mu + (3 * e1 / 2 - 27 * e13 / 32) * math.sin(2 * mu) +
+      (21 * e12 / 16 - 55 * e14 / 32) * math.sin(4 * mu) +
+      (151 * e13 / 96) * math.sin(6 * mu) +
+      (1097 * e14 / 512) * math.sin(8 * mu)
+    var it = 0
+    while (it < 2) {
+      val sphi = math.sin(phi); val den = 1 - e2 * sphi * sphi
+      val dM = ell.a * (1 - e2) / (den * math.sqrt(den))
+      phi += ((y - fn) - meridionalArc(ell, math.toDegrees(phi))) / dM
+      it += 1
+    }
+    (lon0Deg + math.toDegrees((x - fe) / (ell.a * k0)), math.toDegrees(phi))
+  }
+
+  /** EASE-Grid 2.0's x-scale: m(30°) on WGS84 (full map width is then
+   *  2·a·k0·π = 34,735,060.89 m — NSIDC's published extent). */
+  final lazy val Ease2K0: Double = mFactor(Wgs84, math.toRadians(30.0))
+
   // ---------------- SRID dispatch ----------------
 
   final val UtmK0 = 0.9996
@@ -718,6 +802,8 @@ object Proj {
     case 2230 => lccInverse(Grs80, x * UsFt, y * UsFt,
       CaLat0, CaLon0, CaLat1, CaLat2, CaFe, CaFn)
     case 5070 => albersInverse(Grs80, x, y, 23.0, -96.0, 29.5, 45.5, 0.0, 0.0)
+    case 6933 => ceaInverse(Wgs84, x, y, 0.0, Ease2K0, 0.0, 0.0)
+    case 4087 => eqcInverse(Wgs84, x, y, 0.0, 1.0, 0.0, 0.0)
     case 27700 => tmInverse(Airy, x, y + OsgbRefY, -2.0, OsgbK0, 400000.0, -100000.0)
     case z if z > 32600 && z <= 32660 =>
       tmInverse(Wgs84, x, y, (z - 32600) * 6.0 - 183.0, UtmK0, 500000.0, 0.0)
@@ -725,7 +811,8 @@ object Proj {
       tmInverse(Wgs84, x, y, (z - 32700) * 6.0 - 183.0, UtmK0, 500000.0, 10000000.0)
     case other =>
       throw new IllegalArgumentException(s"st_transform: unsupported CRS $other " +
-        "(supported: 4326, 3857, 3035, 3413, 3031, 28992, 2154, 2230, 2263, 5070, 27700, 326xx/327xx UTM)")
+        "(supported: 4326, 3857, 3035, 3413, 3031, 28992, 2154, 2230, 2263, " +
+        "5070, 6933, 4087, 27700, 326xx/327xx UTM)")
   }
 
   /** lon/lat degrees -> projected CRS. Identity for 4326. */
@@ -747,6 +834,8 @@ object Proj {
       val (xm, ym) = lccForward(Grs80, lon, lat, CaLat0, CaLon0, CaLat1, CaLat2, CaFe, CaFn)
       (xm / UsFt, ym / UsFt)
     case 5070 => albersForward(Grs80, lon, lat, 23.0, -96.0, 29.5, 45.5, 0.0, 0.0)
+    case 6933 => ceaForward(Wgs84, lon, lat, 0.0, Ease2K0, 0.0, 0.0)
+    case 4087 => eqcForward(Wgs84, lon, lat, 0.0, 1.0, 0.0, 0.0)
     case 27700 =>
       val (x27, y27) = tmForward(Airy, lon, lat, -2.0, OsgbK0, 400000.0, -100000.0)
       (x27, y27 - OsgbRefY)
@@ -756,6 +845,7 @@ object Proj {
       tmForward(Wgs84, lon, lat, (z - 32700) * 6.0 - 183.0, UtmK0, 500000.0, 10000000.0)
     case other =>
       throw new IllegalArgumentException(s"st_transform: unsupported CRS $other " +
-        "(supported: 4326, 3857, 3035, 3413, 3031, 28992, 2154, 2230, 2263, 5070, 27700, 326xx/327xx UTM)")
+        "(supported: 4326, 3857, 3035, 3413, 3031, 28992, 2154, 2230, 2263, " +
+        "5070, 6933, 4087, 27700, 326xx/327xx UTM)")
   }
 }

@@ -18,6 +18,9 @@ import java.util.concurrent.ConcurrentHashMap
  *   +proj=lcc      Lambert Conformal Conic: 2SP with +lat_1/+lat_2
  *                  (EPSG 9802), 1SP with +lat_1 alone + +k_0 (EPSG 9801)
  *   +proj=aea      Albers Equal Area conic (+lat_1/+lat_2)
+ *   +proj=cea      Lambert Cylindrical Equal Area (EPSG 9835 — EASE-Grid
+ *                  2.0; +lat_ts or +k_0)
+ *   +proj=eqc      Equidistant Cylindrical (EPSG 1028 — EPSG:4087; +lat_ts)
  *   +proj=longlat  identity (degrees)
  *   EPSG:nnnn      authority form, routed to the numeric dispatch
  *
@@ -262,23 +265,26 @@ object ProjString {
     val y0 = num("y_0", 0.0)
     // +lat_ts (standard parallel) folds into the pole/equator scale at parse
     // time — PROJ's own reduction: stere variant B -> variant A via
-    // Proj.stereK0FromTs; merc variant B (EPSG 9805) -> variant A via the
-    // parallel's meridian-scale m(lat_ts) = cos φ1 / √(1−e²sin²φ1).
-    // PROJ treats +lat_ts and +k/+k_0 as mutually exclusive for both.
+    // Proj.stereK0FromTs; merc variant B (EPSG 9805), cea (9835) and eqc
+    // (1028) via the parallel's meridian-scale m(lat_ts) =
+    // cos φ1 / √(1−e²sin²φ1). PROJ treats +lat_ts and +k/+k_0 as mutually
+    // exclusive in all of them.
     val k0eff =
       if (kv.contains("lat_ts")) {
-        if (proj != "stere" && proj != "merc")
-          fail(s, "+lat_ts is only supported for +proj=stere|merc")
+        if (!Set("stere", "merc", "cea", "eqc").contains(proj))
+          fail(s, "+lat_ts is only supported for +proj=stere|merc|cea|eqc")
         if (kv.contains("k") || kv.contains("k_0"))
           fail(s, s"+lat_ts and +k/+k_0 are mutually exclusive for $proj")
-        if (proj == "merc") Proj.mFactor(ell, math.toRadians(num("lat_ts", 0.0)))
-        else Proj.stereK0FromTs(ell, num("lat_ts", 90.0))
+        if (proj == "stere") Proj.stereK0FromTs(ell, num("lat_ts", 90.0))
+        else Proj.mFactor(ell, math.toRadians(num("lat_ts", 0.0)))
       } else k0
-    // EPSG 9820 (LAEA) and 9822 (Albers) have no scale factor; PROJ ignores
-    // a +k_0 on them silently — refuse instead (same policy as +proj=utm's
-    // fixed parameters: a knob the caller typed but never applied is a trap).
+    // EPSG 9820 (LAEA), 9822 (Albers) and 1028 (Equidistant Cylindrical)
+    // have no scale factor; PROJ ignores a +k_0 on them silently — refuse
+    // instead (same policy as +proj=utm's fixed parameters: a knob the
+    // caller typed but never applied is a trap). cea keeps +k_0 (PROJ's
+    // alternative spelling of the standard parallel's scale).
     if ((kv.contains("k") || kv.contains("k_0")) &&
-      (proj == "laea" || proj == "aea" || proj == "longlat"))
+      (proj == "laea" || proj == "aea" || proj == "eqc" || proj == "longlat"))
       fail(s, s"+k/+k_0 is not a parameter of +proj=$proj — remove it")
 
     if (kv.contains("lat_1") || kv.contains("lat_2")) {
@@ -334,6 +340,14 @@ object ProjString {
         if (lat1 == 0.0 && lat2 == 0.0)
           fail(s, "+proj=aea needs +lat_1/+lat_2")
         Spec(proj, ell, lat0, lon0, k0, x0, y0, 0, 0, lat1, lat2)
+      case "cea" | "eqc" =>
+        // Lambert Cylindrical Equal Area (Snyder §10; EPSG 9835 —
+        // EASE-Grid 2.0) / Equidistant Cylindrical (Snyder §12; EPSG 1028 —
+        // EPSG:4087). k0 carries the standard parallel's meridian scale
+        // m(lat_ts); neither method has a latitude-of-origin parameter.
+        if (lat0 != 0.0)
+          fail(s, s"+lat_0 is not a parameter of +proj=$proj — remove it")
+        Spec(proj, ell, 0, lon0, k0, x0, y0, 0, 0)
       case "stere" =>
         // POLAR aspects only (Snyder 21-30..21-39; EPSG 9810/9829 — the
         // EPSG:3413/3031 family). The oblique/equatorial ellipsoidal
@@ -461,7 +475,9 @@ object ProjString {
     9809 -> "sterea", // Oblique Stereographic (Gauss double)
     9801 -> "lcc1sp", // Lambert Conic Conformal (1SP)
     9802 -> "lcc",   // Lambert Conic Conformal (2SP)
-    9822 -> "aea")   // Albers Equal Area
+    9822 -> "aea",   // Albers Equal Area
+    9835 -> "cea",   // Lambert Cylindrical Equal Area — standard parallel
+    1028 -> "eqc")   // Equidistant Cylindrical — standard parallel
   private val projJsonMethodNames: Map[String, String] = Map(
     "transverse mercator" -> "tmerc",
     "mercator (variant a)" -> "merc",
@@ -473,7 +489,9 @@ object ProjString {
     "oblique stereographic" -> "sterea",
     "lambert conic conformal (1sp)" -> "lcc1sp",
     "lambert conic conformal (2sp)" -> "lcc",
-    "albers equal area" -> "aea")
+    "albers equal area" -> "aea",
+    "lambert cylindrical equal area" -> "cea",
+    "equidistant cylindrical" -> "eqc")
 
   private def parseProjJson(raw: String): Spec = {
     def fail(why: String): Nothing =
@@ -569,14 +587,20 @@ object ProjString {
           return mkSpec(raw, proj, ell, pole, lon0,
             Proj.stereK0FromTs(ell, latTs.get), x0, y0)
         }
-        if (proj == "mercb") {
-          // Mercator variant B (EPSG 9805): the 1st standard parallel folds
-          // into variant A's k0 via the meridian scale m(φ1) — the method
-          // itself has no scale-factor parameter, so one appearing is a
-          // malformed document
-          if (lat2 != 0.0) fail("2nd standard parallel is not valid for 9805")
-          if (k0 != 1.0) fail("scale factor is not valid for method 9805")
-          return mkSpec(raw, "merc", ell, 0.0, lon0,
+        if (proj == "mercb" || proj == "cea" || proj == "eqc") {
+          // Mercator variant B (EPSG 9805) / Lambert Cylindrical Equal Area
+          // (9835) / Equidistant Cylindrical (1028): the 1st standard
+          // parallel folds into the x-scale via the meridian scale m(φ1) —
+          // none of these methods has a scale-factor parameter, so one
+          // appearing is a malformed document
+          if (lat2 != 0.0)
+            fail(s"2nd standard parallel is not valid for method '$proj'")
+          if (k0 != 1.0)
+            fail(s"scale factor is not valid for method '$proj'")
+          if (lat0 != 0.0)
+            fail(s"latitude of natural origin is not valid for method '$proj'")
+          val target = if (proj == "mercb") "merc" else proj
+          return mkSpec(raw, target, ell, 0.0, lon0,
             Proj.mFactor(ell, math.toRadians(lat1)), x0, y0)
         }
         // a parameter that the chosen method cannot consume must fail, not
@@ -662,6 +686,10 @@ object ProjString {
     case "aea" =>
       Proj.albersForward(spec.ell, lon, lat, spec.lat0, spec.lon0,
         spec.lat1, spec.lat2, spec.x0, spec.y0)
+    case "cea" =>
+      Proj.ceaForward(spec.ell, lon, lat, spec.lon0, spec.k0, spec.x0, spec.y0)
+    case "eqc" =>
+      Proj.eqcForward(spec.ell, lon, lat, spec.lon0, spec.k0, spec.x0, spec.y0)
   }
 
   private def unproject(spec: Spec, x: Double, y: Double): (Double, Double) = spec.proj match {
@@ -683,5 +711,9 @@ object ProjString {
     case "aea" =>
       Proj.albersInverse(spec.ell, x, y, spec.lat0, spec.lon0,
         spec.lat1, spec.lat2, spec.x0, spec.y0)
+    case "cea" =>
+      Proj.ceaInverse(spec.ell, x, y, spec.lon0, spec.k0, spec.x0, spec.y0)
+    case "eqc" =>
+      Proj.eqcInverse(spec.ell, x, y, spec.lon0, spec.k0, spec.x0, spec.y0)
   }
 }

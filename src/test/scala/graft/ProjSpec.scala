@@ -970,4 +970,109 @@ class ProjSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       ProjString.parse("+proj=merc +lat_ts=42 +k_0=0.9 +ellps=krass"))
   }
+
+  test("Cylindrical Equal Area (EPSG 9835): EASE-Grid 2.0 extent, equal-area " +
+    "invariant, proj-string cea, PROJJSON (r5)") {
+    import graft.geom.{Proj, ProjString}
+    // EPSG:6933 (WGS 84 / NSIDC EASE-Grid 2.0 Global, lat_ts = 30): the
+    // antimeridian maps to NSIDC's published map half-width a·m(30°)·π
+    val (xm, y0) = Proj.fromLonLat(6933, 180.0, 0.0)
+    assert(math.abs(xm - 17367530.445161372) < 1e-6, s"xmax=$xm")
+    assert(math.abs(y0) < 1e-9)
+    // equal-area: a projected cell's area equals the exact ellipsoidal
+    // surface-area element a²(1−e²)cosφ/(1−e²sin²φ)² dλdφ at any latitude
+    val a = 6378137.0; val e2 = 0.00669437999014132
+    val d = 1e-5
+    for (lat <- Seq(-67.0, -30.0, 0.0, 18.0, 45.0, 78.0)) {
+      val (x1, ya) = Proj.fromLonLat(6933, 10.0, lat)
+      val (x2, _) = Proj.fromLonLat(6933, 10.0 + d, lat)
+      val (_, yb) = Proj.fromLonLat(6933, 10.0, lat + d)
+      val cell = (x2 - x1) * (yb - ya)
+      val s = math.sin(math.toRadians(lat)); val den = 1 - e2 * s * s
+      val exact = a * a * (1 - e2) * math.cos(math.toRadians(lat)) / (den * den) *
+        math.toRadians(d) * math.toRadians(d)
+      assert(math.abs(cell / exact - 1.0) < 1e-4, s"lat=$lat: $cell vs $exact")
+    }
+    // round trips to sub-nm degrees, poles included
+    for (lat <- Seq(-90.0, -55.5, 0.0, 33.25, 89.0, 90.0); lon <- Seq(-170.0, 4.5)) {
+      val (px, py) = Proj.fromLonLat(6933, lon, lat)
+      val (lo, la) = Proj.toLonLat(6933, px, py)
+      assert(math.abs(lo - lon) < 1e-9 && math.abs(la - lat) < 1e-9, s"$lon $lat -> $lo $la")
+    }
+    // +proj=cea +lat_ts=30 bit-equals the EPSG:6933 code path; k0 is the
+    // parallel's meridian scale; +k_0 is PROJ's alternative spelling
+    val spec = ProjString.parse("+proj=cea +lat_ts=30 +ellps=WGS84 +units=m")
+    assert(spec.k0 == Proj.Ease2K0)
+    val (sx, sy) = ProjString.fromLonLat(spec, 76.0, -41.0)
+    val (ex, ey) = Proj.fromLonLat(6933, 76.0, -41.0)
+    assert(sx == ex && sy == ey, s"($sx,$sy) != ($ex,$ey)")
+    assert(ProjString.parse("+proj=cea +k_0=0.9 +ellps=WGS84").k0 == 0.9)
+    // PROJJSON method 9835 bit-equals too
+    val pj =
+      """{"type":"ProjectedCRS","name":"EASE-Grid 2.0 Global",
+        |"base_crs":{"type":"GeographicCRS","datum":{"ellipsoid":
+        |  {"semi_major_axis":6378137,"inverse_flattening":298.257223563}}},
+        |"conversion":{"method":{"name":"Lambert Cylindrical Equal Area",
+        |  "id":{"authority":"EPSG","code":9835}},
+        | "parameters":[
+        |  {"name":"Latitude of 1st standard parallel","value":30,"unit":"degree"},
+        |  {"name":"Longitude of natural origin","value":0,"unit":"degree"},
+        |  {"name":"False easting","value":0,"unit":"metre"},
+        |  {"name":"False northing","value":0,"unit":"metre"}]}}""".stripMargin
+    val (jx, jy) = ProjString.fromLonLat(ProjString.parse(pj), 76.0, -41.0)
+    assert(jx == ex && jy == ey)
+    // 9835 has no latitude-of-origin parameter; +lat_0 on cea is refused
+    intercept[IllegalArgumentException](
+      ProjString.parse("+proj=cea +lat_0=10 +ellps=WGS84"))
+  }
+
+  test("Equidistant Cylindrical (EPSG 1028): GN 7-2 sample, Krüger arc " +
+    "cross-check, proj-string eqc, PROJJSON (r5)") {
+    import graft.geom.{Proj, ProjString}
+    // EPSG GN 7-2 worked example — WGS 84 / World Equidistant Cylindrical
+    // (EPSG:4087): phi 55N lam 10E -> E 1113194.91, N 6097230.31
+    val (pe, pn) = Proj.fromLonLat(4087, 10.0, 55.0)
+    assert(math.abs(pe - 1113194.91) < 0.01, s"E=$pe")
+    assert(math.abs(pn - 6097230.31) < 0.01, s"N=$pn")
+    // the Snyder 3-21 meridional arc agrees with the INDEPENDENT Krüger
+    // rectifying northing (tmerc's central meridian, k0 = 1) to < 1 mm
+    for (lat <- Seq(-80.0, -33.0, 0.0, 12.5, 55.0, 89.0)) {
+      val m = Proj.meridionalArc(Proj.Wgs84, lat)
+      val k = Proj.tmForward(Proj.Wgs84, 0.0, lat, 0.0, 1.0, 0.0, 0.0)._2
+      assert(math.abs(m - k) < 1e-3, s"lat=$lat: snyder $m vs kruger $k")
+    }
+    // round trips to sub-nm degrees (series + Newton inverse)
+    for (lat <- Seq(-89.5, -42.0, 0.0, 17.9, 71.3); lon <- Seq(-150.0, 33.0)) {
+      val (px, py) = Proj.fromLonLat(4087, lon, lat)
+      val (lo, la) = Proj.toLonLat(4087, px, py)
+      assert(math.abs(lo - lon) < 1e-9 && math.abs(la - lat) < 1e-9, s"$lon $lat -> $lo $la")
+    }
+    // +proj=eqc bit-equals the EPSG:4087 code path; +lat_ts scales x by the
+    // parallel's meridian scale and leaves the northing alone
+    val spec = ProjString.parse("+proj=eqc +ellps=WGS84 +units=m")
+    val (sx, sy) = ProjString.fromLonLat(spec, 10.0, 55.0)
+    assert(sx == pe && sy == pn, s"($sx,$sy) != ($pe,$pn)")
+    val ts = ProjString.parse("+proj=eqc +lat_ts=30 +ellps=WGS84")
+    val (tx, ty) = ProjString.fromLonLat(ts, 10.0, 55.0)
+    assert(math.abs(tx - pe * Proj.Ease2K0) < 1e-6 && ty == pn, s"($tx,$ty)")
+    // PROJJSON method 1028 bit-equals
+    val pj =
+      """{"type":"ProjectedCRS","name":"World Equidistant Cylindrical",
+        |"base_crs":{"type":"GeographicCRS","datum":{"ellipsoid":
+        |  {"semi_major_axis":6378137,"inverse_flattening":298.257223563}}},
+        |"conversion":{"method":{"name":"Equidistant Cylindrical",
+        |  "id":{"authority":"EPSG","code":1028}},
+        | "parameters":[
+        |  {"name":"Latitude of 1st standard parallel","value":0,"unit":"degree"},
+        |  {"name":"Longitude of natural origin","value":0,"unit":"degree"},
+        |  {"name":"False easting","value":0,"unit":"metre"},
+        |  {"name":"False northing","value":0,"unit":"metre"}]}}""".stripMargin
+    val (jx, jy) = ProjString.fromLonLat(ProjString.parse(pj), 10.0, 55.0)
+    assert(jx == pe && jy == pn)
+    // EPSG 1028 has no scale factor: +k_0 on eqc is refused
+    intercept[IllegalArgumentException](
+      ProjString.parse("+proj=eqc +k_0=0.9 +ellps=WGS84"))
+    intercept[IllegalArgumentException](
+      ProjString.parse("+proj=eqc +lat_0=10 +ellps=WGS84"))
+  }
 }
