@@ -796,9 +796,12 @@ object SparkEntry {
       val pt = st_point(col("lon"), col("lat"))
       val ease = st_transform(pt, lit(4326), lit(6933))
       val eqc = st_transform(pt, lit(4326), lit(4087))
+      val modis = st_transform(pt, "EPSG:4326",
+        "+proj=sinu +R=6371007.181 +units=m +no_defs")
       p.select(col("custkey"),
         round(st_x(ease), 3).as("ease_x"), round(st_y(ease), 3).as("ease_y"),
-        round(st_x(eqc), 3).as("eqc_x"), round(st_y(eqc), 3).as("eqc_y"))
+        round(st_x(eqc), 3).as("eqc_x"), round(st_y(eqc), 3).as("eqc_y"),
+        round(st_x(modis), 3).as("modis_x"), round(st_y(modis), 3).as("modis_y"))
     }),
 
     "q_sterea" -> ((s, dir) => {
@@ -2104,7 +2107,9 @@ object SparkEntry {
          | round(6378137.0 * qv / twok0, 3) AS ease_y,
          | round(6378137.0 * radians(lon), 3) AS eqc_x,
          | round(6378137.0 * (c0*phi - c2*sin(2.0*phi)
-         |   + c4*sin(4.0*phi) - c6*sin(6.0*phi)), 3) AS eqc_y
+         |   + c4*sin(4.0*phi) - c6*sin(6.0*phi)), 3) AS eqc_y,
+         | round(6371007.181 * cos(phi) * radians(lon), 3) AS modis_x,
+         | round(6371007.181 * phi, 3) AS modis_y
          |FROM q""".stripMargin,
 
     "q_sterea" ->

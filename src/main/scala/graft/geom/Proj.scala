@@ -368,6 +368,34 @@ object Proj {
    *  2·a·k0·π = 34,735,060.89 m — NSIDC's published extent). */
   final lazy val Ease2K0: Double = mFactor(Wgs84, math.toRadians(30.0))
 
+  // ------ Sinusoidal (Snyder §30; the MODIS Land grid projection) ------
+
+  /** Sinusoidal forward: x = a·m(φ)·Δλ (parallels true to scale),
+   *  y = M(φ) (meridian distances true). Equal-area and pseudocylindrical;
+   *  the spherical limit (m = cos φ, M = R·φ) is Snyder 30-1/30-2 — the
+   *  MODIS Land tiles use exactly that on the R = 6,371,007.181 m authalic
+   *  sphere (10° of equatorial arc = the published 1,111,950.52 m tile). */
+  def sinuForward(ell: Ellipsoid, lonDeg: Double, latDeg: Double,
+                  lon0Deg: Double, fe: Double, fn: Double): (Double, Double) = {
+    val phi = math.toRadians(latDeg)
+    (fe + ell.a * mFactor(ell, phi) * math.toRadians(lonDeg - lon0Deg),
+      fn + meridionalArc(ell, latDeg))
+  }
+
+  /** Sinusoidal inverse: φ from the meridional arc (same series + Newton
+   *  as EQC), then λ from the parallel's scale. At the poles every λ maps
+   *  to the same point — λ0 is answered (the map's singular zone). */
+  def sinuInverse(ell: Ellipsoid, x: Double, y: Double,
+                  lon0Deg: Double, fe: Double, fn: Double): (Double, Double) = {
+    val (_, lat) = eqcInverse(ell, 0.0, y, 0.0, 1.0, 0.0, fn)
+    val m = mFactor(ell, math.toRadians(lat))
+    if (m < 1e-12) (lon0Deg, lat)
+    else (lon0Deg + math.toDegrees((x - fe) / (ell.a * m)), lat)
+  }
+
+  /** The MODIS Land grid's authalic sphere (R = 6,371,007.181 m). */
+  final val ModisSphere: Ellipsoid = Ellipsoid(6371007.181, 0.0)
+
   // ---------------- SRID dispatch ----------------
 
   final val UtmK0 = 0.9996

@@ -21,6 +21,7 @@ import java.util.concurrent.ConcurrentHashMap
  *   +proj=cea      Lambert Cylindrical Equal Area (EPSG 9835 — EASE-Grid
  *                  2.0; +lat_ts or +k_0)
  *   +proj=eqc      Equidistant Cylindrical (EPSG 1028 — EPSG:4087; +lat_ts)
+ *   +proj=sinu     Sinusoidal (Snyder §30 — the MODIS Land grid via +R)
  *   +proj=longlat  identity (degrees)
  *   EPSG:nnnn      authority form, routed to the numeric dispatch
  *
@@ -284,7 +285,8 @@ object ProjString {
     // caller typed but never applied is a trap). cea keeps +k_0 (PROJ's
     // alternative spelling of the standard parallel's scale).
     if ((kv.contains("k") || kv.contains("k_0")) &&
-      (proj == "laea" || proj == "aea" || proj == "eqc" || proj == "longlat"))
+      (proj == "laea" || proj == "aea" || proj == "eqc" || proj == "sinu" ||
+        proj == "longlat"))
       fail(s, s"+k/+k_0 is not a parameter of +proj=$proj — remove it")
 
     if (kv.contains("lat_1") || kv.contains("lat_2")) {
@@ -348,6 +350,13 @@ object ProjString {
         if (lat0 != 0.0)
           fail(s, s"+lat_0 is not a parameter of +proj=$proj — remove it")
         Spec(proj, ell, 0, lon0, k0, x0, y0, 0, 0)
+      case "sinu" =>
+        // Sinusoidal (Snyder §30 — the MODIS Land grid on its authalic
+        // sphere via +R). Only +lon_0/+x_0/+y_0; no scale or origin
+        // latitude exists in the projection.
+        if (lat0 != 0.0)
+          fail(s, "+lat_0 is not a parameter of +proj=sinu — remove it")
+        Spec(proj, ell, 0, lon0, 1.0, x0, y0, 0, 0)
       case "stere" =>
         // POLAR aspects only (Snyder 21-30..21-39; EPSG 9810/9829 — the
         // EPSG:3413/3031 family). The oblique/equatorial ellipsoidal
@@ -690,6 +699,8 @@ object ProjString {
       Proj.ceaForward(spec.ell, lon, lat, spec.lon0, spec.k0, spec.x0, spec.y0)
     case "eqc" =>
       Proj.eqcForward(spec.ell, lon, lat, spec.lon0, spec.k0, spec.x0, spec.y0)
+    case "sinu" =>
+      Proj.sinuForward(spec.ell, lon, lat, spec.lon0, spec.x0, spec.y0)
   }
 
   private def unproject(spec: Spec, x: Double, y: Double): (Double, Double) = spec.proj match {
@@ -715,5 +726,7 @@ object ProjString {
       Proj.ceaInverse(spec.ell, x, y, spec.lon0, spec.k0, spec.x0, spec.y0)
     case "eqc" =>
       Proj.eqcInverse(spec.ell, x, y, spec.lon0, spec.k0, spec.x0, spec.y0)
+    case "sinu" =>
+      Proj.sinuInverse(spec.ell, x, y, spec.lon0, spec.x0, spec.y0)
   }
 }

@@ -1075,4 +1075,56 @@ class ProjSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       ProjString.parse("+proj=eqc +lat_0=10 +ellps=WGS84"))
   }
+
+  test("Sinusoidal (Snyder §30): MODIS grid tile anchor, equal-area " +
+    "invariant, roundtrips (r5)") {
+    import graft.geom.{Proj, ProjString}
+    // the MODIS Land grid: sinusoidal on the R = 6,371,007.181 m authalic
+    // sphere; a 10°x10° tile at the origin is LP DAAC's published
+    // 1,111,950.51966… m square (their constant is the mm-rounded
+    // half-width 20,015,109.354/18 — the exact R·π/18 is 0.1 mm larger,
+    // so the anchor tolerance is 2e-4 m, not fp precision)
+    val modis = ProjString.parse("+proj=sinu +R=6371007.181 +units=m +no_defs")
+    val tile = 1111950.5196666666
+    val (tx, ty0) = ProjString.fromLonLat(modis, 10.0, 0.0)
+    assert(math.abs(tx - tile) < 2e-4 && ty0 == 0.0, s"($tx,$ty0)")
+    val (x0, tyy) = ProjString.fromLonLat(modis, 0.0, 10.0)
+    assert(x0 == 0.0 && math.abs(tyy - tile) < 2e-4, s"($x0,$tyy)")
+    // spherical definition holds anywhere: x = R·Δλ·cos φ
+    val (sx, _) = ProjString.fromLonLat(modis, -75.0, -50.0)
+    assert(math.abs(sx - 6371007.181 * math.toRadians(-75.0) *
+      math.cos(math.toRadians(-50.0))) < 1e-6)
+    // equal-area on the ELLIPSOIDAL form too: a projected cell's area equals
+    // the exact surface-area element a²(1−e²)cosφ/(1−e²sin²φ)² dλdφ
+    val ws = ProjString.parse("+proj=sinu +ellps=WGS84")
+    val a = 6378137.0; val e2 = 0.00669437999014132
+    val d = 1e-5
+    for (lat <- Seq(-62.0, 0.0, 37.0, 81.0)) {
+      val (xa, ya) = ProjString.fromLonLat(ws, 10.0, lat)
+      val (xb, yb) = ProjString.fromLonLat(ws, 10.0 + d, lat)
+      val (xc, yc) = ProjString.fromLonLat(ws, 10.0, lat + d)
+      // shear the parallelogram spanned by the two offsets (x varies with
+      // lat in a pseudocylindrical, so use the cross product)
+      val cell = math.abs((xb - xa) * (yc - ya) - (xc - xa) * (yb - ya))
+      val s = math.sin(math.toRadians(lat)); val den = 1 - e2 * s * s
+      val exact = a * a * (1 - e2) * math.cos(math.toRadians(lat)) / (den * den) *
+        math.toRadians(d) * math.toRadians(d)
+      assert(math.abs(cell / exact - 1.0) < 1e-4, s"lat=$lat: $cell vs $exact")
+    }
+    // round trips to sub-nm degrees on sphere and ellipsoid; the pole
+    // answers lon0 (the map's singular point)
+    for (spec <- Seq(modis, ws);
+         lat <- Seq(-89.5, -42.0, 0.0, 17.9, 71.3); lon <- Seq(-150.0, 33.0)) {
+      val (px, py) = ProjString.fromLonLat(spec, lon, lat)
+      val (lo, la) = ProjString.toLonLat(spec, px, py)
+      assert(math.abs(lo - lon) < 1e-9 && math.abs(la - lat) < 1e-9, s"$lon $lat")
+    }
+    val (plo, pla) = ProjString.toLonLat(ws, ProjString.fromLonLat(ws, 60.0, 90.0)._1,
+      ProjString.fromLonLat(ws, 60.0, 90.0)._2)
+    assert(plo == 0.0 && math.abs(pla - 90.0) < 1e-9, s"pole -> $plo $pla")
+    // no scale, origin latitude, or standard parallel exists for sinusoidal
+    intercept[IllegalArgumentException](ProjString.parse("+proj=sinu +k_0=0.9"))
+    intercept[IllegalArgumentException](ProjString.parse("+proj=sinu +lat_0=10"))
+    intercept[IllegalArgumentException](ProjString.parse("+proj=sinu +lat_ts=10"))
+  }
 }
