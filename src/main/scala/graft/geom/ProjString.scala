@@ -22,6 +22,7 @@ import java.util.concurrent.ConcurrentHashMap
  *                  2.0; +lat_ts or +k_0)
  *   +proj=eqc      Equidistant Cylindrical (EPSG 1028 — EPSG:4087; +lat_ts)
  *   +proj=sinu     Sinusoidal (Snyder §30 — the MODIS Land grid via +R)
+ *   +proj=webmerc  Pseudo Mercator (EPSG 1024 — EPSG:3857)
  *   +proj=longlat  identity (degrees)
  *   EPSG:nnnn      authority form, routed to the numeric dispatch
  *
@@ -357,6 +358,14 @@ object ProjString {
         if (lat0 != 0.0)
           fail(s, "+lat_0 is not a parameter of +proj=sinu — remove it")
         Spec(proj, ell, 0, lon0, 1.0, x0, y0, 0, 0)
+      case "webmerc" =>
+        // PROJ 5+'s +proj=webmerc (EPSG 1024 Popular Visualisation Pseudo
+        // Mercator): spherical Mercator formulas on the base ellipsoid's
+        // semi-major axis, geodetic latitude used directly — EPSG:3857.
+        // The method fixes lat_0 = 0 and has no scale factor.
+        if (lat0 != 0.0 || k0 != 1.0)
+          fail(s, "+proj=webmerc fixes +lat_0=0 and has no +k_0 — remove them")
+        Spec("merc", Proj.Ellipsoid(ell.a, 0.0), 0, lon0, 1.0, x0, y0, 0, 0)
       case "stere" =>
         // POLAR aspects only (Snyder 21-30..21-39; EPSG 9810/9829 — the
         // EPSG:3413/3031 family). The oblique/equatorial ellipsoidal

@@ -1127,4 +1127,21 @@ class ProjSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](ProjString.parse("+proj=sinu +lat_0=10"))
     intercept[IllegalArgumentException](ProjString.parse("+proj=sinu +lat_ts=10"))
   }
+
+  test("+proj=webmerc bit-equals the EPSG:3857 code path (r5)") {
+    import graft.geom.{Proj, ProjString}
+    val wm = ProjString.parse("+proj=webmerc +ellps=WGS84 +units=m +no_defs")
+    for (lat <- Seq(-70.0, 0.0, 41.9); lon <- Seq(-170.0, 2.35)) {
+      val (sx, sy) = ProjString.fromLonLat(wm, lon, lat)
+      val (ex, ey) = Proj.fromLonLat(3857, lon, lat)
+      // x is the same product; y differs only by the isometric-latitude
+      // spelling (atanh(sin φ) vs ln tan(π/4+φ/2)) — ulp-level
+      assert(sx == ex && math.abs(sy - ey) < 1e-6, s"($sx,$sy) != ($ex,$ey)")
+      val (lo, la) = ProjString.toLonLat(wm, sx, sy)
+      assert(math.abs(lo - lon) < 1e-9 && math.abs(la - lat) < 1e-9)
+    }
+    // EPSG 1024 fixes lat_0 = 0 and has no scale factor
+    intercept[IllegalArgumentException](ProjString.parse("+proj=webmerc +lat_0=10"))
+    intercept[IllegalArgumentException](ProjString.parse("+proj=webmerc +k_0=0.9"))
+  }
 }
