@@ -2071,20 +2071,29 @@ object SparkEntry {
       // constants derived independently of the Scala: nn = sin(18°),
       // af = a·F·k0 and rho0 on Clarke 1866 (GN 7-2 method 9801 Jamaica
       // string), ak = a·m(42°) on Krassowsky (method 9805 Caspian string)
+      // dj/dc wrap the longitude difference into [-180, 180] exactly as the
+      // Scala kernels do (PROJ's adjlon) — the Jamaica cone at lon 100E and
+      // the Caspian cylinder at 170W must take the short way around
       s"""WITH p AS (SELECT custkey, lat, lon FROM ($custPointsSql)),
          | c AS (SELECT custkey, lat, lon,
          |   0.08227185422300431 AS e, 0.3090169943749474 AS nn,
          |   21659820.76682105 AS af, 19636447.862153515 AS rho0,
          |   0.08181333401693115 AS ek, 4747078.326944951 AS ak,
+         |   CASE WHEN (lon + 77.0) > 180.0 THEN (lon + 77.0) - 360.0
+         |        WHEN (lon + 77.0) < -180.0 THEN (lon + 77.0) + 360.0
+         |        ELSE lon + 77.0 END AS dj,
+         |   CASE WHEN (lon - 51.0) > 180.0 THEN (lon - 51.0) - 360.0
+         |        WHEN (lon - 51.0) < -180.0 THEN (lon - 51.0) + 360.0
+         |        ELSE lon - 51.0 END AS dc,
          |   radians(lat) AS phi, sin(radians(lat)) AS s FROM p),
          | t AS (SELECT *, tan(pi()/4.0 - phi/2.0)
          |   * power((1.0 + e*sin(phi))/(1.0 - e*sin(phi)), e/2.0) AS tt FROM c),
          | g AS (SELECT *, af * power(tt, nn) AS rho,
-         |   nn * radians(lon + 77.0) AS th FROM t)
+         |   nn * radians(dj) AS th FROM t)
          |SELECT custkey,
          | round(250000.0 + rho * sin(th), 3) AS jx,
          | round(150000.0 + rho0 - rho * cos(th), 3) AS jy,
-         | round(ak * radians(lon - 51.0), 3) AS cx,
+         | round(ak * radians(dc), 3) AS cx,
          | round(ak * (0.5*ln((1.0+s)/(1.0-s))
          |   - ek*(0.5*ln((1.0+ek*s)/(1.0-ek*s)))), 3) AS cy
          |FROM g""".stripMargin,

@@ -147,14 +147,15 @@ object Proj {
     val phi = math.toRadians(latDeg)
     val sphi = math.sin(phi)
     val psi = atanh(sphi) - ell.e * atanh(ell.e * sphi)
-    (fe + ell.a * k0 * math.toRadians(lonDeg - lon0Deg), fn + ell.a * k0 * psi)
+    (fe + ell.a * k0 * math.toRadians(wrapLonDeg(lonDeg - lon0Deg)),
+      fn + ell.a * k0 * psi)
   }
 
   def mercInverse(ell: Ellipsoid, x: Double, y: Double,
                   lon0Deg: Double, k0: Double, fe: Double, fn: Double): (Double, Double) = {
     val psi = (y - fn) / (ell.a * k0)
     val tau = invTauP(ell, math.sinh(psi))
-    (lon0Deg + math.toDegrees((x - fe) / (ell.a * k0)),
+    (wrapLonDeg(lon0Deg + math.toDegrees((x - fe) / (ell.a * k0))),
       math.toDegrees(math.atan(tau)))
   }
 
@@ -284,6 +285,15 @@ object Proj {
 
   @inline private def clamp1(x: Double): Double = math.max(-1.0, math.min(1.0, x))
 
+  /** PROJ's adjlon on a degree value: wrap into [-180, 180]. Exact identity
+   *  for already-wrapped inputs (no fp perturbation), one step otherwise —
+   *  enough for geographic inputs where |Δλ| ≤ 360. Applied where a kernel
+   *  is LINEAR in Δλ (cylindrical x = c·Δλ, conic θ = n·Δλ): without it a
+   *  Δλ of -220° maps a world-width away from PROJ's +140°. The azimuthal
+   *  kernels consume Δλ only through sin/cos and need no wrap. */
+  @inline def wrapLonDeg(d: Double): Double =
+    if (d > 180.0) d - 360.0 else if (d < -180.0) d + 360.0 else d
+
   // ------ Lambert Cylindrical Equal Area (Snyder §10; EPSG method 9835) ------
 
   /** CEA forward: x = a·k0·Δλ, y = a·q(φ)/(2·k0), where k0 = m(φ1) is the
@@ -294,7 +304,7 @@ object Proj {
   def ceaForward(ell: Ellipsoid, lonDeg: Double, latDeg: Double,
                  lon0Deg: Double, k0: Double,
                  fe: Double, fn: Double): (Double, Double) =
-    (fe + ell.a * k0 * math.toRadians(lonDeg - lon0Deg),
+    (fe + ell.a * k0 * math.toRadians(wrapLonDeg(lonDeg - lon0Deg)),
       fn + ell.a * authalicQ(ell, math.sin(math.toRadians(latDeg))) / (2 * k0))
 
   /** CEA inverse via the authalic latitude (same series + Newton the LAEA
@@ -304,7 +314,7 @@ object Proj {
                  fe: Double, fn: Double): (Double, Double) = {
     val qp = authalicQ(ell, 1.0)
     val r = clamp1(2 * k0 * (y - fn) / (ell.a * qp))
-    val lon = lon0Deg + math.toDegrees((x - fe) / (ell.a * k0))
+    val lon = wrapLonDeg(lon0Deg + math.toDegrees((x - fe) / (ell.a * k0)))
     // asin is ill-conditioned at |r| -> 1 and the Newton step degenerates
     // (dq -> 0), so the poles are answered exactly rather than refined; the
     // window (~1 m of latitude) is the map's own singular zone — meridians
@@ -335,7 +345,7 @@ object Proj {
   def eqcForward(ell: Ellipsoid, lonDeg: Double, latDeg: Double,
                  lon0Deg: Double, k0: Double,
                  fe: Double, fn: Double): (Double, Double) =
-    (fe + ell.a * k0 * math.toRadians(lonDeg - lon0Deg),
+    (fe + ell.a * k0 * math.toRadians(wrapLonDeg(lonDeg - lon0Deg)),
       fn + meridionalArc(ell, latDeg))
 
   /** EQC inverse: rectifying-latitude series (Snyder eq. 3-26) seeds two
@@ -361,7 +371,8 @@ object Proj {
       phi += ((y - fn) - meridionalArc(ell, math.toDegrees(phi))) / dM
       it += 1
     }
-    (lon0Deg + math.toDegrees((x - fe) / (ell.a * k0)), math.toDegrees(phi))
+    (wrapLonDeg(lon0Deg + math.toDegrees((x - fe) / (ell.a * k0))),
+      math.toDegrees(phi))
   }
 
   /** EASE-Grid 2.0's x-scale: m(30°) on WGS84 (full map width is then
@@ -378,7 +389,7 @@ object Proj {
   def sinuForward(ell: Ellipsoid, lonDeg: Double, latDeg: Double,
                   lon0Deg: Double, fe: Double, fn: Double): (Double, Double) = {
     val phi = math.toRadians(latDeg)
-    (fe + ell.a * mFactor(ell, phi) * math.toRadians(lonDeg - lon0Deg),
+    (fe + ell.a * mFactor(ell, phi) * math.toRadians(wrapLonDeg(lonDeg - lon0Deg)),
       fn + meridionalArc(ell, latDeg))
   }
 
@@ -390,11 +401,8 @@ object Proj {
     val (_, lat) = eqcInverse(ell, 0.0, y, 0.0, 1.0, 0.0, fn)
     val m = mFactor(ell, math.toRadians(lat))
     if (m < 1e-12) (lon0Deg, lat)
-    else (lon0Deg + math.toDegrees((x - fe) / (ell.a * m)), lat)
+    else (wrapLonDeg(lon0Deg + math.toDegrees((x - fe) / (ell.a * m))), lat)
   }
-
-  /** The MODIS Land grid's authalic sphere (R = 6,371,007.181 m). */
-  final val ModisSphere: Ellipsoid = Ellipsoid(6371007.181, 0.0)
 
   // ---------------- SRID dispatch ----------------
 
@@ -528,7 +536,7 @@ object Proj {
     val ak = ell.a * k0
     val rho0 = ak * f * math.pow(conformalT(ell, math.toRadians(lat0Deg)), n)
     val rho = ak * f * math.pow(conformalT(ell, math.toRadians(latDeg)), n)
-    val th = n * math.toRadians(lonDeg - lon0Deg)
+    val th = n * math.toRadians(wrapLonDeg(lonDeg - lon0Deg))
     (fe + rho * math.sin(th), fn + rho0 - rho * math.cos(th))
   }
 
@@ -556,7 +564,8 @@ object Proj {
     }
     val th = math.atan2(sgn * x, sgn * y)
     val t = math.pow(rho / (ak * f), 1.0 / n)
-    (lon0Deg + math.toDegrees(th / n), math.toDegrees(geodeticFromT(ell, t)))
+    (wrapLonDeg(lon0Deg + math.toDegrees(th / n)),
+      math.toDegrees(geodeticFromT(ell, t)))
   }
 
   // ------ Albers Equal Area conic (Snyder §14; EPSG method 9822) ------
@@ -585,7 +594,7 @@ object Proj {
     val (n, c, rho0) = albersCone(ell, lat0Deg, lat1Deg, lat2Deg)
     val q = authalicQ(ell, math.sin(math.toRadians(latDeg)))
     val rho = ell.a * math.sqrt(c - n * q) / n
-    val th = n * math.toRadians(lonDeg - lon0Deg)
+    val th = n * math.toRadians(wrapLonDeg(lonDeg - lon0Deg))
     (fe + rho * math.sin(th), fn + rho0 - rho * math.cos(th))
   }
 
@@ -603,7 +612,7 @@ object Proj {
     val q = (c - rho * rho * n * n / (ell.a * ell.a)) / n
     val qp = authalicQ(ell, 1.0)
     val beta = math.asin(clamp1(q / qp))
-    (lon0Deg + math.toDegrees(th / n),
+    (wrapLonDeg(lon0Deg + math.toDegrees(th / n)),
       math.toDegrees(authalicToGeodetic(ell, beta, qp)))
   }
 

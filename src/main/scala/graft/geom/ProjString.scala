@@ -278,7 +278,14 @@ object ProjString {
         if (kv.contains("k") || kv.contains("k_0"))
           fail(s, s"+lat_ts and +k/+k_0 are mutually exclusive for $proj")
         if (proj == "stere") Proj.stereK0FromTs(ell, num("lat_ts", 90.0))
-        else Proj.mFactor(ell, math.toRadians(num("lat_ts", 0.0)))
+        else {
+          // a polar standard parallel degenerates m(φ1) to ~0 (every point
+          // collapses / blows up); PROJ refuses it for these projections too
+          val ts = num("lat_ts", 0.0)
+          if (math.abs(ts) >= 90.0)
+            fail(s, s"+lat_ts=$ts out of range (-90, 90) for +proj=$proj")
+          Proj.mFactor(ell, math.toRadians(ts))
+        }
       } else k0
     // EPSG 9820 (LAEA), 9822 (Albers) and 1028 (Equidistant Cylindrical)
     // have no scale factor; PROJ ignores a +k_0 on them silently — refuse
@@ -350,6 +357,8 @@ object ProjString {
         // m(lat_ts); neither method has a latitude-of-origin parameter.
         if (lat0 != 0.0)
           fail(s, s"+lat_0 is not a parameter of +proj=$proj — remove it")
+        if (k0 <= 0.0)
+          fail(s, s"+k_0=$k0 must be positive for +proj=$proj")
         Spec(proj, ell, 0, lon0, k0, x0, y0, 0, 0)
       case "sinu" =>
         // Sinusoidal (Snyder §30 — the MODIS Land grid on its authalic
@@ -617,6 +626,14 @@ object ProjString {
             fail(s"scale factor is not valid for method '$proj'")
           if (lat0 != 0.0)
             fail(s"latitude of natural origin is not valid for method '$proj'")
+          // these methods spell their parallel 'Latitude of 1st standard
+          // parallel' (EPSG 8823); the 8832 'Latitude of standard parallel'
+          // spelling belongs to polar stereographic B and would otherwise
+          // slip through as lat1 = 0 (k0 = 1 — silently wrong eastings)
+          if (latTs.isDefined)
+            fail(s"'Latitude of standard parallel' is not valid for method '$proj'")
+          if (math.abs(lat1) >= 90.0)
+            fail(s"standard parallel $lat1 is out of range for method '$proj'")
           val target = if (proj == "mercb") "merc" else proj
           return mkSpec(raw, target, ell, 0.0, lon0,
             Proj.mFactor(ell, math.toRadians(lat1)), x0, y0)
@@ -634,10 +651,15 @@ object ProjString {
           return mkSpec(raw, "lcc", ell, lat0, lon0, k0, x0, y0, lat0, lat0)
         if (proj == "lcc" || proj == "aea")
           return mkSpec(raw, proj, ell, lat0, lon0, k0, x0, y0, lat1, lat2)
-        if (proj == "webmerc")
-          // pseudo-mercator: spherical formulas on the base semi-major axis
-          mkSpec(raw, "merc", Proj.Ellipsoid(ell.a, 0.0), lat0, lon0, k0, x0, y0)
-        else mkSpec(raw, proj, ell, lat0, lon0, k0, x0, y0)
+        if (proj == "webmerc") {
+          // pseudo-mercator: spherical formulas on the base semi-major axis.
+          // EPSG 1024 fixes lat_0 = 0 and has no scale factor — same
+          // strictness the +proj=webmerc string path enforces
+          if (lat0 != 0.0)
+            fail("latitude of natural origin must be 0 for method 1024")
+          if (k0 != 1.0) fail("scale factor is not valid for method 1024")
+          mkSpec(raw, "merc", Proj.Ellipsoid(ell.a, 0.0), 0.0, lon0, 1.0, x0, y0)
+        } else mkSpec(raw, proj, ell, lat0, lon0, k0, x0, y0)
       case other => fail(s"unsupported CRS type $other")
     }
   }

@@ -1144,4 +1144,32 @@ class ProjSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](ProjString.parse("+proj=webmerc +lat_0=10"))
     intercept[IllegalArgumentException](ProjString.parse("+proj=webmerc +k_0=0.9"))
   }
+
+  test("longitude wrapping (PROJ adjlon): linear-in-dlam kernels take the " +
+    "short way around (r5)") {
+    import graft.geom.ProjString
+    // cylindrical: the Caspian Mercator (lon_0 = 51) at 170W — dlam = -221
+    // wraps to +139, so x is a large POSITIVE easting, and lon+360 is the
+    // same point bit-for-bit
+    val cas = ProjString.parse("+proj=merc +lat_ts=42 +lon_0=51 +ellps=krass")
+    val (xa, ya) = ProjString.fromLonLat(cas, -170.0, 10.0)
+    val (xb, yb) = ProjString.fromLonLat(cas, 190.0, 10.0)
+    assert(xa == xb && ya == yb, s"($xa,$ya) != ($xb,$yb)")
+    assert(xa > 0, s"x=$xa should take the short way east")
+    val (lo, la) = ProjString.toLonLat(cas, xa, ya)
+    assert(math.abs(lo - -170.0) < 1e-9 && math.abs(la - 10.0) < 1e-9, s"$lo $la")
+    // conic: the Jamaica cone (lon_0 = -77) at 150E — dlam = 227 wraps to
+    // -133; the antipodal-side roundtrip still recovers the input
+    val jam = ProjString.parse("+proj=lcc +lat_1=18 +lat_0=18 +lon_0=-77 " +
+      "+x_0=250000 +y_0=150000 +ellps=clrk66")
+    val (je, jn) = ProjString.fromLonLat(jam, 150.0, 20.0)
+    val (je2, jn2) = ProjString.fromLonLat(jam, -210.0, 20.0)
+    assert(je == je2 && jn == jn2)
+    val (jlo, jla) = ProjString.toLonLat(jam, je, jn)
+    assert(math.abs(jlo - 150.0) < 1e-9 && math.abs(jla - 20.0) < 1e-9, s"$jlo $jla")
+    // degenerate standard parallels are refused, not folded into garbage
+    intercept[IllegalArgumentException](ProjString.parse("+proj=merc +lat_ts=90"))
+    intercept[IllegalArgumentException](ProjString.parse("+proj=cea +lat_ts=-90"))
+    intercept[IllegalArgumentException](ProjString.parse("+proj=cea +k_0=0"))
+  }
 }
