@@ -798,10 +798,12 @@ object SparkEntry {
       val eqc = st_transform(pt, lit(4326), lit(4087))
       val modis = st_transform(pt, "EPSG:4326",
         "+proj=sinu +R=6371007.181 +units=m +no_defs")
+      val moll = st_transform(pt, "EPSG:4326", "+proj=moll +ellps=WGS84")
       p.select(col("custkey"),
         round(st_x(ease), 3).as("ease_x"), round(st_y(ease), 3).as("ease_y"),
         round(st_x(eqc), 3).as("eqc_x"), round(st_y(eqc), 3).as("eqc_y"),
-        round(st_x(modis), 3).as("modis_x"), round(st_y(modis), 3).as("modis_y"))
+        round(st_x(modis), 3).as("modis_x"), round(st_y(modis), 3).as("modis_y"),
+        round(st_x(moll), 3).as("moll_x"), round(st_y(moll), 3).as("moll_y"))
     }),
 
     "q_sterea" -> ((s, dir) => {
@@ -2110,7 +2112,14 @@ object SparkEntry {
          |   2.6390465943376213e-06 AS c4, 3.4180460865957878e-09 AS c6,
          |   radians(lat) AS phi, sin(radians(lat)) AS s FROM p),
          | q AS (SELECT *, (1.0-e2)*(s/(1.0-e2*s*s)
-         |   - (1.0/(2.0*e))*ln((1.0-e*s)/(1.0+e*s))) AS qv FROM c)
+         |   - (1.0/(2.0*e))*ln((1.0-e*s)/(1.0+e*s))) AS qv FROM c),
+         | m0 AS (SELECT *, phi AS t0 FROM q),
+         | m1 AS (SELECT *, t0 - (2.0*t0 + sin(2.0*t0) - pi()*s)/(2.0 + 2.0*cos(2.0*t0)) AS t1 FROM m0),
+         | m2 AS (SELECT *, t1 - (2.0*t1 + sin(2.0*t1) - pi()*s)/(2.0 + 2.0*cos(2.0*t1)) AS t2 FROM m1),
+         | m3 AS (SELECT *, t2 - (2.0*t2 + sin(2.0*t2) - pi()*s)/(2.0 + 2.0*cos(2.0*t2)) AS t3 FROM m2),
+         | m4 AS (SELECT *, t3 - (2.0*t3 + sin(2.0*t3) - pi()*s)/(2.0 + 2.0*cos(2.0*t3)) AS t4 FROM m3),
+         | m5 AS (SELECT *, t4 - (2.0*t4 + sin(2.0*t4) - pi()*s)/(2.0 + 2.0*cos(2.0*t4)) AS t5 FROM m4),
+         | m6 AS (SELECT *, t5 - (2.0*t5 + sin(2.0*t5) - pi()*s)/(2.0 + 2.0*cos(2.0*t5)) AS t6 FROM m5)
          |SELECT custkey,
          | round(ak * radians(lon), 3) AS ease_x,
          | round(6378137.0 * qv / twok0, 3) AS ease_y,
@@ -2118,8 +2127,10 @@ object SparkEntry {
          | round(6378137.0 * (c0*phi - c2*sin(2.0*phi)
          |   + c4*sin(4.0*phi) - c6*sin(6.0*phi)), 3) AS eqc_y,
          | round(6371007.181 * cos(phi) * radians(lon), 3) AS modis_x,
-         | round(6371007.181 * phi, 3) AS modis_y
-         |FROM q""".stripMargin,
+         | round(6371007.181 * phi, 3) AS modis_y,
+         | round(2.0*sqrt(2.0)/pi() * 6378137.0 * radians(lon) * cos(t6), 3) AS moll_x,
+         | round(sqrt(2.0) * 6378137.0 * sin(t6), 3) AS moll_y
+         |FROM m6""".stripMargin,
 
     "q_sterea" ->
       s"""WITH p AS (SELECT custkey, lat, lon FROM ($custPointsSql)

@@ -379,6 +379,54 @@ object Proj {
    *  2·a·k0·π = 34,735,060.89 m — NSIDC's published extent). */
   final lazy val Ease2K0: Double = mFactor(Wgs84, math.toRadians(30.0))
 
+  // ------ Mollweide (Snyder §31; +proj=moll, ESRI:54009 World Mollweide) ------
+
+  /** Mollweide's auxiliary angle θ: 2θ + sin 2θ = π·sin φ, by Newton from
+   *  θ0 = φ (quadratic convergence; ~5 steps anywhere off the poles, where
+   *  θ is answered exactly). PROJ's moll is the spherical formulation — an
+   *  ellipsoidal CRS contributes only its semi-major axis as R, mirrored
+   *  here. */
+  private def mollTheta(phiRad: Double): Double = {
+    val target = math.Pi * math.sin(phiRad)
+    if (math.abs(phiRad) >= math.toRadians(90.0) - 1e-12)
+      return if (phiRad >= 0) math.Pi / 2 else -math.Pi / 2
+    var th = phiRad
+    var it = 0
+    while (it < 20) {
+      val d = (2 * th + math.sin(2 * th) - target) / (2 + 2 * math.cos(2 * th))
+      th -= d
+      if (math.abs(d) < 1e-15) it = 20
+      it += 1
+    }
+    th
+  }
+
+  /** Mollweide forward (Snyder eq. 31-1/31-2): x = (2√2/π)·R·Δλ·cos θ,
+   *  y = √2·R·sin θ. The full map is the ellipse with semi-axes 2√2·R and
+   *  √2·R whose area π·(2√2R)(√2R) = 4πR² is the sphere's — equal-area by
+   *  construction. */
+  def mollForward(ell: Ellipsoid, lonDeg: Double, latDeg: Double,
+                  lon0Deg: Double, fe: Double, fn: Double): (Double, Double) = {
+    val th = mollTheta(math.toRadians(latDeg))
+    val r = ell.a
+    (fe + (2 * math.sqrt(2.0) / math.Pi) * r *
+      math.toRadians(wrapLonDeg(lonDeg - lon0Deg)) * math.cos(th),
+      fn + math.sqrt(2.0) * r * math.sin(th))
+  }
+
+  /** Mollweide inverse (Snyder eq. 31-6..31-8); the poles answer lon0 (the
+   *  map's singular points, like the sinusoidal). */
+  def mollInverse(ell: Ellipsoid, x: Double, y: Double,
+                  lon0Deg: Double, fe: Double, fn: Double): (Double, Double) = {
+    val r = ell.a
+    val th = math.asin(clamp1((y - fn) / (math.sqrt(2.0) * r)))
+    val lat = math.toDegrees(math.asin(clamp1((2 * th + math.sin(2 * th)) / math.Pi)))
+    val c = math.cos(th)
+    if (c < 1e-12) (lon0Deg, lat)
+    else (wrapLonDeg(lon0Deg + math.toDegrees(
+      math.Pi * (x - fe) / (2 * math.sqrt(2.0) * r * c))), lat)
+  }
+
   // ------ Sinusoidal (Snyder §30; the MODIS Land grid projection) ------
 
   /** Sinusoidal forward: x = a·m(φ)·Δλ (parallels true to scale),

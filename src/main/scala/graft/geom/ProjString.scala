@@ -22,6 +22,7 @@ import java.util.concurrent.ConcurrentHashMap
  *                  2.0; +lat_ts or +k_0)
  *   +proj=eqc      Equidistant Cylindrical (EPSG 1028 — EPSG:4087; +lat_ts)
  *   +proj=sinu     Sinusoidal (Snyder §30 — the MODIS Land grid via +R)
+ *   +proj=moll     Mollweide (Snyder §31 — ESRI:54009 World Mollweide)
  *   +proj=webmerc  Pseudo Mercator (EPSG 1024 — EPSG:3857)
  *   +proj=longlat  identity (degrees)
  *   EPSG:nnnn      authority form, routed to the numeric dispatch
@@ -294,7 +295,7 @@ object ProjString {
     // alternative spelling of the standard parallel's scale).
     if ((kv.contains("k") || kv.contains("k_0")) &&
       (proj == "laea" || proj == "aea" || proj == "eqc" || proj == "sinu" ||
-        proj == "longlat"))
+        proj == "moll" || proj == "longlat"))
       fail(s, s"+k/+k_0 is not a parameter of +proj=$proj — remove it")
 
     if (kv.contains("lat_1") || kv.contains("lat_2")) {
@@ -360,12 +361,13 @@ object ProjString {
         if (k0 <= 0.0)
           fail(s, s"+k_0=$k0 must be positive for +proj=$proj")
         Spec(proj, ell, 0, lon0, k0, x0, y0, 0, 0)
-      case "sinu" =>
+      case "sinu" | "moll" =>
         // Sinusoidal (Snyder §30 — the MODIS Land grid on its authalic
-        // sphere via +R). Only +lon_0/+x_0/+y_0; no scale or origin
-        // latitude exists in the projection.
+        // sphere via +R) / Mollweide (Snyder §31 — ESRI:54009 World
+        // Mollweide). Only +lon_0/+x_0/+y_0; no scale or origin latitude
+        // exists in either projection.
         if (lat0 != 0.0)
-          fail(s, "+lat_0 is not a parameter of +proj=sinu — remove it")
+          fail(s, s"+lat_0 is not a parameter of +proj=$proj — remove it")
         Spec(proj, ell, 0, lon0, 1.0, x0, y0, 0, 0)
       case "webmerc" =>
         // PROJ 5+'s +proj=webmerc (EPSG 1024 Popular Visualisation Pseudo
@@ -732,6 +734,8 @@ object ProjString {
       Proj.eqcForward(spec.ell, lon, lat, spec.lon0, spec.k0, spec.x0, spec.y0)
     case "sinu" =>
       Proj.sinuForward(spec.ell, lon, lat, spec.lon0, spec.x0, spec.y0)
+    case "moll" =>
+      Proj.mollForward(spec.ell, lon, lat, spec.lon0, spec.x0, spec.y0)
   }
 
   private def unproject(spec: Spec, x: Double, y: Double): (Double, Double) = spec.proj match {
@@ -759,5 +763,7 @@ object ProjString {
       Proj.eqcInverse(spec.ell, x, y, spec.lon0, spec.k0, spec.x0, spec.y0)
     case "sinu" =>
       Proj.sinuInverse(spec.ell, x, y, spec.lon0, spec.x0, spec.y0)
+    case "moll" =>
+      Proj.mollInverse(spec.ell, x, y, spec.lon0, spec.x0, spec.y0)
   }
 }

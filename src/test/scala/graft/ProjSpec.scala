@@ -1172,4 +1172,51 @@ class ProjSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](ProjString.parse("+proj=cea +lat_ts=-90"))
     intercept[IllegalArgumentException](ProjString.parse("+proj=cea +k_0=0"))
   }
+
+  test("Mollweide (Snyder §31): map-ellipse anchors, equal-area invariant, " +
+    "roundtrips (r5)") {
+    import graft.geom.ProjString
+    val a = 6378137.0
+    val moll = ProjString.parse("+proj=moll +ellps=WGS84 +units=m +no_defs")
+    // the full map is the 2:1 ellipse with semi-axes 2√2·R (equator edge)
+    // and √2·R (poles) — its area π·(2√2R)(√2R) = 4πR² is the sphere's
+    val (xe, ye) = ProjString.fromLonLat(moll, 180.0, 0.0)
+    assert(math.abs(xe - 2 * math.sqrt(2.0) * a) < 1e-6 && ye == 0.0, s"($xe,$ye)")
+    val (xp, yp) = ProjString.fromLonLat(moll, 0.0, 90.0)
+    assert(xp == 0.0 && math.abs(yp - math.sqrt(2.0) * a) < 1e-6, s"($xp,$yp)")
+    // the 40.73°-ish parallel where θ = π/4: y = R, x(Δλ=90°) = √2·R·cos... —
+    // instead pin the DEFINING identity: 2θ + sin 2θ = π·sin φ holds for the
+    // θ the forward used, recovered from y
+    for (lat <- Seq(-75.0, -20.0, 40.7366, 88.0)) {
+      val (_, y) = ProjString.fromLonLat(moll, 0.0, lat)
+      val th = math.asin(y / (math.sqrt(2.0) * a))
+      val resid = 2 * th + math.sin(2 * th) - math.Pi * math.sin(math.toRadians(lat))
+      assert(math.abs(resid) < 1e-12, s"lat=$lat residual $resid")
+    }
+    // equal-area on the sphere: projected cell area == R² cos φ dλ dφ
+    val d = 1e-5
+    for (lat <- Seq(-62.0, 0.0, 37.0, 81.0)) {
+      val (xa2, ya2) = ProjString.fromLonLat(moll, 10.0, lat)
+      val (xb, yb) = ProjString.fromLonLat(moll, 10.0 + d, lat)
+      val (xc, yc) = ProjString.fromLonLat(moll, 10.0, lat + d)
+      val cell = math.abs((xb - xa2) * (yc - ya2) - (xc - xa2) * (yb - ya2))
+      val exact = a * a * math.cos(math.toRadians(lat)) *
+        math.toRadians(d) * math.toRadians(d)
+      assert(math.abs(cell / exact - 1.0) < 1e-4, s"lat=$lat: $cell vs $exact")
+    }
+    // roundtrips (incl. a wrapped lon and the pole answering lon0)
+    for (lat <- Seq(-89.0, -41.5, 0.0, 23.4, 77.0); lon <- Seq(-170.0, 12.25)) {
+      val (px, py) = ProjString.fromLonLat(moll, lon, lat)
+      val (lo, la) = ProjString.toLonLat(moll, px, py)
+      assert(math.abs(lo - lon) < 1e-9 && math.abs(la - lat) < 1e-9, s"$lon $lat")
+    }
+    val (pl, pb) = ProjString.toLonLat(moll,
+      ProjString.fromLonLat(moll, 60.0, 90.0)._1,
+      ProjString.fromLonLat(moll, 60.0, 90.0)._2)
+    assert(pl == 0.0 && math.abs(pb - 90.0) < 1e-9, s"pole -> $pl $pb")
+    // no scale / origin-latitude / standard-parallel parameters exist
+    intercept[IllegalArgumentException](ProjString.parse("+proj=moll +k_0=0.9"))
+    intercept[IllegalArgumentException](ProjString.parse("+proj=moll +lat_0=10"))
+    intercept[IllegalArgumentException](ProjString.parse("+proj=moll +lat_ts=10"))
+  }
 }
