@@ -149,6 +149,10 @@ object ProjString {
     // urn:ogc:def:crs:EPSG::nnnn -> the EPSG authority form
     if (sl.startsWith("urn:ogc:def:crs:epsg:"))
       s = "EPSG:" + s.substring(s.lastIndexOf(':') + 1)
+    // the two well-known ESRI world-projection codes, expanded to their
+    // published proj-string definitions (WGS84, lon_0 = 0)
+    if (sl == "esri:54008") s = "+proj=sinu +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84"
+    if (sl == "esri:54009") s = "+proj=moll +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84"
     if (s.toLowerCase.startsWith("epsg:")) {
       val srid = try s.substring(5).trim.toInt catch {
         case _: NumberFormatException => fail(s, "bad EPSG code")

@@ -1218,5 +1218,13 @@ class ProjSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](ProjString.parse("+proj=moll +k_0=0.9"))
     intercept[IllegalArgumentException](ProjString.parse("+proj=moll +lat_0=10"))
     intercept[IllegalArgumentException](ProjString.parse("+proj=moll +lat_ts=10"))
+    // the well-known ESRI world codes resolve to their published definitions
+    val esri = ProjString.parse("ESRI:54009")
+    assert(ProjString.fromLonLat(esri, 12.25, -41.5) ==
+      ProjString.fromLonLat(moll, 12.25, -41.5))
+    val esriSinu = ProjString.parse("ESRI:54008")
+    val ws = ProjString.parse("+proj=sinu +ellps=WGS84")
+    assert(ProjString.fromLonLat(esriSinu, 12.25, -41.5) ==
+      ProjString.fromLonLat(ws, 12.25, -41.5))
   }
 }
