@@ -806,6 +806,27 @@ object SparkEntry {
         round(st_x(moll), 3).as("moll_x"), round(st_y(moll), 3).as("moll_y"))
     }),
 
+    "q_omerc" -> ((s, dir) => {
+      // Hotine Oblique Mercator variant B (EPSG method 9815): the GN 7-2
+      // Timbalai 1948 / RSO Borneo parameterization as a proj-string, over
+      // the Borneo-window points. The oracle recomputes the full Hotine
+      // aposphere closed form in DuckDB with INDEPENDENTLY derived
+      // constants (B, A, H, γ0, λ0, uc — computed outside the Scala); the
+      // implementation is pinned to the guidance note's published worked
+      // example in ProjSpec (<1 cm).
+      val alphaC = 53 + 18 / 60.0 + 56.9537 / 3600.0
+      val gammaC = 53 + 7 / 60.0 + 48.3685 / 3600.0
+      val p = custPoints(s, dir)
+        .filter(col("lat") > -10 && col("lat") < 20 && col("lon") > 90 && col("lon") < 140)
+      val prj = st_transform(st_point(col("lon"), col("lat")), "EPSG:4326",
+        f"+proj=omerc +lat_0=4 +lonc=115 +alpha=$alphaC%.15f " +
+          f"+gamma=$gammaC%.15f +k_0=0.99984 +x_0=590476.87 +y_0=442857.65 " +
+          "+a=6377298.556 +rf=300.8017 +units=m")
+      p.select(col("custkey"),
+        round(st_x(prj), 3).as("ox"),
+        round(st_y(prj), 3).as("oy"))
+    }),
+
     "q_sterea" -> ((s, dir) => {
       // EPSG:28992 (RD New — Oblique/double Stereographic, EPSG method
       // 9809) over the European window. The oracle recomputes the EPSG
@@ -2131,6 +2152,33 @@ object SparkEntry {
          | round(2.0*sqrt(2.0)/pi() * 6378137.0 * radians(lon) * cos(t6), 3) AS moll_x,
          | round(sqrt(2.0) * 6378137.0 * sin(t6), 3) AS moll_y
          |FROM m6""".stripMargin,
+
+    "q_omerc" ->
+      // constants derived independently of the Scala: the Hotine aposphere
+      // B, A, H, sin/cos γ0 (the 0.8/0.6 RSO design ratio), λ0, uc and the
+      // rectifying rotation sin/cos γc for the Timbalai 1948 string
+      s"""WITH p AS (SELECT custkey, lat, lon FROM ($custPointsSql)
+         |   WHERE lat > -10 AND lat < 20 AND lon > 90 AND lon < 140),
+         | c AS (SELECT custkey,
+         |   0.0814729809826527 AS e, 1.0033032091796408 AS bb,
+         |   6376278.686011902 AS aa, 1.0000029913334152 AS hh,
+         |   0.7999999999286045 AS s0, 0.600000000095194 AS c0,
+         |   738096.0941164013 AS uc,
+         |   0.800000000072834 AS sg, 0.599999999902888 AS cg,
+         |   radians(lat) AS phi,
+         |   radians(lon - 109.68552020297578) AS dlr FROM p),
+         | t AS (SELECT *, tan(pi()/4.0 - phi/2.0)
+         |   * power((1.0 + e*sin(phi))/(1.0 - e*sin(phi)), e/2.0) AS tt FROM c),
+         | g AS (SELECT *, hh / power(tt, bb) AS q, sin(bb*dlr) AS v0,
+         |   cos(bb*dlr) AS w0 FROM t),
+         | h AS (SELECT *, (q - 1.0/q)/2.0 AS s1, (q + 1.0/q)/2.0 AS t1 FROM g),
+         | i AS (SELECT *, (-v0*c0 + s1*s0)/t1 AS u0 FROM h),
+         | j AS (SELECT *, aa * ln((1.0-u0)/(1.0+u0)) / (2.0*bb) AS v,
+         |   aa * atan2(s1*c0 + v0*s0, w0) / bb - uc AS u FROM i)
+         |SELECT custkey,
+         | round(v*cg + u*sg + 590476.87, 3) AS ox,
+         | round(u*cg - v*sg + 442857.65, 3) AS oy
+         |FROM j""".stripMargin,
 
     "q_sterea" ->
       s"""WITH p AS (SELECT custkey, lat, lon FROM ($custPointsSql)

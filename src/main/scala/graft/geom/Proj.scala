@@ -379,6 +379,86 @@ object Proj {
    *  2·a·k0·π = 34,735,060.89 m — NSIDC's published extent). */
   final lazy val Ease2K0: Double = mFactor(Wgs84, math.toRadians(30.0))
 
+  // ------ Hotine Oblique Mercator (EPSG 9812/9815; +proj=omerc) ------
+  //
+  // GN 7-2's Hotine construction: an aposphere ("sphere of constant total
+  // curvature") carries a Mercator-like conformal grid along an initial
+  // line through the projection centre (φc, λc) at azimuth αc, then the
+  // skew (u, v) grid rotates by γc into the rectified eastings/northings.
+  // Variant B (9815, the modern form — RSO Borneo EPSG:29873, Alaska zone 1)
+  // anchors the false origin at the projection centre via the uc offset;
+  // variant A (9812, PROJ's +no_uoff) at the aposphere's natural origin.
+
+  private final case class OmercConsts(bb: Double, aa: Double, h: Double,
+                                       gamma0: Double, lam0: Double,
+                                       uc: Double, sinGc: Double, cosGc: Double)
+
+  private def omercConsts(ell: Ellipsoid, latcDeg: Double, loncDeg: Double,
+                          alphacDeg: Double, gammacDeg: Double,
+                          kc: Double): OmercConsts = {
+    val e2 = ell.e2
+    val phic = math.toRadians(latcDeg)
+    val alphac = math.toRadians(alphacDeg)
+    val cphi = math.cos(phic); val sphi = math.sin(phic)
+    val bb = math.sqrt(1 + e2 * cphi * cphi * cphi * cphi / (1 - e2))
+    val aa = ell.a * bb * kc * math.sqrt(1 - e2) / (1 - e2 * sphi * sphi)
+    val t0 = conformalT(ell, phic)
+    val d = bb * math.sqrt(1 - e2) / (cphi * math.sqrt(1 - e2 * sphi * sphi))
+    val d2 = math.max(d * d, 1.0)
+    val sgn = if (phic >= 0) 1.0 else -1.0
+    val f = d + math.sqrt(d2 - 1) * sgn
+    val h = f * math.pow(t0, bb)
+    val g = (f - 1 / f) / 2
+    val gamma0 = math.asin(math.sin(alphac) / d)
+    val lam0 = math.toRadians(loncDeg) - math.asin(g * math.tan(gamma0)) / bb
+    val uc = (aa / bb) * math.atan2(math.sqrt(d2 - 1), math.cos(alphac)) * sgn
+    val gc = math.toRadians(gammacDeg)
+    OmercConsts(bb, aa, h, gamma0, lam0, uc, math.sin(gc), math.cos(gc))
+  }
+
+  /** Hotine Oblique Mercator forward (GN 7-2; `variantA` = EPSG 9812 /
+   *  PROJ's +no_uoff, otherwise 9815). Pinned to the guidance note's
+   *  Timbalai 1948 / RSO Borneo worked example in ProjSpec (<1 cm). */
+  def omercForward(ell: Ellipsoid, lonDeg: Double, latDeg: Double,
+                   latcDeg: Double, loncDeg: Double,
+                   alphacDeg: Double, gammacDeg: Double, kc: Double,
+                   fe: Double, fn: Double,
+                   variantA: Boolean): (Double, Double) = {
+    val c = omercConsts(ell, latcDeg, loncDeg, alphacDeg, gammacDeg, kc)
+    val t = conformalT(ell, math.toRadians(latDeg))
+    val q = c.h / math.pow(t, c.bb)
+    val bigS = (q - 1 / q) / 2; val bigT = (q + 1 / q) / 2
+    val dlam = math.toRadians(wrapLonDeg(lonDeg - math.toDegrees(c.lam0)))
+    val v0 = math.sin(c.bb * dlam)
+    val u0 = (-v0 * math.cos(c.gamma0) + bigS * math.sin(c.gamma0)) / bigT
+    val v = c.aa * math.log((1 - u0) / (1 + u0)) / (2 * c.bb)
+    val uRaw = c.aa * math.atan2(bigS * math.cos(c.gamma0) + v0 * math.sin(c.gamma0),
+      math.cos(c.bb * dlam)) / c.bb
+    val u = if (variantA) uRaw else uRaw - c.uc
+    (fe + v * c.cosGc + u * c.sinGc, fn + u * c.cosGc - v * c.sinGc)
+  }
+
+  /** Hotine Oblique Mercator inverse (GN 7-2 reverse formulas + the shared
+   *  conformal-latitude inverse). */
+  def omercInverse(ell: Ellipsoid, x: Double, y: Double,
+                   latcDeg: Double, loncDeg: Double,
+                   alphacDeg: Double, gammacDeg: Double, kc: Double,
+                   fe: Double, fn: Double,
+                   variantA: Boolean): (Double, Double) = {
+    val c = omercConsts(ell, latcDeg, loncDeg, alphacDeg, gammacDeg, kc)
+    val vp = (x - fe) * c.cosGc - (y - fn) * c.sinGc
+    val up = (y - fn) * c.cosGc + (x - fe) * c.sinGc + (if (variantA) 0.0 else c.uc)
+    val qp = math.exp(-c.bb * vp / c.aa)
+    val sp = (qp - 1 / qp) / 2; val tp = (qp + 1 / qp) / 2
+    val vv = math.sin(c.bb * up / c.aa)
+    val uu = (vv * math.cos(c.gamma0) + sp * math.sin(c.gamma0)) / tp
+    val t = math.pow(c.h / math.sqrt((1 + uu) / (1 - uu)), 1 / c.bb)
+    val lam = c.lam0 - math.atan2(sp * math.cos(c.gamma0) - vv * math.sin(c.gamma0),
+      math.cos(c.bb * up / c.aa)) / c.bb
+    (wrapLonDeg(math.toDegrees(lam)),
+      math.toDegrees(geodeticFromT(ell, t)))
+  }
+
   // ------ Mollweide (Snyder §31; +proj=moll, ESRI:54009 World Mollweide) ------
 
   /** Mollweide's auxiliary angle θ: 2θ + sin 2θ = π·sin φ, by Newton from

@@ -23,6 +23,8 @@ import java.util.concurrent.ConcurrentHashMap
  *   +proj=eqc      Equidistant Cylindrical (EPSG 1028 — EPSG:4087; +lat_ts)
  *   +proj=sinu     Sinusoidal (Snyder §30 — the MODIS Land grid via +R)
  *   +proj=moll     Mollweide (Snyder §31 — ESRI:54009 World Mollweide)
+ *   +proj=omerc    Hotine Oblique Mercator (EPSG 9815; +no_uoff -> 9812 —
+ *                  +lat_0/+lonc/+alpha/+gamma/+k_0; RSO Borneo, Alaska 1)
  *   +proj=webmerc  Pseudo Mercator (EPSG 1024 — EPSG:3857)
  *   +proj=longlat  identity (degrees)
  *   EPSG:nnnn      authority form, routed to the numeric dispatch
@@ -170,6 +172,7 @@ object ProjString {
     }
     val known = Set("proj", "ellps", "datum", "a", "b", "rf", "f", "R",
       "lat_0", "lon_0", "lat_ts", "lat_1", "lat_2", "k", "k_0", "x_0", "y_0",
+      "lonc", "alpha", "gamma", "no_uoff",
       "zone", "south", "units", "to_meter", "no_defs", "towgs84", "type")
     kv.keys.find(!known.contains(_)).foreach(k => fail(s, s"unknown parameter +$k"))
     // +units / +to_meter: projected-axis unit. PROJ lets an explicit
@@ -316,6 +319,27 @@ object ProjString {
     }
     if (proj == "longlat" && toMeter != 1.0)
       fail(s, "+units/+to_meter on +proj=longlat (degrees have no linear unit)")
+    if ((kv.contains("lonc") || kv.contains("alpha") || kv.contains("gamma") ||
+      kv.contains("no_uoff")) && proj != "omerc")
+      fail(s, "+lonc/+alpha/+gamma/+no_uoff are only meaningful with +proj=omerc")
+    if (proj == "omerc") {
+      // Hotine Oblique Mercator (EPSG 9815; +no_uoff gives 9812 variant A).
+      // PROJ's spelling: centre at (+lat_0, +lonc), initial-line azimuth
+      // +alpha, rectified-grid angle +gamma (defaults to alpha per GN 7-2),
+      // +k_0 the scale on the initial line. The construction degenerates at
+      // the equator and poles — refused, as GN 7-2 restricts.
+      if (!kv.contains("alpha")) fail(s, "+proj=omerc needs +alpha")
+      if (!kv.contains("lonc")) fail(s, "+proj=omerc needs +lonc")
+      if (kv.contains("lon_0"))
+        fail(s, "+proj=omerc takes +lonc, not +lon_0 — remove it")
+      if (lat0 == 0.0 || math.abs(lat0) >= 90.0)
+        fail(s, s"+proj=omerc lat_0=$lat0: centre latitude must be in " +
+          "(-90, 0) or (0, 90)")
+      val variant = if (kv.contains("no_uoff")) "omerca" else "omerc"
+      return mkSpec(s, variant, ell, lat0, num("lonc", 0.0), k0eff, x0, y0,
+        num("alpha", 0.0), num("gamma", num("alpha", 0.0)))
+        .copy(helmert = helmert, toMeter = toMeter)
+    }
     mkSpec(s, proj, ell, lat0, lon0, k0eff, x0, y0,
       num("lat_1", 0.0), num("lat_2", num("lat_1", 0.0)))
       .copy(helmert = helmert, toMeter = toMeter)
@@ -365,6 +389,11 @@ object ProjString {
         if (k0 <= 0.0)
           fail(s, s"+k_0=$k0 must be positive for +proj=$proj")
         Spec(proj, ell, 0, lon0, k0, x0, y0, 0, 0)
+      case "omerc" | "omerca" =>
+        // Hotine Oblique Mercator: lat1/lat2 carry the initial-line azimuth
+        // and rectified-grid angle (degrees); "omerca" is the +no_uoff
+        // variant A (EPSG 9812)
+        Spec(proj, ell, lat0, lon0, k0, x0, y0, 0, 0, lat1, lat2)
       case "sinu" | "moll" =>
         // Sinusoidal (Snyder §30 — the MODIS Land grid on its authalic
         // sphere via +R) / Mollweide (Snyder §31 — ESRI:54009 World
@@ -740,6 +769,10 @@ object ProjString {
       Proj.sinuForward(spec.ell, lon, lat, spec.lon0, spec.x0, spec.y0)
     case "moll" =>
       Proj.mollForward(spec.ell, lon, lat, spec.lon0, spec.x0, spec.y0)
+    case "omerc" | "omerca" =>
+      Proj.omercForward(spec.ell, lon, lat, spec.lat0, spec.lon0,
+        spec.lat1, spec.lat2, spec.k0, spec.x0, spec.y0,
+        variantA = spec.proj == "omerca")
   }
 
   private def unproject(spec: Spec, x: Double, y: Double): (Double, Double) = spec.proj match {
@@ -769,5 +802,9 @@ object ProjString {
       Proj.sinuInverse(spec.ell, x, y, spec.lon0, spec.x0, spec.y0)
     case "moll" =>
       Proj.mollInverse(spec.ell, x, y, spec.lon0, spec.x0, spec.y0)
+    case "omerc" | "omerca" =>
+      Proj.omercInverse(spec.ell, x, y, spec.lat0, spec.lon0,
+        spec.lat1, spec.lat2, spec.k0, spec.x0, spec.y0,
+        variantA = spec.proj == "omerca")
   }
 }

@@ -1227,4 +1227,66 @@ class ProjSpec extends AnyFunSuite {
     assert(ProjString.fromLonLat(esriSinu, 12.25, -41.5) ==
       ProjString.fromLonLat(ws, 12.25, -41.5))
   }
+
+  test("Hotine Oblique Mercator (EPSG 9815/9812): GN 7-2 RSO Borneo sample, " +
+    "conformality, variants, roundtrips (r5)") {
+    import graft.geom.ProjString
+    // EPSG GN 7-2 worked example — Timbalai 1948 / RSO Borneo (m),
+    // Everest 1830 (1967) a=6377298.556 1/f=300.8017, centre (4N, 115E),
+    // alpha_c 53°18'56.9537", gamma_c 53°07'48.3685", kc 0.99984,
+    // Ec/Nc 590476.87/442857.65; point phi 5°23'14.1129"N,
+    // lam 115°48'19.8196"E -> E 679245.73, N 596562.78
+    val alphaC = 53 + 18 / 60.0 + 56.9537 / 3600.0
+    val gammaC = 53 + 7 / 60.0 + 48.3685 / 3600.0
+    val rso = ProjString.parse(f"+proj=omerc +lat_0=4 +lonc=115 " +
+      f"+alpha=$alphaC%.15f +gamma=$gammaC%.15f +k_0=0.99984 " +
+      "+x_0=590476.87 +y_0=442857.65 +a=6377298.556 +rf=300.8017 +units=m")
+    val lat = 5 + 23 / 60.0 + 14.1129 / 3600.0
+    val lon = 115 + 48 / 60.0 + 19.8196 / 3600.0
+    val (re, rn) = ProjString.fromLonLat(rso, lon, lat)
+    assert(math.abs(re - 679245.73) < 0.01, s"E=$re")
+    assert(math.abs(rn - 596562.78) < 0.01, s"N=$rn")
+    val (rlo, rla) = ProjString.toLonLat(rso, re, rn)
+    assert(math.abs(rlo - lon) < 1e-9 && math.abs(rla - lat) < 1e-9, s"$rlo $rla")
+    // conformality: local scale is isotropic (exact ellipsoidal radii)
+    val a = 6377298.556; val f2 = 1.0 / 300.8017; val e2 = f2 * (2 - f2)
+    val d = 1e-4
+    val (ax, ay) = ProjString.fromLonLat(rso, 115.5, 5.0)
+    val (bx, by) = ProjString.fromLonLat(rso, 115.5 + d, 5.0)
+    val (cx, cy) = ProjString.fromLonLat(rso, 115.5, 5.0 + d)
+    val s5 = math.sin(math.toRadians(5.0)); val den = 1 - e2 * s5 * s5
+    val sEW = math.hypot(bx - ax, by - ay) /
+      (math.toRadians(d) * a * math.cos(math.toRadians(5.0)) / math.sqrt(den))
+    val sNS = math.hypot(cx - ax, cy - ay) /
+      (math.toRadians(d) * a * (1 - e2) / (den * math.sqrt(den)))
+    assert(math.abs(sEW / sNS - 1) < 1e-6, s"$sEW vs $sNS")
+    // and the scale on the initial line's centre is kc itself
+    val (ox, oy) = ProjString.fromLonLat(rso, 115.0, 4.0)
+    val (px2, py2) = ProjString.fromLonLat(rso, 115.0 + d, 4.0)
+    val s4 = math.sin(math.toRadians(4.0)); val den4 = 1 - e2 * s4 * s4
+    val kAt = math.hypot(px2 - ox, py2 - oy) /
+      (math.toRadians(d) * a * math.cos(math.toRadians(4.0)) / math.sqrt(den4))
+    assert(math.abs(kAt - 0.99984) < 1e-7, s"k=$kAt")
+    // variant A (+no_uoff, EPSG 9812) roundtrips and is a pure skew-grid
+    // translation of variant B (same x_0/y_0): the offset is constant
+    val voff = ProjString.parse(f"+proj=omerc +lat_0=4 +lonc=115 " +
+      f"+alpha=$alphaC%.15f +gamma=$gammaC%.15f +k_0=0.99984 +no_uoff " +
+      "+x_0=590476.87 +y_0=442857.65 +a=6377298.556 +rf=300.8017")
+    val (ae1, an1) = ProjString.fromLonLat(voff, lon, lat)
+    val (ae2, an2) = ProjString.fromLonLat(voff, 114.0, 3.0)
+    val (be2, bn2) = ProjString.fromLonLat(rso, 114.0, 3.0)
+    assert(math.abs((ae1 - re) - (ae2 - be2)) < 1e-6 &&
+      math.abs((an1 - rn) - (an2 - bn2)) < 1e-6)
+    val (alo, ala) = ProjString.toLonLat(voff, ae1, an1)
+    assert(math.abs(alo - lon) < 1e-9 && math.abs(ala - lat) < 1e-9)
+    // degenerate centres and misspelled parameters are refused
+    intercept[IllegalArgumentException](
+      ProjString.parse("+proj=omerc +lat_0=0 +lonc=115 +alpha=53"))
+    intercept[IllegalArgumentException](
+      ProjString.parse("+proj=omerc +lat_0=4 +lon_0=115 +alpha=53 +lonc=115"))
+    intercept[IllegalArgumentException](
+      ProjString.parse("+proj=omerc +lat_0=4 +lonc=115"))
+    intercept[IllegalArgumentException](
+      ProjString.parse("+proj=tmerc +lon_0=9 +alpha=53"))
+  }
 }
