@@ -818,9 +818,12 @@ object SparkEntry {
       val gammaC = 53 + 7 / 60.0 + 48.3685 / 3600.0
       val p = custPoints(s, dir)
         .filter(col("lat") > -10 && col("lat") < 20 && col("lon") > 90 && col("lon") < 140)
+      // Double.toString, NOT the locale-sensitive f"%f" interpolator — a
+      // comma-decimal default locale would emit +alpha=53,31... and fail
+      // the strict proj-string number parse
       val prj = st_transform(st_point(col("lon"), col("lat")), "EPSG:4326",
-        f"+proj=omerc +lat_0=4 +lonc=115 +alpha=$alphaC%.15f " +
-          f"+gamma=$gammaC%.15f +k_0=0.99984 +x_0=590476.87 +y_0=442857.65 " +
+        s"+proj=omerc +lat_0=4 +lonc=115 +alpha=$alphaC " +
+          s"+gamma=$gammaC +k_0=0.99984 +x_0=590476.87 +y_0=442857.65 " +
           "+a=6377298.556 +rf=300.8017 +units=m")
       p.select(col("custkey"),
         round(st_x(prj), 3).as("ox"),

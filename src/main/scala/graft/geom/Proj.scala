@@ -393,9 +393,26 @@ object Proj {
                                        gamma0: Double, lam0: Double,
                                        uc: Double, sinGc: Double, cosGc: Double)
 
+  // the constants depend only on the CRS (one cached Spec per string), not
+  // the point — ~15 transcendental ops that must not be paid per row.
+  // Bounded like ProjString's parse cache; a (rare) overflow just recomputes.
+  private val omercCache =
+    new java.util.concurrent.ConcurrentHashMap[(Double, Double, Double, Double, Double, Double, Double), OmercConsts]()
+
   private def omercConsts(ell: Ellipsoid, latcDeg: Double, loncDeg: Double,
                           alphacDeg: Double, gammacDeg: Double,
                           kc: Double): OmercConsts = {
+    val key = (ell.a, ell.f, latcDeg, loncDeg, alphacDeg, gammacDeg, kc)
+    val hit = omercCache.get(key)
+    if (hit != null) return hit
+    val c = omercConstsCompute(ell, latcDeg, loncDeg, alphacDeg, gammacDeg, kc)
+    if (omercCache.size < 256) omercCache.putIfAbsent(key, c)
+    c
+  }
+
+  private def omercConstsCompute(ell: Ellipsoid, latcDeg: Double, loncDeg: Double,
+                                 alphacDeg: Double, gammacDeg: Double,
+                                 kc: Double): OmercConsts = {
     val e2 = ell.e2
     val phic = math.toRadians(latcDeg)
     val alphac = math.toRadians(alphacDeg)
@@ -409,7 +426,9 @@ object Proj {
     val f = d + math.sqrt(d2 - 1) * sgn
     val h = f * math.pow(t0, bb)
     val g = (f - 1 / f) / 2
-    val gamma0 = math.asin(math.sin(alphac) / d)
+    // clamp for the same fp hazard d2 guards one line up: for near-zero
+    // lat_0 with alpha ~ 90, d rounds just below 1 and the ratio above it
+    val gamma0 = math.asin(clamp1(math.sin(alphac) / d))
     val lam0 = math.toRadians(loncDeg) - math.asin(g * math.tan(gamma0)) / bb
     val uc = (aa / bb) * math.atan2(math.sqrt(d2 - 1), math.cos(alphac)) * sgn
     val gc = math.toRadians(gammacDeg)
@@ -470,12 +489,22 @@ object Proj {
     val target = math.Pi * math.sin(phiRad)
     if (math.abs(phiRad) >= math.toRadians(90.0) - 1e-12)
       return if (phiRad >= 0) math.Pi / 2 else -math.Pi / 2
-    var th = phiRad
+    // Newton from θ0 = φ overshoots near the poles (f' = 2 + 2cos 2θ → 0 at
+    // the solution, so the first step is ~π/8 regardless of how close φ is,
+    // and recovery is only linear). The expansion at the pole — with
+    // δ = π/2−θ, ε = π/2−|φ|: 2θ + sin 2θ = π − (4/3)δ³ and the target is
+    // π(1−ε²/2), so δ* = (3πε²/8)^⅓ — seeds the polar cap instead.
+    val eps = math.Pi / 2 - math.abs(phiRad)
+    var th =
+      if (eps < 0.1) {
+        val d0 = math.cbrt(3 * math.Pi * eps * eps / 8)
+        (math.Pi / 2 - d0) * math.signum(phiRad)
+      } else phiRad
     var it = 0
-    while (it < 20) {
+    while (it < 50) {
       val d = (2 * th + math.sin(2 * th) - target) / (2 + 2 * math.cos(2 * th))
       th -= d
-      if (math.abs(d) < 1e-15) it = 20
+      if (math.abs(d) < 1e-15) it = 50
       it += 1
     }
     th

@@ -319,6 +319,13 @@ object ProjString {
     }
     if (proj == "longlat" && toMeter != 1.0)
       fail(s, "+units/+to_meter on +proj=longlat (degrees have no linear unit)")
+    // webmerc's Spec replaces the ellipsoid with the sphere of its
+    // semi-major axis, so the Helmert hub conversion would run its
+    // geodetic<->XYZ legs on that sphere — up to ~21 km of latitude error.
+    // EPSG 1024 is defined on WGS84; a datum-shifted pseudo-Mercator is
+    // refused rather than silently miscomputed.
+    if (proj == "webmerc" && helmert.isDefined)
+      fail(s, "+towgs84/+datum shifts are not supported with +proj=webmerc")
     if ((kv.contains("lonc") || kv.contains("alpha") || kv.contains("gamma") ||
       kv.contains("no_uoff")) && proj != "omerc")
       fail(s, "+lonc/+alpha/+gamma/+no_uoff are only meaningful with +proj=omerc")
@@ -335,6 +342,8 @@ object ProjString {
       if (lat0 == 0.0 || math.abs(lat0) >= 90.0)
         fail(s, s"+proj=omerc lat_0=$lat0: centre latitude must be in " +
           "(-90, 0) or (0, 90)")
+      if (k0eff <= 0.0)
+        fail(s, s"+k_0=$k0eff must be positive for +proj=omerc")
       val variant = if (kv.contains("no_uoff")) "omerca" else "omerc"
       return mkSpec(s, variant, ell, lat0, num("lonc", 0.0), k0eff, x0, y0,
         num("alpha", 0.0), num("gamma", num("alpha", 0.0)))

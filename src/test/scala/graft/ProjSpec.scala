@@ -1143,6 +1143,12 @@ class ProjSpec extends AnyFunSuite {
     // EPSG 1024 fixes lat_0 = 0 and has no scale factor
     intercept[IllegalArgumentException](ProjString.parse("+proj=webmerc +lat_0=10"))
     intercept[IllegalArgumentException](ProjString.parse("+proj=webmerc +k_0=0.9"))
+    // the Spec's sphere would corrupt the Helmert hub's geodetic<->XYZ legs
+    // (~21 km of latitude) — datum shifts on webmerc are refused
+    intercept[IllegalArgumentException](ProjString.parse(
+      "+proj=webmerc +ellps=bessel +towgs84=598.1,73.7,418.2"))
+    intercept[IllegalArgumentException](
+      ProjString.parse("+proj=webmerc +datum=potsdam"))
   }
 
   test("longitude wrapping (PROJ adjlon): linear-in-dlam kernels take the " +
@@ -1214,6 +1220,20 @@ class ProjSpec extends AnyFunSuite {
       ProjString.fromLonLat(moll, 60.0, 90.0)._1,
       ProjString.fromLonLat(moll, 60.0, 90.0)._2)
     assert(pl == 0.0 && math.abs(pb - 90.0) < 1e-9, s"pole -> $pl $pb")
+    // the polar cap: Newton from θ0 = φ would stall (f' -> 0); the
+    // cube-root asymptotic seed keeps it convergent (pre-fix, x came back
+    // ~5x too large here). Longitude conditioning at the pole is intrinsic:
+    // recovering cos θ from y costs a relative ulp/δ² ≈ 1e-7, so the lon
+    // roundtrip is bounded ~1e-5 deg there (any implementation's floor);
+    // latitude stays ~1e-8.
+    for (lat <- Seq(89.999, 89.99999, -89.99999)) {
+      val (px, py) = ProjString.fromLonLat(moll, 90.0, lat)
+      val th = math.asin(py / (math.sqrt(2.0) * a))
+      val resid = 2 * th + math.sin(2 * th) - math.Pi * math.sin(math.toRadians(lat))
+      assert(math.abs(resid) < 1e-10, s"lat=$lat residual $resid")
+      val (lo, la) = ProjString.toLonLat(moll, px, py)
+      assert(math.abs(lo - 90.0) < 1e-4 && math.abs(la - lat) < 1e-6, s"$lo $la")
+    }
     // no scale / origin-latitude / standard-parallel parameters exist
     intercept[IllegalArgumentException](ProjString.parse("+proj=moll +k_0=0.9"))
     intercept[IllegalArgumentException](ProjString.parse("+proj=moll +lat_0=10"))
@@ -1238,8 +1258,9 @@ class ProjSpec extends AnyFunSuite {
     // lam 115°48'19.8196"E -> E 679245.73, N 596562.78
     val alphaC = 53 + 18 / 60.0 + 56.9537 / 3600.0
     val gammaC = 53 + 7 / 60.0 + 48.3685 / 3600.0
-    val rso = ProjString.parse(f"+proj=omerc +lat_0=4 +lonc=115 " +
-      f"+alpha=$alphaC%.15f +gamma=$gammaC%.15f +k_0=0.99984 " +
+    // Double.toString interpolation (locale-independent), not f"%f"
+    val rso = ProjString.parse(s"+proj=omerc +lat_0=4 +lonc=115 " +
+      s"+alpha=$alphaC +gamma=$gammaC +k_0=0.99984 " +
       "+x_0=590476.87 +y_0=442857.65 +a=6377298.556 +rf=300.8017 +units=m")
     val lat = 5 + 23 / 60.0 + 14.1129 / 3600.0
     val lon = 115 + 48 / 60.0 + 19.8196 / 3600.0
@@ -1269,8 +1290,8 @@ class ProjSpec extends AnyFunSuite {
     assert(math.abs(kAt - 0.99984) < 1e-7, s"k=$kAt")
     // variant A (+no_uoff, EPSG 9812) roundtrips and is a pure skew-grid
     // translation of variant B (same x_0/y_0): the offset is constant
-    val voff = ProjString.parse(f"+proj=omerc +lat_0=4 +lonc=115 " +
-      f"+alpha=$alphaC%.15f +gamma=$gammaC%.15f +k_0=0.99984 +no_uoff " +
+    val voff = ProjString.parse(s"+proj=omerc +lat_0=4 +lonc=115 " +
+      s"+alpha=$alphaC +gamma=$gammaC +k_0=0.99984 +no_uoff " +
       "+x_0=590476.87 +y_0=442857.65 +a=6377298.556 +rf=300.8017")
     val (ae1, an1) = ProjString.fromLonLat(voff, lon, lat)
     val (ae2, an2) = ProjString.fromLonLat(voff, 114.0, 3.0)
@@ -1288,5 +1309,12 @@ class ProjSpec extends AnyFunSuite {
       ProjString.parse("+proj=omerc +lat_0=4 +lonc=115"))
     intercept[IllegalArgumentException](
       ProjString.parse("+proj=tmerc +lon_0=9 +alpha=53"))
+    intercept[IllegalArgumentException](
+      ProjString.parse("+proj=omerc +lat_0=4 +lonc=115 +alpha=53 +k_0=0"))
+    // fp hazard at near-zero centre latitudes with alpha = 90: the clamped
+    // asin keeps gamma0 finite instead of NaN
+    val tiny = ProjString.parse("+proj=omerc +lat_0=1e-7 +lonc=10 +alpha=90")
+    val (tx2, ty2) = ProjString.fromLonLat(tiny, 11.0, 1.0)
+    assert(!tx2.isNaN && !ty2.isNaN, s"($tx2,$ty2)")
   }
 }
