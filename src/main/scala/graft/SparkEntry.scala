@@ -830,6 +830,22 @@ object SparkEntry {
         round(st_y(prj), 3).as("oy"))
     }),
 
+    "q_krovak" -> ((s, dir) => {
+      // Krovak (EPSG method 9819): the S-JTSK parameterization via the
+      // EPSG:5514 numeric code (Krovak East North on Bessel) over a wide
+      // central-European-plus window. The oracle recomputes the full GN 7-2
+      // chain (Gauss sphere -> oblique rotation -> tangent conic at the
+      // fixed 78.5° pseudo parallel) in DuckDB with INDEPENDENTLY derived
+      // constants; the implementation is pinned to the guidance note's
+      // published S-JTSK worked example in ProjSpec (<2 cm).
+      val p = custPoints(s, dir)
+        .filter(col("lat") > 20 && col("lat") < 80 && col("lon") > -20 && col("lon") < 60)
+      val prj = st_transform(st_point(col("lon"), col("lat")), lit(4326), lit(5514))
+      p.select(col("custkey"),
+        round(st_x(prj), 3).as("kx"),
+        round(st_y(prj), 3).as("ky"))
+    }),
+
     "q_sterea" -> ((s, dir) => {
       // EPSG:28992 (RD New — Oblique/double Stereographic, EPSG method
       // 9809) over the European window. The oracle recomputes the EPSG
@@ -2182,6 +2198,29 @@ object SparkEntry {
          | round(v*cg + u*sg + 590476.87, 3) AS ox,
          | round(u*cg - v*sg + 442857.65, 3) AS oy
          |FROM j""".stripMargin,
+
+    "q_krovak" ->
+      // constants derived independently of the Scala: the Gauss-sphere B
+      // and t0, the conic n = sin(78.5°), r0, tan^n(pi/4+phiP/2), the
+      // centre-line azimuth sin/cos and lam0 = 24°50' E Greenwich
+      s"""WITH p AS (SELECT custkey, lat, lon FROM ($custPointsSql)
+         |   WHERE lat > 20 AND lat < 80 AND lon > -20 AND lon < 60),
+         | c AS (SELECT custkey,
+         |   0.08169683122252751 AS e, 1.0005974983716484 AS bb,
+         |   1.0034191639671806 AS t0, 0.9799247046208296 AS nn,
+         |   1298039.0046228222 AS r0, 9.483713574072528 AS tpn,
+         |   0.5043488897717796 AS sa, 0.8634999695344369 AS ca,
+         |   radians(lat) AS phi,
+         |   bb * radians(24.833333333333332 - lon) AS vv FROM p),
+         | u AS (SELECT *, 2.0*(atan(t0 * power(tan(phi/2.0 + pi()/4.0), bb)
+         |   / power((1.0 + e*sin(phi))/(1.0 - e*sin(phi)), e*bb/2.0)) - pi()/4.0) AS uu FROM c),
+         | t AS (SELECT *, asin(ca*sin(uu) + sa*cos(uu)*cos(vv)) AS tt FROM u),
+         | g AS (SELECT *, nn * asin(cos(uu)*sin(vv)/cos(tt)) AS th,
+         |   r0 * tpn / power(tan(tt/2.0 + pi()/4.0), nn) AS r FROM t)
+         |SELECT custkey,
+         | round(-(r * sin(th)), 3) AS kx,
+         | round(-(r * cos(th)), 3) AS ky
+         |FROM g""".stripMargin,
 
     "q_sterea" ->
       s"""WITH p AS (SELECT custkey, lat, lon FROM ($custPointsSql)

@@ -478,6 +478,104 @@ object Proj {
       math.toDegrees(geodeticFromT(ell, t)))
   }
 
+  // ------ Krovak (EPSG 9819; +proj=krovak — S-JTSK EPSG:5513/5514) ------
+  //
+  // GN 7-2's Krovak chain: Gauss conformal sphere at the projection centre,
+  // rotation to the oblique pole at azimuth αC, then a conformal conic
+  // tangent at the pseudo standard parallel φP = 78.5° (fixed by the
+  // method). Axes: EPSG:5513 runs X south / Y west (positive); EPSG:5514
+  // (the modern east/north form) negates both.
+
+  private final case class KrovakConsts(bb: Double, t0: Double, n: Double,
+                                        r0: Double, sinAc: Double, cosAc: Double,
+                                        lam0Deg: Double, tpn: Double)
+
+  private val krovakCache =
+    new java.util.concurrent.ConcurrentHashMap[(Double, Double, Double, Double, Double, Double), KrovakConsts]()
+
+  private final val KrovakPhiP = math.toRadians(78.5)
+
+  /** S-JTSK defaults (GN 7-2 / PROJ): λ0 = 42°30' east of Ferro = 24°50' E
+   *  Greenwich; αC = 30°17'17.3031". */
+  final val KrovakLon0: Double = 24 + 50 / 60.0
+  final val KrovakAlpha: Double = 30 + 17 / 60.0 + 17.3031 / 3600.0
+
+  private def krovakConsts(ell: Ellipsoid, latcDeg: Double, lon0Deg: Double,
+                           alphacDeg: Double, kp: Double): KrovakConsts = {
+    val key = (ell.a, ell.f, latcDeg, lon0Deg, alphacDeg, kp)
+    val hit = krovakCache.get(key)
+    if (hit != null) return hit
+    val e = ell.e; val e2 = ell.e2
+    val phic = math.toRadians(latcDeg)
+    val sphi = math.sin(phic)
+    val aG = ell.a * math.sqrt(1 - e2) / (1 - e2 * sphi * sphi)
+    val bb = math.sqrt(1 + e2 * math.pow(math.cos(phic), 4) / (1 - e2))
+    val g0 = math.asin(clamp1(sphi / bb))
+    val t0 = math.tan(math.Pi / 4 + g0 / 2) *
+      math.pow((1 + e * sphi) / (1 - e * sphi), e * bb / 2) /
+      math.pow(math.tan(math.Pi / 4 + phic / 2), bb)
+    val n = math.sin(KrovakPhiP)
+    val r0 = kp * aG / math.tan(KrovakPhiP)
+    val ac = math.toRadians(alphacDeg)
+    val c = KrovakConsts(bb, t0, n, r0, math.sin(ac), math.cos(ac), lon0Deg,
+      math.pow(math.tan(math.Pi / 4 + KrovakPhiP / 2), n))
+    if (krovakCache.size < 256) krovakCache.putIfAbsent(key, c)
+    c
+  }
+
+  /** Krovak forward (GN 7-2; `czech` = positive southing/westing, the
+   *  EPSG:5513 axes; otherwise EPSG:5514 east/north, both negated).
+   *  Pinned to the guidance note's S-JTSK worked example in ProjSpec. */
+  def krovakForward(ell: Ellipsoid, lonDeg: Double, latDeg: Double,
+                    latcDeg: Double, lon0Deg: Double,
+                    alphacDeg: Double, kp: Double,
+                    fe: Double, fn: Double, czech: Boolean): (Double, Double) = {
+    val c = krovakConsts(ell, latcDeg, lon0Deg, alphacDeg, kp)
+    val e = ell.e
+    val phi = math.toRadians(latDeg)
+    val sphi = math.sin(phi)
+    val u = 2 * (math.atan(c.t0 * math.pow(math.tan(phi / 2 + math.Pi / 4), c.bb) /
+      math.pow((1 + e * sphi) / (1 - e * sphi), e * c.bb / 2)) - math.Pi / 4)
+    val v = c.bb * math.toRadians(wrapLonDeg(c.lam0Deg - lonDeg))
+    val t = math.asin(clamp1(c.cosAc * math.sin(u) +
+      c.sinAc * math.cos(u) * math.cos(v)))
+    val d = math.asin(clamp1(math.cos(u) * math.sin(v) / math.cos(t)))
+    val th = c.n * d
+    val r = c.r0 * c.tpn / math.pow(math.tan(t / 2 + math.Pi / 4), c.n)
+    val xs = r * math.cos(th); val yw = r * math.sin(th)
+    if (czech) (fe + xs, fn + yw) else (fe - yw, fn - xs)
+  }
+
+  /** Krovak inverse (GN 7-2 reverse formulas; the latitude fixed point
+   *  converges in a handful of steps like the other conformal inverses). */
+  def krovakInverse(ell: Ellipsoid, x: Double, y: Double,
+                    latcDeg: Double, lon0Deg: Double,
+                    alphacDeg: Double, kp: Double,
+                    fe: Double, fn: Double, czech: Boolean): (Double, Double) = {
+    val c = krovakConsts(ell, latcDeg, lon0Deg, alphacDeg, kp)
+    val e = ell.e
+    val xs = if (czech) x - fe else fn - y
+    val yw = if (czech) y - fn else fe - x
+    val r = math.hypot(xs, yw)
+    val th = math.atan2(yw, xs)
+    val d = th / c.n
+    val t = 2 * (math.atan(math.pow(c.r0 / r, 1 / c.n) *
+      math.tan(math.Pi / 4 + KrovakPhiP / 2)) - math.Pi / 4)
+    val u = math.asin(clamp1(c.cosAc * math.sin(t) -
+      c.sinAc * math.cos(t) * math.cos(d)))
+    val v = math.asin(clamp1(math.cos(t) * math.sin(d) / math.cos(u)))
+    val tanU = math.pow(c.t0, -1 / c.bb) *
+      math.pow(math.tan(u / 2 + math.Pi / 4), 1 / c.bb)
+    var phi = u
+    var it = 0
+    while (it < 8) {
+      val s = e * math.sin(phi)
+      phi = 2 * (math.atan(tanU * math.pow((1 + s) / (1 - s), e / 2)) - math.Pi / 4)
+      it += 1
+    }
+    (wrapLonDeg(c.lam0Deg - math.toDegrees(v / c.bb)), math.toDegrees(phi))
+  }
+
   // ------ Mollweide (Snyder §31; +proj=moll, ESRI:54009 World Mollweide) ------
 
   /** Mollweide's auxiliary angle θ: 2θ + sin 2θ = π·sin φ, by Newton from
@@ -998,6 +1096,8 @@ object Proj {
     case 5070 => albersInverse(Grs80, x, y, 23.0, -96.0, 29.5, 45.5, 0.0, 0.0)
     case 6933 => ceaInverse(Wgs84, x, y, 0.0, Ease2K0, 0.0, 0.0)
     case 4087 => eqcInverse(Wgs84, x, y, 0.0, 1.0, 0.0, 0.0)
+    case 5514 => krovakInverse(Bessel, x, y, 49.5, KrovakLon0, KrovakAlpha,
+      0.9999, 0.0, 0.0, czech = false)
     case 27700 => tmInverse(Airy, x, y + OsgbRefY, -2.0, OsgbK0, 400000.0, -100000.0)
     case z if z > 32600 && z <= 32660 =>
       tmInverse(Wgs84, x, y, (z - 32600) * 6.0 - 183.0, UtmK0, 500000.0, 0.0)
@@ -1006,7 +1106,7 @@ object Proj {
     case other =>
       throw new IllegalArgumentException(s"st_transform: unsupported CRS $other " +
         "(supported: 4326, 3857, 3035, 3413, 3031, 28992, 2154, 2230, 2263, " +
-        "5070, 6933, 4087, 27700, 326xx/327xx UTM)")
+        "5070, 6933, 4087, 5514, 27700, 326xx/327xx UTM)")
   }
 
   /** lon/lat degrees -> projected CRS. Identity for 4326. */
@@ -1030,6 +1130,8 @@ object Proj {
     case 5070 => albersForward(Grs80, lon, lat, 23.0, -96.0, 29.5, 45.5, 0.0, 0.0)
     case 6933 => ceaForward(Wgs84, lon, lat, 0.0, Ease2K0, 0.0, 0.0)
     case 4087 => eqcForward(Wgs84, lon, lat, 0.0, 1.0, 0.0, 0.0)
+    case 5514 => krovakForward(Bessel, lon, lat, 49.5, KrovakLon0, KrovakAlpha,
+      0.9999, 0.0, 0.0, czech = false)
     case 27700 =>
       val (x27, y27) = tmForward(Airy, lon, lat, -2.0, OsgbK0, 400000.0, -100000.0)
       (x27, y27 - OsgbRefY)
@@ -1040,6 +1142,6 @@ object Proj {
     case other =>
       throw new IllegalArgumentException(s"st_transform: unsupported CRS $other " +
         "(supported: 4326, 3857, 3035, 3413, 3031, 28992, 2154, 2230, 2263, " +
-        "5070, 6933, 4087, 27700, 326xx/327xx UTM)")
+        "5070, 6933, 4087, 5514, 27700, 326xx/327xx UTM)")
   }
 }

@@ -25,6 +25,8 @@ import java.util.concurrent.ConcurrentHashMap
  *   +proj=moll     Mollweide (Snyder §31 — ESRI:54009 World Mollweide)
  *   +proj=omerc    Hotine Oblique Mercator (EPSG 9815; +no_uoff -> 9812 —
  *                  +lat_0/+lonc/+alpha/+gamma/+k_0; RSO Borneo, Alaska 1)
+ *   +proj=krovak   Krovak (EPSG 9819 — S-JTSK EPSG:5514, +czech for the
+ *                  positive-southing/westing EPSG:5513 axes)
  *   +proj=webmerc  Pseudo Mercator (EPSG 1024 — EPSG:3857)
  *   +proj=longlat  identity (degrees)
  *   EPSG:nnnn      authority form, routed to the numeric dispatch
@@ -172,7 +174,7 @@ object ProjString {
     }
     val known = Set("proj", "ellps", "datum", "a", "b", "rf", "f", "R",
       "lat_0", "lon_0", "lat_ts", "lat_1", "lat_2", "k", "k_0", "x_0", "y_0",
-      "lonc", "alpha", "gamma", "no_uoff",
+      "lonc", "alpha", "gamma", "no_uoff", "czech",
       "zone", "south", "units", "to_meter", "no_defs", "towgs84", "type")
     kv.keys.find(!known.contains(_)).foreach(k => fail(s, s"unknown parameter +$k"))
     // +units / +to_meter: projected-axis unit. PROJ lets an explicit
@@ -326,9 +328,31 @@ object ProjString {
     // refused rather than silently miscomputed.
     if (proj == "webmerc" && helmert.isDefined)
       fail(s, "+towgs84/+datum shifts are not supported with +proj=webmerc")
-    if ((kv.contains("lonc") || kv.contains("alpha") || kv.contains("gamma") ||
+    if ((kv.contains("lonc") || kv.contains("gamma") ||
       kv.contains("no_uoff")) && proj != "omerc")
-      fail(s, "+lonc/+alpha/+gamma/+no_uoff are only meaningful with +proj=omerc")
+      fail(s, "+lonc/+gamma/+no_uoff are only meaningful with +proj=omerc")
+    if (kv.contains("alpha") && proj != "omerc" && proj != "krovak")
+      fail(s, "+alpha is only meaningful with +proj=omerc|krovak")
+    if (kv.contains("czech") && proj != "krovak")
+      fail(s, "+czech is only meaningful with +proj=krovak")
+    if (proj == "krovak") {
+      // Krovak (EPSG 9819 — S-JTSK). PROJ's spelling with its defaults:
+      // centre 49.5N, +lon_0 = 24°50' E Greenwich (42°30' E of Ferro),
+      // +alpha the centre-line azimuth, +k the pseudo-standard-parallel
+      // scale; +czech flips to the positive southing/westing EPSG:5513
+      // axes. φP = 78.5° is fixed by the method. (+lat_ts/+lat_1/+lat_2
+      // already failed above — they are not krovak parameters.)
+      val latc = if (kv.contains("lat_0")) lat0 else 49.5
+      if (latc <= 0.0 || latc >= 90.0)
+        fail(s, s"+proj=krovak lat_0=$latc: centre latitude must be in (0, 90)")
+      val kk = if (kv.contains("k") || kv.contains("k_0")) k0eff else 0.9999
+      if (kk <= 0.0) fail(s, s"+k_0=$kk must be positive for +proj=krovak")
+      val l0 = if (kv.contains("lon_0")) lon0 else Proj.KrovakLon0
+      val al = if (kv.contains("alpha")) num("alpha", 0.0) else Proj.KrovakAlpha
+      val variant = if (kv.contains("czech")) "krovakcz" else "krovak"
+      return mkSpec(s, variant, ell, latc, l0, kk, x0, y0, al, 0.0)
+        .copy(helmert = helmert, toMeter = toMeter)
+    }
     if (proj == "omerc") {
       // Hotine Oblique Mercator (EPSG 9815; +no_uoff gives 9812 variant A).
       // PROJ's spelling: centre at (+lat_0, +lonc), initial-line azimuth
@@ -403,6 +427,10 @@ object ProjString {
         // and rectified-grid angle (degrees); "omerca" is the +no_uoff
         // variant A (EPSG 9812)
         Spec(proj, ell, lat0, lon0, k0, x0, y0, 0, 0, lat1, lat2)
+      case "krovak" | "krovakcz" =>
+        // Krovak: lat1 carries the centre-line azimuth; "krovakcz" is the
+        // +czech positive southing/westing variant (EPSG:5513 axes)
+        Spec(proj, ell, lat0, lon0, k0, x0, y0, 0, 0, lat1, 0)
       case "sinu" | "moll" =>
         // Sinusoidal (Snyder §30 — the MODIS Land grid on its authalic
         // sphere via +R) / Mollweide (Snyder §31 — ESRI:54009 World
@@ -782,6 +810,9 @@ object ProjString {
       Proj.omercForward(spec.ell, lon, lat, spec.lat0, spec.lon0,
         spec.lat1, spec.lat2, spec.k0, spec.x0, spec.y0,
         variantA = spec.proj == "omerca")
+    case "krovak" | "krovakcz" =>
+      Proj.krovakForward(spec.ell, lon, lat, spec.lat0, spec.lon0,
+        spec.lat1, spec.k0, spec.x0, spec.y0, czech = spec.proj == "krovakcz")
   }
 
   private def unproject(spec: Spec, x: Double, y: Double): (Double, Double) = spec.proj match {
@@ -815,5 +846,8 @@ object ProjString {
       Proj.omercInverse(spec.ell, x, y, spec.lat0, spec.lon0,
         spec.lat1, spec.lat2, spec.k0, spec.x0, spec.y0,
         variantA = spec.proj == "omerca")
+    case "krovak" | "krovakcz" =>
+      Proj.krovakInverse(spec.ell, x, y, spec.lat0, spec.lon0,
+        spec.lat1, spec.k0, spec.x0, spec.y0, czech = spec.proj == "krovakcz")
   }
 }

@@ -1317,4 +1317,53 @@ class ProjSpec extends AnyFunSuite {
     val (tx2, ty2) = ProjString.fromLonLat(tiny, 11.0, 1.0)
     assert(!tx2.isNaN && !ty2.isNaN, s"($tx2,$ty2)")
   }
+
+  test("Krovak (EPSG 9819): GN 7-2 S-JTSK sample, EPSG:5514 axes, " +
+    "roundtrips (r5)") {
+    import graft.geom.{Proj, ProjString}
+    // EPSG GN 7-2 worked example — S-JTSK (Ferro) / Krovak (EPSG:5513,
+    // positive southing/westing): phi 50°12'32.4416"N,
+    // lam 16°50'59.1790"E Greenwich -> X 1050538.63, Y 568991.00
+    val cz = ProjString.parse("+proj=krovak +czech +ellps=bessel +units=m")
+    val lat = 50 + 12 / 60.0 + 32.4416 / 3600.0
+    val lon = 16 + 50 / 60.0 + 59.1790 / 3600.0
+    val (kx, ky) = ProjString.fromLonLat(cz, lon, lat)
+    // the guidance note's X/Y are cm-rounded; this implementation computes
+    // X 1050538.643, Y 568990.997 — pin at 2 cm of the published pair
+    assert(math.abs(kx - 1050538.63) < 0.02, s"X=$kx")
+    assert(math.abs(ky - 568991.00) < 0.02, s"Y=$ky")
+    val (klo, kla) = ProjString.toLonLat(cz, kx, ky)
+    assert(math.abs(klo - lon) < 1e-9 && math.abs(kla - lat) < 1e-9, s"$klo $kla")
+    // EPSG:5514 (Krovak East North): both axes negated; the numeric code
+    // path bit-equals the default +proj=krovak string
+    val en = ProjString.parse("+proj=krovak +ellps=bessel")
+    val (ex, ey) = ProjString.fromLonLat(en, lon, lat)
+    assert(ex == -ky && ey == -kx, s"($ex,$ey) vs ($ky,$kx)")
+    val (cx2, cy2) = Proj.fromLonLat(5514, lon, lat)
+    assert(cx2 == ex && cy2 == ey, s"($cx2,$cy2) != ($ex,$ey)")
+    // roundtrips across the Czech/Slovak window to sub-nm degrees
+    for (la2 <- Seq(47.8, 49.0, 50.5, 51.0); lo2 <- Seq(12.2, 15.0, 18.5, 22.5)) {
+      val (px, py) = Proj.fromLonLat(5514, lo2, la2)
+      val (lo3, la3) = Proj.toLonLat(5514, px, py)
+      assert(math.abs(lo3 - lo2) < 1e-9 && math.abs(la3 - la2) < 1e-9, s"$lo2 $la2")
+    }
+    // conformality: local scale is isotropic (exact ellipsoidal radii)
+    val a = 6377397.155; val f2 = 1.0 / 299.1528128; val e2 = f2 * (2 - f2)
+    val d = 1e-4
+    val (ax, ay) = Proj.fromLonLat(5514, 15.5, 49.8)
+    val (bx, by) = Proj.fromLonLat(5514, 15.5 + d, 49.8)
+    val (cx3, cy3) = Proj.fromLonLat(5514, 15.5, 49.8 + d)
+    val s1 = math.sin(math.toRadians(49.8)); val den = 1 - e2 * s1 * s1
+    val sEW = math.hypot(bx - ax, by - ay) /
+      (math.toRadians(d) * a * math.cos(math.toRadians(49.8)) / math.sqrt(den))
+    val sNS = math.hypot(cx3 - ax, cy3 - ay) /
+      (math.toRadians(d) * a * (1 - e2) / (den * math.sqrt(den)))
+    assert(math.abs(sEW / sNS - 1) < 1e-6, s"$sEW vs $sNS")
+    // misspelled / invalid parameters are refused
+    intercept[IllegalArgumentException](ProjString.parse("+proj=tmerc +czech"))
+    intercept[IllegalArgumentException](
+      ProjString.parse("+proj=krovak +lat_ts=78.5"))
+    intercept[IllegalArgumentException](
+      ProjString.parse("+proj=krovak +k_0=0 +ellps=bessel"))
+  }
 }
