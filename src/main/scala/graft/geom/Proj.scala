@@ -523,9 +523,12 @@ object Proj {
     c
   }
 
-  /** Krovak forward (GN 7-2; `czech` = positive southing/westing, the
-   *  EPSG:5513 axes; otherwise EPSG:5514 east/north, both negated).
-   *  Pinned to the guidance note's S-JTSK worked example in ProjSpec. */
+  /** Krovak forward (GN 7-2). Axes follow PROJ's krovak exactly: the
+   *  default returns (−westing, −southing) — the EPSG:5514 Krovak East
+   *  North tuple — and `czech` drops the negation, returning
+   *  (westing, southing) like PROJ's +czech (note: x is the WESTING there,
+   *  not GN 7-2's X-first southing print order). Pinned to the guidance
+   *  note's S-JTSK worked example in ProjSpec. */
   def krovakForward(ell: Ellipsoid, lonDeg: Double, latDeg: Double,
                     latcDeg: Double, lon0Deg: Double,
                     alphacDeg: Double, kp: Double,
@@ -543,7 +546,7 @@ object Proj {
     val th = c.n * d
     val r = c.r0 * c.tpn / math.pow(math.tan(t / 2 + math.Pi / 4), c.n)
     val xs = r * math.cos(th); val yw = r * math.sin(th)
-    if (czech) (fe + xs, fn + yw) else (fe - yw, fn - xs)
+    if (czech) (fe + yw, fn + xs) else (fe - yw, fn - xs)
   }
 
   /** Krovak inverse (GN 7-2 reverse formulas; the latitude fixed point
@@ -554,8 +557,8 @@ object Proj {
                     fe: Double, fn: Double, czech: Boolean): (Double, Double) = {
     val c = krovakConsts(ell, latcDeg, lon0Deg, alphacDeg, kp)
     val e = ell.e
-    val xs = if (czech) x - fe else fn - y
-    val yw = if (czech) y - fn else fe - x
+    val xs = if (czech) y - fn else fn - y
+    val yw = if (czech) x - fe else fe - x
     val r = math.hypot(xs, yw)
     val th = math.atan2(yw, xs)
     val d = th / c.n
@@ -1047,6 +1050,7 @@ object Proj {
     srid == 4326 || srid == 3857 || srid == 3035 ||
       srid == 3413 || srid == 3031 || srid == 28992 || srid == 2154 ||
       srid == 5070 || srid == 27700 || srid == 2263 || srid == 2230 ||
+      srid == 6933 || srid == 4087 || srid == 5514 ||
       (srid > 32600 && srid <= 32660) || (srid > 32700 && srid <= 32760)
 
   /** US survey foot, 1200/3937 m exactly (EPSG unit 9003) — the projected-

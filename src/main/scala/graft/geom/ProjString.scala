@@ -349,8 +349,14 @@ object ProjString {
       if (kk <= 0.0) fail(s, s"+k_0=$kk must be positive for +proj=krovak")
       val l0 = if (kv.contains("lon_0")) lon0 else Proj.KrovakLon0
       val al = if (kv.contains("alpha")) num("alpha", 0.0) else Proj.KrovakAlpha
+      // PROJ's one projection-specific ellipsoid default: bare +proj=krovak
+      // means Bessel (S-JTSK's ellipsoid), NOT the general WGS84 fallback —
+      // ~740 m of semi-major difference if silently substituted
+      val ellK =
+        if (Seq("ellps", "datum", "a", "b", "rf", "f", "R").exists(kv.contains)) ell
+        else knownEllipsoids("bessel")
       val variant = if (kv.contains("czech")) "krovakcz" else "krovak"
-      return mkSpec(s, variant, ell, latc, l0, kk, x0, y0, al, 0.0)
+      return mkSpec(s, variant, ellK, latc, l0, kk, x0, y0, al, 0.0)
         .copy(helmert = helmert, toMeter = toMeter)
     }
     if (proj == "omerc") {

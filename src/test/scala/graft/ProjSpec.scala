@@ -1321,26 +1321,33 @@ class ProjSpec extends AnyFunSuite {
   test("Krovak (EPSG 9819): GN 7-2 S-JTSK sample, EPSG:5514 axes, " +
     "roundtrips (r5)") {
     import graft.geom.{Proj, ProjString}
-    // EPSG GN 7-2 worked example — S-JTSK (Ferro) / Krovak (EPSG:5513,
-    // positive southing/westing): phi 50°12'32.4416"N,
-    // lam 16°50'59.1790"E Greenwich -> X 1050538.63, Y 568991.00
+    // EPSG GN 7-2 worked example — S-JTSK (Ferro) / Krovak: phi
+    // 50°12'32.4416"N, lam 16°50'59.1790"E Greenwich -> southing X
+    // 1050538.63, westing Y 568991.00. PROJ's +czech tuple is
+    // (x = westing, y = southing) — the sign-dropped default axes, NOT
+    // GN 7-2's X-first print order.
     val cz = ProjString.parse("+proj=krovak +czech +ellps=bessel +units=m")
     val lat = 50 + 12 / 60.0 + 32.4416 / 3600.0
     val lon = 16 + 50 / 60.0 + 59.1790 / 3600.0
     val (kx, ky) = ProjString.fromLonLat(cz, lon, lat)
-    // the guidance note's X/Y are cm-rounded; this implementation computes
-    // X 1050538.643, Y 568990.997 — pin at 2 cm of the published pair
-    assert(math.abs(kx - 1050538.63) < 0.02, s"X=$kx")
-    assert(math.abs(ky - 568991.00) < 0.02, s"Y=$ky")
+    // the guidance note's values are cm-rounded; this implementation
+    // computes Y 568990.997, X 1050538.643 — pin at 2 cm
+    assert(math.abs(kx - 568991.00) < 0.02, s"westing=$kx")
+    assert(math.abs(ky - 1050538.63) < 0.02, s"southing=$ky")
     val (klo, kla) = ProjString.toLonLat(cz, kx, ky)
     assert(math.abs(klo - lon) < 1e-9 && math.abs(kla - lat) < 1e-9, s"$klo $kla")
-    // EPSG:5514 (Krovak East North): both axes negated; the numeric code
-    // path bit-equals the default +proj=krovak string
+    // EPSG:5514 (Krovak East North): PROJ's default — both axes negated;
+    // the numeric code path bit-equals the default +proj=krovak string,
+    // and bare +proj=krovak means BESSEL (PROJ's one projection-specific
+    // ellipsoid default), not the general WGS84 fallback
     val en = ProjString.parse("+proj=krovak +ellps=bessel")
     val (ex, ey) = ProjString.fromLonLat(en, lon, lat)
-    assert(ex == -ky && ey == -kx, s"($ex,$ey) vs ($ky,$kx)")
+    assert(ex == -kx && ey == -ky, s"($ex,$ey) vs ($kx,$ky)")
     val (cx2, cy2) = Proj.fromLonLat(5514, lon, lat)
     assert(cx2 == ex && cy2 == ey, s"($cx2,$cy2) != ($ex,$ey)")
+    val bare = ProjString.parse("+proj=krovak")
+    assert(ProjString.fromLonLat(bare, lon, lat) == ((ex, ey)),
+      "bare +proj=krovak must default to Bessel like PROJ")
     // roundtrips across the Czech/Slovak window to sub-nm degrees
     for (la2 <- Seq(47.8, 49.0, 50.5, 51.0); lo2 <- Seq(12.2, 15.0, 18.5, 22.5)) {
       val (px, py) = Proj.fromLonLat(5514, lo2, la2)
