@@ -28,6 +28,34 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Scan-parallelism fix for kernel-heavy projections (optimization guide
+   *  §2.4/§6.1): every gate table is a single-row-group parquet file, and a
+   *  parquet row group is assigned to the ONE split holding its midpoint —
+   *  so a bare scan runs as one task and all per-row geometry/text kernels
+   *  serialize on a single core regardless of `local[N]`. spread() hash-
+   *  repartitions the scanned rows across the session's default parallelism
+   *  BEFORE the expensive per-row work. Guard rails that keep it scale-
+   *  adaptive rather than a local-mode tune:
+   *    - input-size gate: only fires when the scan's estimated bytes fit
+   *      `spark.graft.spread.maxInputBytes` (default 256 MB). At production
+   *      scale the input has many row groups and already yields >= cores
+   *      splits, the gate is over the cap, and the frame passes through
+   *      unchanged — no extra exchange.
+   *    - keyed (hash) repartition on a stable high-cardinality column, not
+   *      round-robin: deterministic under task retry and skips the
+   *      sort-before-repartition pass a round-robin exchange pays.
+   *  Row contents are untouched (only placement changes), so results are
+   *  byte-identical — every consumer below is order-insensitive. */
+  private def spread(df: DataFrame, keys: Column*): DataFrame = {
+    val sess = df.sparkSession
+    val n = sess.sparkContext.defaultParallelism
+    val cap = sess.conf.getOption("spark.graft.spread.maxInputBytes")
+      .map(_.toLong).getOrElse(256L << 20)
+    if (n > 1 && df.queryExecution.optimizedPlan.stats.sizeInBytes <= cap)
+      df.repartition(n, keys: _*)
+    else df
+  }
+
   /** Flagship: the geo pipeline end-to-end at smoke scale. */
   def entry(spark: SparkSession): DataFrame =
     GeoPipeline.run(spark, nPages = 1000, seed = 42, numPartitions = 4).joined
@@ -122,15 +150,29 @@ object SparkEntry {
         .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
           col("c_custkey") === col("o_custkey"))
         .select(col("o_orderkey"))
-      t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-        .join(co, col("o_orderkey") === col("l_orderkey"))
+      // r6: the planner was broadcasting LINEITEM (BuildLeft — its pruned
+      // 3-column scan estimate sits under the 10 MB threshold while co's
+      // join-output estimate is huge), building a 600k-entry hash relation
+      // on the driver every run. SHUFFLE_HASH on co (guide §3.1) builds the
+      // small filtered-orderkey side per partition instead — no driver
+      // collect, no sort-merge sort, scale-safe at any tier — and the
+      // spread() hash-repartition on l_orderkey doubles as the join
+      // exchange (ENSURE_REQUIREMENTS reuses it), so the fact side is
+      // exchanged exactly once.
+      spread(t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+        col("l_orderkey"))
+        .join(co.hint("shuffle_hash"), col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderkey")
         .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000 + 0.5))
           .as("revenue_c4"))
     }),
 
-    "q_window_topn" -> ((s, dir) => t(s, dir, "orders")
+    // r6: spread() by the window's own partition key — the window's required
+    // ClusteredDistribution(o_custkey) is satisfied by the repartition, so
+    // the exchange count stays at one while the pre-shuffle sort +
+    // WindowGroupLimit run on all cores instead of the single scan task
+    "q_window_topn" -> ((s, dir) => spread(t(s, dir, "orders"), col("o_custkey"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))))
       .filter(col("rnk") <= 3)
@@ -143,13 +185,13 @@ object SparkEntry {
       st_x(st_point(col("c_acctbal"), col("c_custkey").cast("double"))).as("x"),
       st_y(st_point(col("c_acctbal"), col("c_custkey").cast("double"))).as("y"))),
 
-    "q_st_distance" -> ((s, dir) => t(s, dir, "lineitem").select(
+    "q_st_distance" -> ((s, dir) => spread(t(s, dir, "lineitem"), col("l_orderkey")).select(
       col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
       round(st_distance(st_point(col("l_quantity"), col("l_discount")),
         st_point(col("l_tax"), lit(1.0))), 6).as("dist"))),
 
     "q_box_ops" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
+      val o = spread(t(s, dir, "orders"), col("o_orderkey"))
         .withColumn("minx", (col("o_orderkey") % 100).cast("double"))
         .withColumn("miny", (col("o_custkey") % 100).cast("double"))
         .withColumn("w", (lit(1) + col("o_orderkey") % 7).cast("double"))
@@ -207,7 +249,7 @@ object SparkEntry {
     }),
 
     "q_intersects_bbox" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
+      val o = spread(t(s, dir, "orders"), col("o_orderkey"))
         .withColumn("minx", (col("o_orderkey") % 100).cast("double"))
         .withColumn("miny", (col("o_custkey") % 100).cast("double"))
       val box = st_makeBox(col("minx"), col("miny"), col("minx") + 10.0, col("miny") + 10.0)
@@ -217,7 +259,7 @@ object SparkEntry {
     }),
 
     "q_bounds_line" -> ((s, dir) => {
-      val l = t(s, dir, "lineitem")
+      val l = spread(t(s, dir, "lineitem"), col("l_orderkey"))
       val line = st_makeLine(col("l_quantity"), col("l_discount"),
         col("l_tax") * 10.0, col("l_extendedprice") / 1000.0)
       val b = st_bounds(line)
@@ -246,7 +288,7 @@ object SparkEntry {
     }),
 
     "q_geodesic" -> ((s, dir) => {
-      val l = t(s, dir, "lineitem")
+      val l = spread(t(s, dir, "lineitem"), col("l_orderkey"))
         .withColumn("lat1", ((col("l_orderkey") % 110) - 55 + 0.25).cast("double"))
         .withColumn("lon1", ((col("l_partkey") % 340) - 170 + 0.25).cast("double"))
         .withColumn("lat2", ((col("l_suppkey") % 110) - 55 + 0.25).cast("double"))
@@ -273,7 +315,7 @@ object SparkEntry {
       round(st_y(st_transform(st_point(col("lon"), col("lat")), lit(4326), lit(3857))), 3).as("my"))),
 
     "q_simplify" -> ((s, dir) => {
-      val l = t(s, dir, "lineitem")
+      val l = spread(t(s, dir, "lineitem"), col("l_orderkey"))
         .withColumn("a", (lit(2) + col("l_orderkey") % 50).cast("double"))
         .withColumn("eps", (lit(0.001) * (lit(1) + col("l_linenumber") % 5)).cast("double"))
       val zig = st_makeLine3(lit(0.0), lit(0.0), col("a") / 2.0, col("eps"), col("a"), lit(0.0))
@@ -283,7 +325,7 @@ object SparkEntry {
 
     // ============ overlay / buffer / dissolve (SURVEY §2.7) ============
     "q_overlay" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
+      val o = spread(t(s, dir, "orders"), col("o_orderkey"))
         .withColumn("minx", (col("o_orderkey") % 100).cast("double"))
         .withColumn("miny", (col("o_custkey") % 100).cast("double"))
         .withColumn("w", (lit(1) + col("o_orderkey") % 7).cast("double"))
@@ -297,7 +339,7 @@ object SparkEntry {
     }),
 
     "q_buffer" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
+      val o = spread(t(s, dir, "orders"), col("o_orderkey"))
         .withColumn("w", (lit(1) + col("o_orderkey") % 7).cast("double"))
         .withColumn("h", (lit(1) + col("o_custkey") % 5).cast("double"))
         .withColumn("d", (lit(1) + col("o_orderkey") % 3).cast("double"))
@@ -606,7 +648,7 @@ object SparkEntry {
     "q_utm" -> ((s, dir) => {
       // per-point UTM zone, round trip through the zone CRS, and local scale
       // checked against the Karney geodesic (TM envelope within a zone)
-      val p = custPoints(s, dir)
+      val p = spread(custPoints(s, dir), col("custkey"))
       val srid = utm_srid(col("lat"), col("lon"))
       val pt = st_point(col("lon"), col("lat"))
       val prj = st_transform(pt, lit(4326), srid)
@@ -648,7 +690,7 @@ object SparkEntry {
           |{"name":"False easting","value":500000,"unit":"metre"},
           |{"name":"False northing","value":0,"unit":"metre"}]},
           |"id":{"authority":"EPSG","code":32632}}""".stripMargin
-      val p = custPoints(s, dir)
+      val p = spread(custPoints(s, dir), col("custkey"))
       val pt = st_point(col("lon"), col("lat"))
       val merc = st_transform(pt, "+proj=longlat +ellps=WGS84",
         "+proj=merc +ellps=WGS84 +units=m +no_defs")
@@ -699,7 +741,7 @@ object SparkEntry {
       // implementation itself is pinned to Snyder's Appendix-A published
       // polar sample in ProjSpec (International ellipsoid: x=1077459.7,
       // y=288704.5 reproduced to <0.1 m).
-      val p = custPoints(s, dir)
+      val p = spread(custPoints(s, dir), col("custkey"))
         .filter(col("lat") > 34 && col("lat") < 70 && col("lon") > -10 && col("lon") < 40)
       val prj = st_transform(st_point(col("lon"), col("lat")), lit(4326), lit(3035))
       val pol = st_transform(st_point(col("lon"), col("lat")),
@@ -741,7 +783,7 @@ object SparkEntry {
       // constants; the implementation is pinned to Snyder's published
       // Appendix-A sample in ProjSpec (35N 75W on Clarke 1866 ->
       // x=1885472.7, y=1535925.0) and to the equal-area invariant.
-      val p = custPoints(s, dir)
+      val p = spread(custPoints(s, dir), col("custkey"))
         .filter(col("lat") > 24 && col("lat") < 50 && col("lon") > -125 && col("lon") < -66)
       val prj = st_transform(st_point(col("lon"), col("lat")), lit(4326), lit(5070))
       p.select(col("custkey"),
@@ -756,7 +798,7 @@ object SparkEntry {
       // constants (n, a·F, rho0 computed outside the Scala); the
       // implementation is pinned to Snyder's published Appendix-A sample in
       // ProjSpec (35N 75W on Clarke 1866 -> x=1894410.9, y=1564649.5).
-      val p = custPoints(s, dir)
+      val p = spread(custPoints(s, dir), col("custkey"))
         .filter(col("lat") > 34 && col("lat") < 58 && col("lon") > -10 && col("lon") < 40)
       val prj = st_transform(st_point(col("lon"), col("lat")), lit(4326), lit(2154))
       p.select(col("custkey"),
@@ -773,7 +815,7 @@ object SparkEntry {
       // derived constants (n, a·F·k0, rho0, a·k0 computed outside the
       // Scala); the implementations are pinned to the EPSG GN 7-2 worked
       // examples in ProjSpec (Jamaica + Caspian Sea samples, <1 cm).
-      val p = custPoints(s, dir)
+      val p = spread(custPoints(s, dir), col("custkey"))
       val pt = st_point(col("lon"), col("lat"))
       val jam = st_transform(pt, "EPSG:4326", "+proj=lcc +lat_1=18 " +
         "+lat_0=18 +lon_0=-77 +k_0=1 +x_0=250000 +y_0=150000 +ellps=clrk66")
@@ -792,7 +834,7 @@ object SparkEntry {
       // Snyder 3-21 meridional-arc closed forms in DuckDB with INDEPENDENTLY
       // derived constants; the implementations are pinned to NSIDC's
       // published map extent and the EPSG GN 7-2 worked example in ProjSpec.
-      val p = custPoints(s, dir)
+      val p = spread(custPoints(s, dir), col("custkey"))
       val pt = st_point(col("lon"), col("lat"))
       val ease = st_transform(pt, lit(4326), lit(6933))
       val eqc = st_transform(pt, lit(4326), lit(4087))
@@ -816,7 +858,7 @@ object SparkEntry {
       // example in ProjSpec (<1 cm).
       val alphaC = 53 + 18 / 60.0 + 56.9537 / 3600.0
       val gammaC = 53 + 7 / 60.0 + 48.3685 / 3600.0
-      val p = custPoints(s, dir)
+      val p = spread(custPoints(s, dir), col("custkey"))
         .filter(col("lat") > -10 && col("lat") < 20 && col("lon") > 90 && col("lon") < 140)
       // Double.toString, NOT the locale-sensitive f"%f" interpolator — a
       // comma-decimal default locale would emit +alpha=53,31... and fail
@@ -840,7 +882,7 @@ object SparkEntry {
       // published S-JTSK worked example in ProjSpec (<2 cm). lat < 55 keeps
       // the window clear of the oblique pole (~59.8N 24.8E) where the
       // kernel's clamped asin and the oracle's unclamped one could split.
-      val p = custPoints(s, dir)
+      val p = spread(custPoints(s, dir), col("custkey"))
         .filter(col("lat") > 20 && col("lat") < 55 && col("lon") > -20 && col("lon") < 60)
       val prj = st_transform(st_point(col("lon"), col("lat")), lit(4326), lit(5514))
       p.select(col("custkey"),
@@ -855,7 +897,7 @@ object SparkEntry {
       // constants (R, n, c, chi0 computed outside the Scala); the
       // implementation is pinned to GN7-2's published Amersfoort sample in
       // ProjSpec (53N 6E -> E 196105.283, N 557057.739, <1 mm).
-      val p = custPoints(s, dir)
+      val p = spread(custPoints(s, dir), col("custkey"))
         .filter(col("lat") > 34 && col("lat") < 58 && col("lon") > -10 && col("lon") < 40)
       val prj = st_transform(st_point(col("lon"), col("lat")), lit(4326), lit(28992))
       p.select(col("custkey"),
@@ -902,7 +944,7 @@ object SparkEntry {
       // series) must agree to ~1e-8 relative; both must sit within the
       // sphere-vs-ellipsoid envelope (±1%) of haversine for non-degenerate
       // segments
-      val l = t(s, dir, "lineitem")
+      val l = spread(t(s, dir, "lineitem"), col("l_orderkey"))
         .withColumn("lat1", ((col("l_orderkey") % 110) - 55 + 0.25).cast("double"))
         .withColumn("lon1", ((col("l_partkey") % 340) - 170 + 0.25).cast("double"))
         .withColumn("lat2", ((col("l_suppkey") % 110) - 55 + 0.25).cast("double"))

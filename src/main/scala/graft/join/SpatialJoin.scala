@@ -119,10 +119,11 @@ object SpatialJoin {
                         cellLevel: Int = DefaultCellLevel,
                         leftPointsOnly: Boolean = false,
                         maxBroadcastBytes: Long = 128L << 20,
-                        sampleRows: Int = 2048): DataFrame = {
+                        sampleRows: Int = 2048,
+                        rightRows: Option[Long] = None): DataFrame = {
     val level = if (cellLevel == AutoLevel) autoCellLevel(right, sampleRows = sampleRows)
       else cellLevel
-    val est = estimateCoveringBytes(right, level, sampleRows)
+    val est = estimateCoveringBytes(right, level, sampleRows, rightRows)
     join(left, right, predicate, joinType, lSuffix, rSuffix, level,
       broadcastRight = est <= maxBroadcastBytes, leftPointsOnly)
   }
@@ -165,8 +166,15 @@ object SpatialJoin {
    *  a bounded prefix sample. Geometry bytes are measured; other columns use
    *  their schema default sizes. */
   def estimateCoveringBytes(right: DataFrame, cellLevel: Int,
-                            sampleRows: Int = 2048): Long = {
-    val n = right.count()
+                            sampleRows: Int = 2048,
+                            rightRows: Option[Long] = None): Long = {
+    // row count sources, cheapest first: caller-supplied (a census the caller
+    // already ran — r5 verdict nit: count() here was a SECOND full pass on a
+    // computed right side), then the optimizer's exact row count when the
+    // plan provides one (CBO stats / a cached relation), then count()
+    val n = rightRows
+      .orElse(right.queryExecution.optimizedPlan.stats.rowCount.map(_.toLong))
+      .getOrElse(right.count())
     if (n == 0) return 0L
     val otherBytes = right.schema.fields
       .filterNot(_.name == "geometry").map(_.dataType.defaultSize.toLong).sum + 16
