@@ -120,9 +120,13 @@ object GeoJson {
   }
 
   /** Whole doubles compact to integer text (the form every other GeoJSON
-   *  writer emits); everything else keeps Java's shortest round-trip repr. */
+   *  writer emits); everything else keeps Java's shortest round-trip repr.
+   *  Negative zero is excluded from the compaction (r5 advice): -0.0.toLong
+   *  is 0, which would drop the sign bit and break the documented bit-exact
+   *  parse(emit(g)) round-trip for signed-zero coordinates. */
   private def num(d: Double, sb: java.lang.StringBuilder): Unit =
-    if (d == math.rint(d) && math.abs(d) < 1e15) sb.append(d.toLong)
+    if (d == math.rint(d) && math.abs(d) < 1e15 &&
+      java.lang.Double.doubleToRawLongBits(d) != 0x8000000000000000L) sb.append(d.toLong)
     else sb.append(d)
 
   // ======================= parse =======================

@@ -267,9 +267,20 @@ object Shapefile {
     val shellPolys = shells.map(Wkb.factory.createPolygon)
     val assigned = shells.map(_ => List.newBuilder[LinearRing])
     holes.foreach { h =>
-      val p = h.getCoordinateN(0)
-      val owner = shellPolys.indexWhere(sp =>
-        sp.contains(Wkb.factory.createPoint(p)))
+      // covers, not contains (r5 advice): a hole sharing a vertex with its
+      // shell's boundary fails the interior-only contains test and would be
+      // misattached to shell 0; fall back across the ring's vertices so one
+      // on-boundary vertex doesn't decide ownership either way
+      val owner = (0 until h.getNumPoints - 1).iterator.map { vi =>
+        val pt = Wkb.factory.createPoint(h.getCoordinateN(vi))
+        val cov = shellPolys.indexWhere(_.covers(pt))
+        val strict = cov >= 0 && shellPolys(cov).contains(pt)
+        (cov, strict)
+      }.find(_._2).map(_._1)
+        .getOrElse {
+          val pt = Wkb.factory.createPoint(h.getCoordinateN(0))
+          shellPolys.indexWhere(_.covers(pt))
+        }
       // hole outside every shell: keep the file readable, attach to shell 0
       assigned(math.max(owner, 0)) += h
     }
@@ -536,11 +547,15 @@ object Shapefile {
   }
 
   /** 17-significant-digit plain decimal — lossless for every double whose
-   *  shortest repr fits the N(24,15) field. */
+   *  shortest repr fits the N(24,15) field. Extreme exponents (1e30,
+   *  1e-300, ...) would expand far beyond 24 chars in plain form and abort
+   *  the whole partition write at the width check (r5 advice); fall back to
+   *  Java's scientific shortest repr for those — OGR accepts exponent text
+   *  in N fields. */
   private def fmtDouble(d: Double): String = {
     val s = new java.math.BigDecimal(d, new java.math.MathContext(17))
       .stripTrailingZeros().toPlainString
-    s
+    if (s.length <= 24) s else java.lang.Double.toString(d)
   }
 
   /** Shape-record content bytes (LE) for one geometry. */
