@@ -14,6 +14,14 @@ object PlanDumpR6 {
     "q_lsh_dup_pairs", "q_embed_norm", "q_knn_embed", "q_simplify",
     "q_hull_area", "q_s2_cells")
 
+  /** Non-headline gate queries touched by the r6 spread() change. Their
+   *  "before" plans are reproduced exactly by closing the spread size gate
+   *  (cap=0 makes spread the identity, restoring the pre-r6 plan). */
+  private val touchedExtra = Seq(
+    "q_bounds_line", "q_geodesic_ell", "q_intersects_bbox", "q_overlay",
+    "q_buffer", "q_utm", "q_proj_params", "q_laea", "q_albers", "q_lcc",
+    "q_lcc1sp", "q_cyl", "q_omerc", "q_krovak", "q_sterea")
+
   def main(args: Array[String]): Unit = {
     val tag = if (args.nonEmpty) args(0) else "before"
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
@@ -25,12 +33,19 @@ object PlanDumpR6 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
-    headline.foreach { name =>
+    val (names, conf) = tag match {
+      case "touched_before" => (touchedExtra, Some("0"))           // gate closed
+      case "touched_after"  => (touchedExtra, None)                // default gate
+      case _                => (headline, None)
+    }
+    conf.foreach(v => spark.conf.set("spark.graft.spread.maxInputBytes", v))
+    val suffix = tag.stripPrefix("touched_")
+    names.foreach { name =>
       val txt = graft.SparkEntry.queries(name)(spark, sfDir).queryExecution
         .explainString(org.apache.spark.sql.execution.FormattedMode)
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$outDir/${name}_$tag.txt"), txt)
-      println(s"PLAN $name -> $outDir/${name}_$tag.txt")
+        java.nio.file.Paths.get(s"$outDir/${name}_$suffix.txt"), txt)
+      println(s"PLAN $name -> $outDir/${name}_$suffix.txt")
     }
     spark.stop()
   }
