@@ -51,7 +51,9 @@ object SparkEntry {
     val n = sess.sparkContext.defaultParallelism
     val cap = sess.conf.getOption("spark.graft.spread.maxInputBytes")
       .map(_.toLong).getOrElse(256L << 20)
-    if (n > 1 && df.queryExecution.optimizedPlan.stats.sizeInBytes <= cap)
+    // cap <= 0 is the documented hard-off switch (a 0-byte empty relation
+    // must not slip past a 0 cap via <=)
+    if (n > 1 && cap > 0 && df.queryExecution.optimizedPlan.stats.sizeInBytes <= cap)
       df.repartition(n, keys: _*)
     else df
   }
@@ -155,10 +157,15 @@ object SparkEntry {
       // join-output estimate is huge), building a 600k-entry hash relation
       // on the driver every run. SHUFFLE_HASH on co (guide §3.1) builds the
       // small filtered-orderkey side per partition instead — no driver
-      // collect, no sort-merge sort, scale-safe at any tier — and the
-      // spread() hash-repartition on l_orderkey doubles as the join
-      // exchange (ENSURE_REQUIREMENTS reuses it), so the fact side is
-      // exchanged exactly once.
+      // collect, no sort-merge sort — and the spread() hash-repartition on
+      // l_orderkey doubles as the join exchange (ENSURE_REQUIREMENTS reuses
+      // it), so the fact side is exchanged exactly once. Trade-off stated
+      // honestly: an SHJ build side must fit per partition (it does not
+      // spill like SMJ); co's rows are 8-byte keys and at production the
+      // partition count scales with the input (AQE advisory sizing), which
+      // bounds the per-task build — at a FIXED 32 partitions the build
+      // grows with SF, so a deployment pinning tiny partition counts at
+      // huge SF should drop the hint and take the sort-merge plan.
       spread(t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
         col("l_orderkey"))

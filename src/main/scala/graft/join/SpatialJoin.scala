@@ -168,13 +168,13 @@ object SpatialJoin {
   def estimateCoveringBytes(right: DataFrame, cellLevel: Int,
                             sampleRows: Int = 2048,
                             rightRows: Option[Long] = None): Long = {
-    // row count sources, cheapest first: caller-supplied (a census the caller
-    // already ran — r5 verdict nit: count() here was a SECOND full pass on a
-    // computed right side), then the optimizer's exact row count when the
-    // plan provides one (CBO stats / a cached relation), then count()
-    val n = rightRows
-      .orElse(right.queryExecution.optimizedPlan.stats.rowCount.map(_.toLong))
-      .getOrElse(right.count())
+    // row count source: caller-supplied (a census the caller already ran —
+    // r5 verdict nit: count() here was a SECOND full pass on a computed
+    // right side), else count(). Deliberately NOT plan stats.rowCount: with
+    // CBO / catalog stats it can be an estimate or stale, and an
+    // under-count here flips the broadcast decision toward the driver-OOM
+    // case this function exists to prevent — only an exact count may feed it.
+    val n = rightRows.getOrElse(right.count())
     if (n == 0) return 0L
     val otherBytes = right.schema.fields
       .filterNot(_.name == "geometry").map(_.dataType.defaultSize.toLong).sum + 16

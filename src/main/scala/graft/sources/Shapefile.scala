@@ -267,20 +267,24 @@ object Shapefile {
     val shellPolys = shells.map(Wkb.factory.createPolygon)
     val assigned = shells.map(_ => List.newBuilder[LinearRing])
     holes.foreach { h =>
-      // covers, not contains (r5 advice): a hole sharing a vertex with its
-      // shell's boundary fails the interior-only contains test and would be
-      // misattached to shell 0; fall back across the ring's vertices so one
-      // on-boundary vertex doesn't decide ownership either way
-      val owner = (0 until h.getNumPoints - 1).iterator.map { vi =>
-        val pt = Wkb.factory.createPoint(h.getCoordinateN(vi))
-        val cov = shellPolys.indexWhere(_.covers(pt))
-        val strict = cov >= 0 && shellPolys(cov).contains(pt)
-        (cov, strict)
-      }.find(_._2).map(_._1)
-        .getOrElse {
-          val pt = Wkb.factory.createPoint(h.getCoordinateN(0))
-          shellPolys.indexWhere(_.covers(pt))
-        }
+      // r5 advice: a hole whose FIRST vertex lies on its shell's boundary
+      // failed the interior-only contains test and was misattached to shell
+      // 0. Probe a bounded number of vertices for one strictly interior to
+      // a shell (the common case resolves on vertex 0, same cost as
+      // before); if every probed vertex sits on boundaries, fall back to a
+      // boundary-inclusive covers on vertex 0. The probe bound keeps a
+      // degenerate all-boundary ring from costing O(vertices x shells).
+      val nv = h.getNumPoints - 1
+      var owner = -1
+      var vi = 0
+      while (owner < 0 && vi < math.min(nv, 8)) {
+        owner = shellPolys.indexWhere(
+          _.contains(Wkb.factory.createPoint(h.getCoordinateN(vi))))
+        vi += 1
+      }
+      if (owner < 0)
+        owner = shellPolys.indexWhere(
+          _.covers(Wkb.factory.createPoint(h.getCoordinateN(0))))
       // hole outside every shell: keep the file readable, attach to shell 0
       assigned(math.max(owner, 0)) += h
     }

@@ -55,14 +55,23 @@ object BenchExtra {
       Pages.generate(spark, n, 42, 64)
         .select((xxhash64(col("url"))).as("doc_id"), col("text"))
 
+    // listener events arrive asynchronously after the action returns; wait
+    // for the counter to go quiet before reading it so a pass's bytes are
+    // not attributed to the next pass
+    def settledShuffle(): Long = {
+      var prev = -1L
+      var cur = shuffleWritten
+      while (cur != prev) { Thread.sleep(150); prev = cur; cur = shuffleWritten }
+      cur
+    }
     def measure(tag: String, rows: Long)(df: => org.apache.spark.sql.DataFrame): Unit = {
       spark.sparkContext.setJobDescription(s"benchextra:$tag")
       force(df) // warm pass (codegen, JIT)
       val (secs, shuf) = (0 until 2).map { _ =>
-        val s0 = shuffleWritten
+        val s0 = settledShuffle()
         val t0 = System.nanoTime()
         force(df)
-        ((System.nanoTime() - t0) / 1e9, shuffleWritten - s0)
+        ((System.nanoTime() - t0) / 1e9, settledShuffle() - s0)
       }.minBy(_._1)
       println(f"EXTRA $tag rows=$rows secs=$secs%.1f rows_per_sec=${rows / secs}%.1f " +
         f"shuffle_bytes=$shuf")

@@ -33,9 +33,12 @@ object PlanDumpR6 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
+    // the gate conf is set EXPLICITLY for both touched modes: in a shared
+    // session a prior touched_before run would otherwise leak cap=0 into
+    // touched_after and silently record identical before/after plans
     val (names, conf) = tag match {
-      case "touched_before" => (touchedExtra, Some("0"))           // gate closed
-      case "touched_after"  => (touchedExtra, None)                // default gate
+      case "touched_before" => (touchedExtra, Some("0"))               // gate closed
+      case "touched_after"  => (touchedExtra, Some((256L << 20).toString)) // default
       case _                => (headline, None)
     }
     conf.foreach(v => spark.conf.set("spark.graft.spread.maxInputBytes", v))

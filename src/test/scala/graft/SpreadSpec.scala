@@ -17,22 +17,27 @@ class SpreadSpec extends SparkSpec {
   private def rows(name: String): Map[String, Long] = {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries(name)(spark, sf)
-    // multiset compare: canonical string per row -> count
-    df.select(concat_ws("", df.columns.map(c => col(c).cast("string")): _*)
+    // multiset compare: canonical string per row -> count. Columns join on
+    // an unprintable separator and NULL maps to its own sentinel first —
+    // concat_ws silently SKIPS nulls, which would let a spread-induced
+    // nulling bug pass the equivalence check.
+    df.select(concat_ws("",
+        df.columns.map(c => coalesce(col(c).cast("string"), lit("NULL"))): _*)
         .as("r"))
       .groupBy("r").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
   test("spread-gated queries return identical rows with and without spread") {
-    touched.foreach { name =>
-      spark.conf.set("spark.graft.spread.maxInputBytes", "0") // gate closed
-      val off = rows(name)
-      spark.conf.set("spark.graft.spread.maxInputBytes", (256L << 20).toString)
-      val on = rows(name)
-      spark.conf.unset("spark.graft.spread.maxInputBytes")
-      assert(on == off, s"$name rows differ between spread on/off")
-    }
+    try {
+      touched.foreach { name =>
+        spark.conf.set("spark.graft.spread.maxInputBytes", "0") // gate closed
+        val off = rows(name)
+        spark.conf.set("spark.graft.spread.maxInputBytes", (256L << 20).toString)
+        val on = rows(name)
+        assert(on == off, s"$name rows differ between spread on/off")
+      }
+    } finally spark.conf.unset("spark.graft.spread.maxInputBytes")
   }
 
   test("spread is a no-op above the size gate") {
